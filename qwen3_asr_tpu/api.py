@@ -1,0 +1,296 @@
+"""Public API: ``Qwen3ASR`` — load, transcribe, warm up, close.
+
+Surface parity with /root/reference/src/qwen3_asr_mlx/model.py:121-447:
+``from_pretrained`` / ``transcribe(audio, language, temperature, top_p,
+top_k, repetition_penalty, max_tokens, repetition_context_size,
+chunk_duration)`` / ``warm_up`` / ``close`` / context manager /
+``TranscriptionResult`` / ``LANGUAGE_MAP``, including the long-form
+low-energy chunked path and the ``max(256, 50 * seconds)`` token budget.
+
+TPU differences: ``warm_up`` ahead-of-time compiles the bucketed programs
+(the analog of MLX lazy-graph warming, model.py:252-259), and the pipeline
+keeps data on device between mel -> encoder -> prefill -> decode with a
+single host sync per transcription.
+"""
+
+from __future__ import annotations
+
+import gc
+import threading
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio.io import SAMPLE_RATE, find_split_points, load_audio
+from .audio.mel import HOP_LENGTH, MelFrontend
+from .config import ModelConfig, RuntimeConfig
+from .models.decoder import init_decoder_params
+from .models.encoder import encoder_forward, init_encoder_params
+from .models.params import load_checkpoint
+from .runtime.generate import Generator
+from .tokenizer import EOS_TOKEN_IDS, Tokenizer
+
+# ISO 639-1 -> full language name (data parity: model.py:28-96).
+LANGUAGE_MAP: dict[str, str] = {
+    "af": "Afrikaans", "ar": "Arabic", "az": "Azerbaijani", "be": "Belarusian",
+    "bg": "Bulgarian", "bn": "Bengali", "bs": "Bosnian", "ca": "Catalan",
+    "cs": "Czech", "cy": "Welsh", "da": "Danish", "de": "German",
+    "el": "Greek", "en": "English", "es": "Spanish", "et": "Estonian",
+    "fa": "Persian", "fi": "Finnish", "fr": "French", "gl": "Galician",
+    "gu": "Gujarati", "he": "Hebrew", "hi": "Hindi", "hr": "Croatian",
+    "hu": "Hungarian", "hy": "Armenian", "id": "Indonesian", "is": "Icelandic",
+    "it": "Italian", "ja": "Japanese", "ka": "Georgian", "kk": "Kazakh",
+    "kn": "Kannada", "ko": "Korean", "lt": "Lithuanian", "lv": "Latvian",
+    "mk": "Macedonian", "ml": "Malayalam", "mn": "Mongolian", "mr": "Marathi",
+    "ms": "Malay", "my": "Burmese", "ne": "Nepali", "nl": "Dutch",
+    "no": "Norwegian", "pa": "Punjabi", "pl": "Polish", "pt": "Portuguese",
+    "ro": "Romanian", "ru": "Russian", "si": "Sinhala", "sk": "Slovak",
+    "sl": "Slovenian", "sq": "Albanian", "sr": "Serbian", "sv": "Swedish",
+    "sw": "Swahili", "ta": "Tamil", "te": "Telugu", "th": "Thai",
+    "tl": "Filipino", "tr": "Turkish", "uk": "Ukrainian", "ur": "Urdu",
+    "uz": "Uzbek", "vi": "Vietnamese", "zh": "Chinese",
+}
+
+
+@dataclass
+class TranscriptionResult:
+    """Result of a transcription call."""
+
+    text: str
+    language: str
+    duration: float
+
+
+class Qwen3ASR:
+    """Qwen3-ASR speech-to-text on TPU.
+
+    Examples
+    --------
+    >>> model = Qwen3ASR.from_pretrained("/path/to/Qwen3-ASR-1.7B")
+    >>> print(model.transcribe("audio.wav").text)
+    """
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        encoder_params,
+        decoder_params,
+        tokenizer: Tokenizer,
+        runtime: RuntimeConfig | None = None,
+    ) -> None:
+        self._config = config
+        self._runtime = runtime or RuntimeConfig()
+        self._encoder_params = encoder_params
+        self._decoder_params = decoder_params
+        self._tokenizer = tokenizer
+        self._lock = threading.Lock()
+        self._mel = MelFrontend(self._runtime.frame_buckets)
+        self._encode = jax.jit(
+            lambda p, mel, nvf: encoder_forward(p, config.audio_encoder, mel, nvf)
+        )
+        self._generator = Generator(
+            decoder_params, config.text_decoder, self._runtime
+        )
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_id_or_path: str | Path,
+        runtime: RuntimeConfig | None = None,
+        dtype=jnp.bfloat16,
+        **kwargs,
+    ) -> "Qwen3ASR":
+        """Load from a local directory or a HuggingFace Hub repo id."""
+        path = Path(model_id_or_path)
+        if not path.is_dir():
+            from huggingface_hub import snapshot_download
+
+            path = Path(snapshot_download(repo_id=str(model_id_or_path), **kwargs))
+
+        config = ModelConfig.from_pretrained(path)
+        enc, dec = load_checkpoint(path, config, dtype=dtype)
+        tokenizer = Tokenizer(path)
+        return cls(config, enc, dec, tokenizer, runtime)
+
+    @classmethod
+    def from_random(
+        cls,
+        config: ModelConfig | None = None,
+        tokenizer: Tokenizer | None = None,
+        runtime: RuntimeConfig | None = None,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ) -> "Qwen3ASR":
+        """Randomly initialized model (benchmarks / tests without weights)."""
+        config = config or ModelConfig()
+        rng = jax.random.PRNGKey(seed)
+        enc = init_encoder_params(config.audio_encoder, rng, dtype)
+        dec = init_decoder_params(config.text_decoder, rng, dtype)
+        return cls(config, enc, dec, tokenizer, runtime)
+
+    # ------------------------------------------------------------------
+
+    def transcribe(
+        self,
+        audio: str | Path | np.ndarray,
+        language: Optional[str] = None,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.2,
+        max_tokens: Optional[int] = None,
+        repetition_context_size: int = 100,
+        chunk_duration: float = 1200.0,
+        seed: int = 0,
+    ) -> TranscriptionResult:
+        """Transcribe audio to text.
+
+        ``audio`` is a file path or a 1-D float32 numpy array at 16 kHz.
+        Parameter semantics match the reference (model.py:194-238); ``seed``
+        additionally pins the sampling PRNG (greedy decoding ignores it).
+        """
+        with self._lock:
+            return self._transcribe_impl(
+                audio, language, temperature, top_p, top_k,
+                repetition_penalty, max_tokens, repetition_context_size,
+                chunk_duration, seed,
+            )
+
+    def warm_up(self) -> None:
+        """AOT-compile the smallest shape buckets with 0.5 s of silence."""
+        self.transcribe(np.zeros(SAMPLE_RATE // 2, dtype=np.float32))
+
+    def close(self) -> None:
+        """Release parameters and device buffers."""
+        self._encoder_params = None
+        self._decoder_params = None
+        if self._generator is not None:
+            self._generator.params = None
+        self._generator = None
+        gc.collect()
+
+    def __enter__(self) -> "Qwen3ASR":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # ------------------------------------------------------------------
+
+    def _transcribe_impl(
+        self, audio, language, temperature, top_p, top_k,
+        repetition_penalty, max_tokens, repetition_context_size,
+        chunk_duration, seed,
+    ) -> TranscriptionResult:
+        if isinstance(audio, (str, Path)):
+            samples = load_audio(audio)
+        else:
+            samples = np.asarray(audio, dtype=np.float32)
+            if samples.ndim != 1:
+                raise ValueError(
+                    f"Audio array must be 1-D (mono), got shape {samples.shape}"
+                )
+
+        if len(samples) == 0:
+            return TranscriptionResult(text="", language="Unknown", duration=0.0)
+
+        duration = len(samples) / SAMPLE_RATE
+        if max_tokens is None:
+            max_tokens = max(256, int(duration * 50))
+
+        if duration > chunk_duration:
+            return self._transcribe_chunked(
+                samples, duration, language, temperature, top_p, top_k,
+                repetition_penalty, repetition_context_size, chunk_duration,
+                seed,
+            )
+
+        lang_name = self._resolve_language(language)
+        text = self._run_pipeline(
+            samples, lang_name, temperature, top_p, top_k,
+            repetition_penalty, max_tokens, repetition_context_size, seed,
+        )
+        return TranscriptionResult(text=text, language=lang_name, duration=duration)
+
+    def _run_pipeline(
+        self, samples, lang_name, temperature, top_p, top_k,
+        repetition_penalty, max_tokens, repetition_context_size, seed,
+    ) -> str:
+        """mel -> encoder -> prompt -> generate -> decode for one clip."""
+        mel, n_valid_frames = self._mel(samples)
+        features, _ = self._encode(
+            self._encoder_params,
+            mel[None],
+            jnp.full((1,), n_valid_frames, jnp.int32),
+        )
+        n_audio_tokens = self._n_audio_tokens(n_valid_frames)
+        input_ids = self._tokenizer.build_prompt(n_audio_tokens, lang_name)
+
+        tokens = self._generator.generate(
+            features,
+            n_audio_tokens,
+            input_ids,
+            max_tokens=max_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            top_k=top_k,
+            repetition_penalty=repetition_penalty,
+            repetition_context_size=repetition_context_size,
+            seed=seed,
+        )
+        return self._decode_output(tokens)
+
+    def _n_audio_tokens(self, n_valid_frames: int) -> int:
+        """Host-side audio-token count (mirror of valid_token_count)."""
+        cfg = self._config.audio_encoder
+        chunk = cfg.chunk_frames
+        full, rem = divmod(n_valid_frames, chunk)
+        rem_tokens = rem
+        for _ in range(3):
+            rem_tokens = (rem_tokens - 1) // 2 + 1 if rem_tokens > 0 else 0
+        return full * cfg.tokens_per_chunk + rem_tokens
+
+    def _resolve_language(self, language: Optional[str]) -> str:
+        if language is None or language.lower() in ("auto", ""):
+            return "English"
+        return LANGUAGE_MAP.get(language.lower(), language)
+
+    def _decode_output(self, tokens: list[int]) -> str:
+        while tokens and tokens[-1] in EOS_TOKEN_IDS:
+            tokens = tokens[:-1]
+        return self._tokenizer.decode(tokens, skip_special_tokens=True).strip()
+
+    def _transcribe_chunked(
+        self, samples, duration, language, temperature, top_p, top_k,
+        repetition_penalty, repetition_context_size, chunk_duration, seed,
+    ) -> TranscriptionResult:
+        """Long-form path: split at low-energy boundaries, stitch texts."""
+        chunk_samples = int(chunk_duration * SAMPLE_RATE)
+        search_samples = 5 * SAMPLE_RATE
+        split_points = find_split_points(samples, chunk_samples, search_samples)
+
+        lang_name = self._resolve_language(language)
+        texts: list[str] = []
+        prev = 0
+        for sp in split_points + [len(samples)]:
+            chunk = samples[prev:sp]
+            prev = sp
+            if len(chunk) == 0:
+                continue
+            chunk_max = max(256, int(len(chunk) / SAMPLE_RATE * 50))
+            text = self._run_pipeline(
+                chunk, lang_name, temperature, top_p, top_k,
+                repetition_penalty, chunk_max, repetition_context_size, seed,
+            )
+            if text:
+                texts.append(text)
+
+        return TranscriptionResult(
+            text=" ".join(texts), language=lang_name, duration=duration
+        )

@@ -1,0 +1,226 @@
+"""Model configuration for Qwen3-ASR on TPU.
+
+Mirrors the HuggingFace ``config.json`` schema for Qwen3-ASR checkpoints so
+that the same checkpoints load unchanged.  Parity with the reference config
+surface (/root/reference/src/qwen3_asr_mlx/config.py:14-150): the same three
+dataclasses, the same defaults, and the same ``from_dict`` fallback chain.
+
+Additionally carries a TPU ``RuntimeConfig`` (mesh shape, dtypes, shape
+buckets) that has no reference counterpart: on TPU every jitted program is
+compiled for static shapes, so audio/prompt lengths are padded to a small set
+of buckets to keep the compile cache warm.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+
+@dataclass
+class AudioEncoderConfig:
+    """Whisper-style audio encoder configuration (Qwen3-ASR audio tower)."""
+
+    d_model: int = 1024
+    encoder_layers: int = 24
+    encoder_attention_heads: int = 16
+    encoder_ffn_dim: int = 4096
+    num_mel_bins: int = 128
+    max_source_positions: int = 1500
+    output_dim: int = 2048
+    n_window: int = 50
+    n_window_infer: int = 800
+    conv_chunksize: int = 500          # parsed but unused (parity w/ reference)
+    activation_function: str = "gelu"  # parsed but unused; GELU is hard-wired
+    downsample_hidden_size: int = 480
+
+    @property
+    def chunk_frames(self) -> int:
+        """Mel frames per encoder chunk (reference: n_window * 2 = 100)."""
+        return self.n_window * 2
+
+    @property
+    def freq_after_conv(self) -> int:
+        """Mel-bin count after the 3x stride-2 conv stem (128 -> 16)."""
+        f = self.num_mel_bins
+        for _ in range(3):
+            f = (f - 1) // 2 + 1
+        return f
+
+    @property
+    def tokens_per_chunk(self) -> int:
+        """Audio tokens produced per full chunk (100 frames -> 13 tokens)."""
+        return conv_output_length(self.chunk_frames)
+
+    @property
+    def window_tokens(self) -> int:
+        """Block-diagonal attention window in tokens (13 * 8 = 104)."""
+        return self.tokens_per_chunk * (self.n_window_infer // self.chunk_frames)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "AudioEncoderConfig":
+        a = d.get("audio_encoder_config", d)
+        get = a.get
+        return cls(
+            d_model=get("d_model", cls.d_model),
+            encoder_layers=get(
+                "encoder_layers", get("num_hidden_layers", cls.encoder_layers)
+            ),
+            encoder_attention_heads=get(
+                "encoder_attention_heads", cls.encoder_attention_heads
+            ),
+            encoder_ffn_dim=get("encoder_ffn_dim", cls.encoder_ffn_dim),
+            num_mel_bins=get("num_mel_bins", cls.num_mel_bins),
+            max_source_positions=get(
+                "max_source_positions", cls.max_source_positions
+            ),
+            output_dim=get("output_dim", cls.output_dim),
+            n_window=get("n_window", cls.n_window),
+            n_window_infer=get("n_window_infer", cls.n_window_infer),
+            conv_chunksize=get("conv_chunksize", cls.conv_chunksize),
+            activation_function=get(
+                "activation_function", cls.activation_function
+            ),
+            downsample_hidden_size=get(
+                "downsample_hidden_size", cls.downsample_hidden_size
+            ),
+        )
+
+
+@dataclass
+class TextDecoderConfig:
+    """Qwen3 text decoder configuration (GQA + QK-norm + RoPE + SwiGLU)."""
+
+    hidden_size: int = 2048
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    intermediate_size: int = 6144
+    hidden_act: str = "silu"           # parsed but unused; SiLU is hard-wired
+    vocab_size: int = 151936
+    max_position_embeddings: int = 65536
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    mrope_section: list[int] = field(default_factory=lambda: [24, 20, 20])
+    rope_interleaved: bool = True      # parsed but unused; plain 1-D RoPE
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "TextDecoderConfig":
+        get = d.get
+        return cls(
+            hidden_size=get("hidden_size", cls.hidden_size),
+            num_hidden_layers=get("num_hidden_layers", cls.num_hidden_layers),
+            num_attention_heads=get(
+                "num_attention_heads", cls.num_attention_heads
+            ),
+            num_key_value_heads=get(
+                "num_key_value_heads", cls.num_key_value_heads
+            ),
+            head_dim=get("head_dim", cls.head_dim),
+            intermediate_size=get("intermediate_size", cls.intermediate_size),
+            hidden_act=get("hidden_act", cls.hidden_act),
+            vocab_size=get("vocab_size", cls.vocab_size),
+            max_position_embeddings=get(
+                "max_position_embeddings", cls.max_position_embeddings
+            ),
+            rms_norm_eps=get("rms_norm_eps", cls.rms_norm_eps),
+            rope_theta=get("rope_theta", cls.rope_theta),
+            mrope_section=get("mrope_section", [24, 20, 20]),
+            rope_interleaved=get("rope_interleaved", cls.rope_interleaved),
+        )
+
+
+@dataclass
+class ModelConfig:
+    """Top-level Qwen3-ASR model configuration."""
+
+    audio_encoder: AudioEncoderConfig = field(default_factory=AudioEncoderConfig)
+    text_decoder: TextDecoderConfig = field(default_factory=TextDecoderConfig)
+    audio_token_id: int = 151676
+    audio_start_token_id: int = 151669
+    audio_end_token_id: int = 151670
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ModelConfig":
+        return cls(
+            audio_encoder=AudioEncoderConfig.from_dict(d),
+            text_decoder=TextDecoderConfig.from_dict(d),
+            audio_token_id=d.get("audio_token_id", 151676),
+            audio_start_token_id=d.get("audio_start_token_id", 151669),
+            audio_end_token_id=d.get("audio_end_token_id", 151670),
+        )
+
+    @classmethod
+    def from_pretrained(cls, model_path: str | Path) -> "ModelConfig":
+        """Load from a local directory or a HuggingFace Hub repo id."""
+        path = Path(model_path)
+        if path.is_dir():
+            d = json.loads((path / "config.json").read_text(encoding="utf-8"))
+        else:
+            from huggingface_hub import hf_hub_download
+
+            f = hf_hub_download(repo_id=str(model_path), filename="config.json")
+            d = json.loads(Path(f).read_text(encoding="utf-8"))
+        return cls.from_dict(d)
+
+
+def conv_output_length(input_length: int) -> int:
+    """Length after the 3-layer stride-2/pad-1/k-3 conv stem.
+
+    Each conv maps L -> (L + 2 - 3) // 2 + 1 = (L - 1) // 2 + 1.
+    Parity: /root/reference/src/qwen3_asr_mlx/encoder.py:197-207.
+    """
+    length = input_length
+    for _ in range(3):
+        length = (length - 1) // 2 + 1
+    return length
+
+
+# ---------------------------------------------------------------------------
+# TPU runtime configuration (no reference counterpart)
+# ---------------------------------------------------------------------------
+
+# Mel-frame buckets: multiples of 800 frames (one 104-token attention window
+# = 8 chunks = 800 frames) so that every compiled encoder shape holds an
+# integer number of windows.  100 mel frames per second of audio.
+DEFAULT_FRAME_BUCKETS: tuple[int, ...] = (
+    800,       # <= 8 s
+    1_600,     # <= 16 s
+    3_200,     # <= 32 s
+    6_400,     # ~1 min
+    12_800,    # ~2 min
+    24_000,    # 4 min
+    48_000,    # 8 min
+    72_000,    # 12 min
+    96_000,    # 16 min
+    120_000,   # 20 min (chunk_duration default)
+)
+
+# Decode-step buckets for the autoregressive token budget.
+DEFAULT_TOKEN_BUCKETS: tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+
+
+@dataclass
+class RuntimeConfig:
+    """TPU execution knobs: dtypes, shape buckets, mesh layout."""
+
+    param_dtype: str = "bfloat16"     # weight storage dtype
+    compute_dtype: str = "bfloat16"   # activation dtype inside transformer
+    mel_dtype: str = "float32"        # mel frontend stays f32 for fidelity
+    frame_buckets: tuple[int, ...] = DEFAULT_FRAME_BUCKETS
+    token_buckets: tuple[int, ...] = DEFAULT_TOKEN_BUCKETS
+    # Mesh axis sizes; (1, 1) = single chip.  dp replicates, tp shards
+    # attention heads / FFN columns.
+    dp: int = 1
+    tp: int = 1
+    # Max decode batch for the batched/continuous decode path.
+    max_batch_size: int = 8
+
+    def pick_bucket(self, value: int, buckets: tuple[int, ...]) -> int:
+        for b in buckets:
+            if value <= b:
+                return b
+        return buckets[-1]

@@ -1,0 +1,225 @@
+"""Qwen3 text decoder: GQA + QK-norm + RoPE + SwiGLU, pure-functional.
+
+Architecture parity with /root/reference/src/qwen3_asr_mlx/decoder.py:87-253
+(28 pre-norm layers, 16Q/8KV heads of dim 128, per-head RMSNorm on Q and K
+applied *before* RoPE, non-interleaved RoPE theta=1e6, SwiGLU MLP, tied
+lm_head).
+
+TPU-first design decisions (deliberately NOT the reference's shape):
+  * Layer parameters are stacked along a leading (num_layers, ...) axis and
+    the layer stack runs under ``lax.scan`` — compile time is one layer,
+    not 28, and XLA pipelines the weight fetches.
+  * The KV cache is a preallocated ``(layers, B, kv_heads, S, head_dim)``
+    ring written with ``dynamic_update_slice`` / scatter — the reference
+    reallocates via ``mx.concatenate`` every decoded token
+    (decoder.py:54-64).
+  * Attention masks are computed from position iota, never materialized on
+    the host; queries carry explicit absolute positions so right-padded
+    prefill and per-sequence decode slots compile to one program.
+  * Linear weights are stored (in_features, out_features) so every matmul
+    is a plain ``x @ w`` on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TextDecoderConfig
+from ..ops.attention import sdpa
+from ..ops.norms import rms_norm
+from ..ops.rope import rope_rotate
+
+DecoderParams = dict[str, Any]
+
+
+def init_decoder_params(
+    cfg: TextDecoderConfig,
+    rng: jax.Array | None = None,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> DecoderParams:
+    """Random (or zero when ``rng`` is None) decoder parameters.
+
+    Layout::
+
+        embedding            (vocab, hidden)
+        layers/ln1           (L, hidden)          input_layernorm
+        layers/ln2           (L, hidden)          post_attention_layernorm
+        layers/wq,wk,wv,wo   (L, in, out)
+        layers/q_norm,k_norm (L, head_dim)
+        layers/wg,wu,wd      (L, in, out)         SwiGLU
+        final_norm           (hidden,)
+    """
+    L = cfg.num_hidden_layers
+    H = cfg.hidden_size
+    D = cfg.head_dim
+    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    inter = cfg.intermediate_size
+
+    shapes = {
+        "embedding": (cfg.vocab_size, H),
+        "layers": {
+            "ln1": (L, H),
+            "ln2": (L, H),
+            "wq": (L, H, nq * D),
+            "wk": (L, H, nkv * D),
+            "wv": (L, H, nkv * D),
+            "wo": (L, nq * D, H),
+            "q_norm": (L, D),
+            "k_norm": (L, D),
+            "wg": (L, H, inter),
+            "wu": (L, H, inter),
+            "wd": (L, inter, H),
+        },
+        "final_norm": (H,),
+    }
+
+    def make(path, shape):
+        name = path[-1]
+        if name.startswith(("ln", "q_norm", "k_norm")) or name == "final_norm":
+            return jnp.ones(shape, dtype)
+        if rng is None:
+            return jnp.zeros(shape, dtype)
+        import zlib
+
+        key = jax.random.fold_in(rng, zlib.crc32("/".join(path).encode()))
+        scale = 0.02
+        return (scale * jax.random.normal(key, shape, jnp.float32)).astype(dtype)
+
+    def build(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: build(v, path + (k,)) for k, v in tree.items()}
+        return make(path, tree)
+
+    return build(shapes)
+
+
+def init_kv_cache(
+    cfg: TextDecoderConfig,
+    batch: int,
+    max_len: int,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """Preallocated (keys, values), each (L, B, kv_heads, max_len, head_dim)."""
+    shape = (
+        cfg.num_hidden_layers,
+        batch,
+        cfg.num_key_value_heads,
+        max_len,
+        cfg.head_dim,
+    )
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def embed_tokens(params: DecoderParams, ids: jax.Array) -> jax.Array:
+    """Token embedding lookup, (..., ) -> (..., hidden)."""
+    return params["embedding"][ids]
+
+
+def decoder_forward(
+    params: DecoderParams,
+    cfg: TextDecoderConfig,
+    hidden: jax.Array,
+    positions: jax.Array,
+    kv_cache: tuple[jax.Array, jax.Array] | None = None,
+    write_slots: jax.Array | None = None,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
+    """Run the layer stack over pre-computed input embeddings.
+
+    Parameters
+    ----------
+    hidden:
+        ``(B, T, hidden)`` input embeddings (audio features already injected
+        for prefill).
+    positions:
+        ``(B, T)`` int32 absolute positions of each query token.  Also
+        defines causality: token (b, t) attends cache slots ``<=
+        positions[b, t]``, which is exact for the contiguous
+        prompt-then-decode cache layout.
+    kv_cache:
+        Optional preallocated ``(keys, values)``; when None a cache sized to
+        T is created (stateless full-context pass).
+    write_slots:
+        ``(B,)`` int32 slot where each sequence's first new K/V row lands.
+        New rows occupy ``write_slots .. write_slots + T``.  When all
+        sequences share the slot (prefill at 0) pass a scalar-like array;
+        per-sequence slots drive batched decode.
+
+    Returns
+    -------
+    (hidden_out, (keys, values)) — hidden is pre-final-norm, ``(B, T, H)``.
+    """
+    B, T, H = hidden.shape
+    if kv_cache is None:
+        kv_cache = init_kv_cache(cfg, B, T, hidden.dtype)
+    if write_slots is None:
+        write_slots = jnp.zeros((B,), jnp.int32)
+    write_slots = jnp.broadcast_to(jnp.asarray(write_slots, jnp.int32), (B,))
+
+    keys_all, values_all = kv_cache
+    S = keys_all.shape[3]
+    nq, nkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    scale = D ** -0.5
+
+    # Causal-by-position mask over cache slots: (B, 1, T, S).
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
+    attn_mask = slot_ids <= positions[:, None, :, None]
+
+    uniform_slot = B == 1
+    pos_b = positions[:, None, :]  # (B, 1, T) broadcast over heads
+
+    def write_kv(cache, new):
+        # cache (B, nkv, S, D); new (B, nkv, T, D)
+        if uniform_slot:
+            return jax.lax.dynamic_update_slice(
+                cache, new.astype(cache.dtype), (0, 0, write_slots[0], 0)
+            )
+        t_idx = write_slots[:, None] + jnp.arange(T)[None, :]  # (B, T)
+        return cache.at[
+            jnp.arange(B)[:, None, None],
+            jnp.arange(nkv)[None, :, None],
+            t_idx[:, None, :],
+        ].set(new.astype(cache.dtype), mode="drop")
+
+    def layer_fn(h, xs):
+        lp, kcache, vcache = xs
+
+        x = rms_norm(h, lp["ln1"], eps)
+        q = (x @ lp["wq"]).reshape(B, T, nq, D)
+        k = (x @ lp["wk"]).reshape(B, T, nkv, D)
+        v = (x @ lp["wv"]).reshape(B, T, nkv, D)
+
+        # Per-head QK RMSNorm before RoPE (Qwen3 signature).
+        q = rms_norm(q, lp["q_norm"], eps).transpose(0, 2, 1, 3)
+        k = rms_norm(k, lp["k_norm"], eps).transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        q = rope_rotate(q, pos_b, cfg.rope_theta)
+        k = rope_rotate(k, pos_b, cfg.rope_theta)
+
+        kcache = write_kv(kcache, k)
+        vcache = write_kv(vcache, v)
+
+        attn = sdpa(q, kcache, vcache, mask=attn_mask, scale=scale)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
+        h = h + attn @ lp["wo"]
+
+        x = rms_norm(h, lp["ln2"], eps)
+        h = h + (jax.nn.silu(x @ lp["wg"]) * (x @ lp["wu"])) @ lp["wd"]
+        return h, (kcache, vcache)
+
+    hidden, (new_keys, new_values) = jax.lax.scan(
+        layer_fn, hidden, (params["layers"], keys_all, values_all)
+    )
+    return hidden, (new_keys, new_values)
+
+
+def decoder_logits(params: DecoderParams, cfg: TextDecoderConfig, hidden: jax.Array) -> jax.Array:
+    """Final RMSNorm + tied lm_head, float32 logits ``(B, T, vocab)``."""
+    h = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    return jnp.einsum(
+        "bth,vh->btv", h, params["embedding"], preferred_element_type=jnp.float32
+    )

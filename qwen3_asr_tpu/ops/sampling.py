@@ -1,0 +1,95 @@
+"""On-device sampling: repetition penalty, top-k, top-p, categorical/greedy.
+
+Semantics parity with /root/reference/src/qwen3_asr_mlx/generate.py:88-215:
+  * repetition penalty divides positive / multiplies negative logits for
+    tokens present in the recent window (and is applied even on the greedy
+    path — the reference defaults to penalty 1.2 with temperature 0);
+  * top-k thresholds at the k-th largest logit, keeping ties;
+  * top-p drops tokens where (cumsum - own prob) >= p over the descending
+    sort;
+  * temperature 0 = argmax, otherwise categorical over filtered logits.
+
+TPU-first difference: everything here is traceable and runs *inside* the
+jitted decode loop, so sampling costs zero host<->device round trips — the
+reference pays two per token (generate.py:297, 204).  The recent-token
+window arrives as a fixed-size int32 vector where unused slots hold an
+out-of-vocabulary sentinel (scattered with mode='drop').
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+#: Sentinel for empty slots of the recent-tokens window (any id >= vocab).
+RECENT_PAD_ID = 2**30
+
+
+def apply_repetition_penalty(
+    logits: jax.Array,
+    recent_tokens: jax.Array,
+    penalty: jax.Array | float,
+) -> jax.Array:
+    """Penalize tokens present in ``recent_tokens`` (sentinel slots ignored)."""
+    vocab = logits.shape[-1]
+    hit = (
+        jnp.zeros((vocab,), dtype=jnp.bool_)
+        .at[recent_tokens]
+        .set(True, mode="drop")
+    )
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    out = jnp.where(hit, penalized, logits)
+    return jnp.where(jnp.asarray(penalty) == 1.0, logits, out)
+
+
+def top_k_mask(logits: jax.Array, k: jax.Array | int) -> jax.Array:
+    """Keep logits >= the k-th largest (ties kept); k <= 0 disables."""
+    k = jnp.asarray(k, dtype=jnp.int32)
+    sorted_desc = jnp.sort(logits)[::-1]
+    idx = jnp.clip(k - 1, 0, logits.shape[-1] - 1)
+    threshold = jax.lax.dynamic_index_in_dim(sorted_desc, idx, keepdims=False)
+    masked = jnp.where(logits >= threshold, logits, -jnp.inf)
+    return jnp.where(k > 0, masked, logits)
+
+
+def top_p_mask(logits: jax.Array, p: jax.Array | float) -> jax.Array:
+    """Nucleus filter: drop tokens whose exclusive cumulative prob >= p."""
+    p = jnp.asarray(p, dtype=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    order = jnp.argsort(-probs)
+    sorted_probs = probs[order]
+    exclusive_cumsum = jnp.cumsum(sorted_probs) - sorted_probs
+    keep_sorted = exclusive_cumsum < p
+    keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+    masked = jnp.where(keep, logits, -jnp.inf)
+    return jnp.where(p < 1.0, masked, logits)
+
+
+def sample_logits(
+    rng: jax.Array,
+    logits: jax.Array,
+    temperature: jax.Array | float,
+    top_k: jax.Array | int,
+    top_p: jax.Array | float,
+    repetition_penalty: jax.Array | float,
+    recent_tokens: jax.Array,
+) -> jax.Array:
+    """Sample one token id (int32 scalar) from a ``(vocab,)`` logit vector.
+
+    All parameters may be traced scalars, so one compiled decode program
+    serves every sampling configuration.
+    """
+    logits = logits.astype(jnp.float32)
+    logits = apply_repetition_penalty(logits, recent_tokens, repetition_penalty)
+    temperature = jnp.asarray(temperature, dtype=jnp.float32)
+
+    def greedy(_):
+        return jnp.argmax(logits).astype(jnp.int32)
+
+    def stochastic(_):
+        scaled = logits / jnp.maximum(temperature, 1e-6)
+        filtered = top_k_mask(scaled, top_k)
+        filtered = top_p_mask(filtered, top_p)
+        return jax.random.categorical(rng, filtered).astype(jnp.int32)
+
+    return jax.lax.cond(temperature == 0.0, greedy, stochastic, None)

@@ -1,0 +1,254 @@
+"""Autoregressive generation runtime: jitted prefill + on-device decode loop.
+
+The reference drives decoding from Python with two host<->device syncs per
+token (generate.py:289-315: ``mx.eval`` + ``.item()``) and a KV cache that
+reallocates every step.  Here the whole decode — embedding, 28 layers,
+lm head, repetition penalty, top-k/top-p, sampling, EOS detection — is ONE
+compiled ``lax.while_loop``; the host syncs once per *transcription* to
+fetch the finished token buffer.
+
+Shape discipline: audio-token count, prompt length and token budget are
+bucketed; each (audio_bucket, token_bucket) pair compiles once and is
+cached by ``jax.jit``.  Sampling parameters are traced scalars, so changing
+temperature/top-k/etc. does NOT recompile.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RuntimeConfig, TextDecoderConfig
+from ..models.decoder import (
+    decoder_forward,
+    decoder_logits,
+    embed_tokens,
+    init_kv_cache,
+)
+from ..ops.sampling import RECENT_PAD_ID, sample_logits
+from ..tokenizer import EOS_TOKEN_IDS, PROMPT_PREFIX
+
+#: Static size of the repetition-penalty gather window.  The dynamic
+#: ``repetition_context_size`` (reference default 100) is clamped to this.
+REP_WINDOW = 128
+
+_AUDIO_OFFSET = len(PROMPT_PREFIX)  # audio features start at slot 9
+
+_EOS_ARRAY = np.array(sorted(EOS_TOKEN_IDS), dtype=np.int32)
+
+
+@dataclass
+class GenerationResult:
+    tokens: list[int]           # generated ids, EOS included (reference parity)
+    n_prompt_tokens: int
+
+
+def _is_eos(tok: jax.Array) -> jax.Array:
+    eos = jnp.asarray(_EOS_ARRAY)
+    return jnp.any(tok[..., None] == eos[None, :], axis=-1)
+
+
+class Generator:
+    """Compiled prefill/decode programs for one decoder parameter set."""
+
+    def __init__(
+        self,
+        params,
+        cfg: TextDecoderConfig,
+        runtime: RuntimeConfig | None = None,
+    ) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.runtime = runtime or RuntimeConfig()
+        self._prefill = jax.jit(
+            self._prefill_impl, static_argnames=("cache_len",)
+        )
+        self._decode = jax.jit(self._decode_impl, static_argnames=("token_bucket",))
+
+    # -- prefill ----------------------------------------------------------
+
+    def _prefill_impl(self, params, features, ids, n_audio, prompt_len, cache_len):
+        """Embed prompt, inject audio features, run the full-prompt forward.
+
+        features: (B, Ta, H) encoder output, valid prefix ``n_audio``;
+        ids: (B, Pb) right-padded prompt ids; prompt_len: (B,) true lengths.
+        Audio features sit at slots [9, 9 + n_audio) — the chat-template
+        prefix is constant, so injection is a slice update + select rather
+        than the reference's per-token Python scatter (generate.py:70-74).
+        """
+        cfg = self.cfg
+        B, Pb = ids.shape
+        embeds = embed_tokens(params, ids)
+        injected = jnp.zeros_like(embeds)
+        injected = jax.lax.dynamic_update_slice(
+            injected,
+            features[:, : Pb - _AUDIO_OFFSET].astype(embeds.dtype),
+            (0, _AUDIO_OFFSET, 0),
+        )
+        slot = jax.lax.broadcasted_iota(jnp.int32, (B, Pb), 1)
+        is_audio = (slot >= _AUDIO_OFFSET) & (slot < _AUDIO_OFFSET + n_audio[:, None])
+        embeds = jnp.where(is_audio[:, :, None], injected, embeds)
+
+        kv = init_kv_cache(cfg, B, cache_len, embeds.dtype)
+        positions = slot
+        hidden, kv = decoder_forward(params, cfg, embeds, positions, kv)
+        last = hidden[jnp.arange(B), prompt_len - 1]
+        logits = decoder_logits(params, cfg, last[:, None, :])[:, 0]
+        return kv, logits
+
+    # -- decode loop ------------------------------------------------------
+
+    def _decode_impl(
+        self,
+        params,
+        kv,
+        first_logits,
+        prompt_len,
+        max_new,
+        seed,
+        temperature,
+        top_k,
+        top_p,
+        repetition_penalty,
+        repetition_context,
+        token_bucket,
+    ):
+        """Sample + autoregress until every sequence hits EOS or its budget.
+
+        Returns (tokens (B, token_bucket), counts (B,)).
+        """
+        cfg = self.cfg
+        B = first_logits.shape[0]
+        rng = jax.random.PRNGKey(seed)
+        rep_ctx = jnp.minimum(jnp.asarray(repetition_context, jnp.int32), REP_WINDOW)
+
+        def batch_sample(rng, logits, recent):
+            keys = jax.random.split(rng, B)
+            return jax.vmap(
+                lambda k, l, r: sample_logits(
+                    k, l, temperature, top_k, top_p, repetition_penalty, r
+                )
+            )(keys, logits, recent)
+
+        # First token: sampled from prefill logits with NO repetition
+        # penalty (reference passes recent_tokens=None, generate.py:278-285).
+        no_recent = jnp.full((B, 1), RECENT_PAD_ID, jnp.int32)
+        rng, sub = jax.random.split(rng)
+        keys = jax.random.split(sub, B)
+        first = jax.vmap(
+            lambda k, l: sample_logits(k, l, temperature, top_k, top_p, 1.0, no_recent[0])
+        )(keys, first_logits)
+
+        tokens = jnp.zeros((B, token_bucket), jnp.int32)
+        tokens = tokens.at[:, 0].set(first)
+        counts = jnp.ones((B,), jnp.int32)
+        done = _is_eos(first) | (counts >= max_new)
+        cur = first
+
+        def recent_window(tokens, counts):
+            # Last REP_WINDOW generated ids, sentinel outside the active
+            # repetition_context slice.  (B, REP_WINDOW)
+            idx = counts[:, None] - REP_WINDOW + jnp.arange(REP_WINDOW)[None, :]
+            in_ctx = (idx >= 0) & (idx >= (counts - rep_ctx)[:, None])
+            vals = jnp.take_along_axis(
+                tokens, jnp.clip(idx, 0, token_bucket - 1), axis=1
+            )
+            return jnp.where(in_ctx & (rep_ctx > 0), vals, RECENT_PAD_ID)
+
+        def cond(state):
+            _, _, _, done, _, _ = state
+            return jnp.any(~done)
+
+        def body(state):
+            kv, tokens, counts, done, cur, rng = state
+            pos = prompt_len + counts - 1  # position of the token being fed
+            embeds = embed_tokens(params, cur)[:, None, :]
+            hidden, kv_new = decoder_forward(
+                params, cfg, embeds, pos[:, None], kv, write_slots=pos
+            )
+            logits = decoder_logits(params, cfg, hidden)[:, 0]
+
+            rng, sub = jax.random.split(rng)
+            nxt = batch_sample(sub, logits, recent_window(tokens, counts))
+
+            slot = jnp.clip(counts, 0, token_bucket - 1)
+            write = jnp.where(
+                done, jnp.take_along_axis(tokens, slot[:, None], axis=1)[:, 0], nxt
+            )
+            tokens = tokens.at[jnp.arange(B), slot].set(write)
+            counts = counts + (~done)
+            done = done | _is_eos(nxt) | (counts >= max_new)
+            cur = jnp.where(done, cur, nxt)
+            # Finished sequences keep their cache untouched to stay bitwise
+            # stable (harmless either way; writes land in masked slots).
+            return kv_new, tokens, counts, done, cur, rng
+
+        kv, tokens, counts, done, cur, rng = jax.lax.while_loop(
+            cond, body, (kv, tokens, counts, done, cur, rng)
+        )
+        return tokens, counts
+
+    # -- public API -------------------------------------------------------
+
+    def generate(
+        self,
+        features: jax.Array,
+        n_audio_tokens: int,
+        input_ids: list[int],
+        max_tokens: int = 8192,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
+        repetition_context_size: int = 100,
+        seed: int = 0,
+    ) -> list[int]:
+        """Generate transcription token ids for one clip.
+
+        ``features`` is ``(1, Ta, hidden)`` encoder output (padded bucket);
+        ``input_ids`` the full prompt from ``build_prompt``.  Returns
+        generated ids including the trailing EOS (reference contract:
+        generate.py:289-315).
+        """
+        rt = self.runtime
+        B, Ta, _ = features.shape
+        prompt_len = len(input_ids)
+        prompt_bucket = Ta + 32
+        if prompt_len > prompt_bucket:
+            raise ValueError(
+                f"prompt length {prompt_len} exceeds bucket {prompt_bucket}"
+            )
+        token_bucket = rt.pick_bucket(max_tokens, rt.token_buckets)
+        cache_len = prompt_bucket + token_bucket
+
+        ids = np.zeros((B, prompt_bucket), dtype=np.int32)
+        ids[0, :prompt_len] = input_ids
+
+        kv, first_logits = self._prefill(
+            self.params,
+            features,
+            jnp.asarray(ids),
+            jnp.full((B,), n_audio_tokens, jnp.int32),
+            jnp.full((B,), prompt_len, jnp.int32),
+            cache_len,
+        )
+        tokens, counts = self._decode(
+            self.params,
+            kv,
+            first_logits,
+            jnp.full((B,), prompt_len, jnp.int32),
+            jnp.full((B,), min(max_tokens, token_bucket), jnp.int32),
+            jnp.uint32(seed),
+            jnp.float32(temperature),
+            jnp.int32(top_k),
+            jnp.float32(top_p),
+            jnp.float32(repetition_penalty),
+            jnp.int32(repetition_context_size),
+            token_bucket,
+        )
+        tokens_host = np.asarray(tokens[0])
+        n = int(counts[0])
+        return tokens_host[:n].tolist()
