@@ -33,6 +33,7 @@ from .models.encoder import encoder_forward, init_encoder_params
 from .models.params import load_checkpoint
 from .runtime.generate import Generator
 from .tokenizer import EOS_TOKEN_IDS, Tokenizer
+from .utils.telemetry import RequestStats, logger, stage_timer
 
 # ISO 639-1 -> full language name (data parity: model.py:28-96).
 LANGUAGE_MAP: dict[str, str] = {
@@ -88,6 +89,9 @@ class Qwen3ASR:
         self._decoder_params = decoder_params
         self._tokenizer = tokenizer
         self._lock = threading.Lock()
+        #: Per-request timing/throughput record of the most recent
+        #: transcription (observability extension; reference has none).
+        self.last_stats: RequestStats | None = None
         self._mel = MelFrontend(self._runtime.frame_buckets)
         self._encode = jax.jit(
             lambda p, mel, nvf: encoder_forward(p, config.audio_encoder, mel, nvf)
@@ -223,28 +227,39 @@ class Qwen3ASR:
         repetition_penalty, max_tokens, repetition_context_size, seed,
     ) -> str:
         """mel -> encoder -> prompt -> generate -> decode for one clip."""
-        mel, n_valid_frames = self._mel(samples)
-        features, _ = self._encode(
-            self._encoder_params,
-            mel[None],
-            jnp.full((1,), n_valid_frames, jnp.int32),
+        stats = self.last_stats = RequestStats(
+            audio_seconds=len(samples) / SAMPLE_RATE
         )
+        with stage_timer(stats, "mel"):
+            mel, n_valid_frames = self._mel(samples)
+        with stage_timer(stats, "encode"):
+            features, _ = self._encode(
+                self._encoder_params,
+                mel[None],
+                jnp.full((1,), n_valid_frames, jnp.int32),
+            )
         n_audio_tokens = self._n_audio_tokens(n_valid_frames)
         input_ids = self._tokenizer.build_prompt(n_audio_tokens, lang_name)
+        stats.n_prompt_tokens = len(input_ids)
 
-        tokens = self._generator.generate(
-            features,
-            n_audio_tokens,
-            input_ids,
-            max_tokens=max_tokens,
-            temperature=temperature,
-            top_p=top_p,
-            top_k=top_k,
-            repetition_penalty=repetition_penalty,
-            repetition_context_size=repetition_context_size,
-            seed=seed,
-        )
-        return self._decode_output(tokens)
+        with stage_timer(stats, "decode"):
+            tokens = self._generator.generate(
+                features,
+                n_audio_tokens,
+                input_ids,
+                max_tokens=max_tokens,
+                temperature=temperature,
+                top_p=top_p,
+                top_k=top_k,
+                repetition_penalty=repetition_penalty,
+                repetition_context_size=repetition_context_size,
+                seed=seed,
+            )
+        stats.n_generated_tokens = len(tokens)
+        with stage_timer(stats, "detokenize"):
+            text = self._decode_output(tokens)
+        logger.debug("transcribe stats: %s", stats.as_dict())
+        return text
 
     def _n_audio_tokens(self, n_valid_frames: int) -> int:
         """Host-side audio-token count (mirror of valid_token_count)."""

@@ -37,18 +37,10 @@ REP_WINDOW = 128
 
 _AUDIO_OFFSET = len(PROMPT_PREFIX)  # audio features start at slot 9
 
-_EOS_ARRAY = np.array(sorted(EOS_TOKEN_IDS), dtype=np.int32)
-
-
 @dataclass
 class GenerationResult:
     tokens: list[int]           # generated ids, EOS included (reference parity)
     n_prompt_tokens: int
-
-
-def _is_eos(tok: jax.Array) -> jax.Array:
-    eos = jnp.asarray(_EOS_ARRAY)
-    return jnp.any(tok[..., None] == eos[None, :], axis=-1)
 
 
 class Generator:
@@ -59,10 +51,12 @@ class Generator:
         params,
         cfg: TextDecoderConfig,
         runtime: RuntimeConfig | None = None,
+        eos_ids: frozenset[int] = EOS_TOKEN_IDS,
     ) -> None:
         self.params = params
         self.cfg = cfg
         self.runtime = runtime or RuntimeConfig()
+        self._eos_ids = np.array(sorted(eos_ids), dtype=np.int32)
         self._prefill = jax.jit(
             self._prefill_impl, static_argnames=("cache_len",)
         )
@@ -122,6 +116,11 @@ class Generator:
         """
         cfg = self.cfg
         B = first_logits.shape[0]
+        eos = jnp.asarray(self._eos_ids)
+
+        def is_eos(tok):
+            return jnp.any(tok[..., None] == eos[None, :], axis=-1)
+
         rng = jax.random.PRNGKey(seed)
         rep_ctx = jnp.minimum(jnp.asarray(repetition_context, jnp.int32), REP_WINDOW)
 
@@ -145,7 +144,7 @@ class Generator:
         tokens = jnp.zeros((B, token_bucket), jnp.int32)
         tokens = tokens.at[:, 0].set(first)
         counts = jnp.ones((B,), jnp.int32)
-        done = _is_eos(first) | (counts >= max_new)
+        done = is_eos(first) | (counts >= max_new)
         cur = first
 
         def recent_window(tokens, counts):
@@ -180,7 +179,7 @@ class Generator:
             )
             tokens = tokens.at[jnp.arange(B), slot].set(write)
             counts = counts + (~done)
-            done = done | _is_eos(nxt) | (counts >= max_new)
+            done = done | is_eos(nxt) | (counts >= max_new)
             cur = jnp.where(done, cur, nxt)
             # Finished sequences keep their cache untouched to stay bitwise
             # stable (harmless either way; writes land in masked slots).

@@ -1,0 +1,150 @@
+"""End-to-end API tests with a tiny model (reference test_model.py tier 2).
+
+Uses a stub tokenizer so no tokenizer.json is needed; ids are remapped into
+the tiny vocab while preserving the prompt structure (audio pads at 9..).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qwen3_asr_tpu.api import LANGUAGE_MAP, Qwen3ASR, TranscriptionResult
+from qwen3_asr_tpu.config import (
+    AudioEncoderConfig,
+    ModelConfig,
+    RuntimeConfig,
+    TextDecoderConfig,
+)
+from qwen3_asr_tpu.tokenizer import build_prompt
+
+TINY_CFG = ModelConfig(
+    audio_encoder=AudioEncoderConfig(
+        d_model=32,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        encoder_ffn_dim=64,
+        output_dim=64,
+        downsample_hidden_size=8,
+    ),
+    text_decoder=TextDecoderConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        intermediate_size=128,
+        vocab_size=512,
+    ),
+)
+
+RT = RuntimeConfig(frame_buckets=(800, 1600, 3200), token_buckets=(16, 256))
+
+
+class StubTokenizer:
+    """Structure-preserving tokenizer over the tiny vocab."""
+
+    def encode(self, text):
+        return [sum(map(ord, text)) % 509 + 1]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(f"t{t}" for t in ids)
+
+    def build_prompt(self, n_audio_tokens, language="English"):
+        ids = build_prompt(n_audio_tokens, self.encode(f" {language}"))
+        return [t % 512 for t in ids]
+
+    def parse_output(self, text):
+        return text
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Qwen3ASR.from_random(TINY_CFG, tokenizer=StubTokenizer(), runtime=RT, dtype=jnp.float32)
+
+
+def sine(duration_s, freq=440.0):
+    t = np.arange(int(duration_s * 16000)) / 16000
+    return (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_language_map_contents():
+    assert len(LANGUAGE_MAP) == 67
+    assert LANGUAGE_MAP["en"] == "English"
+    assert LANGUAGE_MAP["zh"] == "Chinese"
+    assert LANGUAGE_MAP["tl"] == "Filipino"
+
+
+def test_empty_audio_short_circuits(model):
+    res = model.transcribe(np.zeros(0, dtype=np.float32))
+    assert res == TranscriptionResult(text="", language="Unknown", duration=0.0)
+
+
+def test_non_mono_rejected(model):
+    with pytest.raises(ValueError):
+        model.transcribe(np.zeros((2, 100), dtype=np.float32))
+
+
+def test_language_resolution(model):
+    assert model._resolve_language(None) == "English"
+    assert model._resolve_language("auto") == "English"
+    assert model._resolve_language("") == "English"
+    assert model._resolve_language("de") == "German"
+    assert model._resolve_language("DE") == "German"
+    assert model._resolve_language("Klingon") == "Klingon"
+
+
+def test_transcribe_end_to_end(model):
+    res = model.transcribe(sine(1.0), max_tokens=5)
+    assert isinstance(res, TranscriptionResult)
+    assert res.duration == pytest.approx(1.0)
+    assert res.language == "English"
+    assert isinstance(res.text, str)
+
+
+def test_transcribe_greedy_deterministic(model):
+    a = model.transcribe(sine(1.0, 330.0), max_tokens=8)
+    b = model.transcribe(sine(1.0, 330.0), max_tokens=8)
+    assert a.text == b.text
+
+
+def test_transcribe_from_wav_file(model, tmp_path):
+    import struct
+
+    audio = sine(0.5)
+    payload = audio.astype("<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    data = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data += b"data" + struct.pack("<I", len(payload)) + payload
+    p = tmp_path / "clip.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data)
+
+    res = model.transcribe(p, max_tokens=5)
+    assert res.duration == pytest.approx(0.5, abs=0.01)
+
+
+def test_max_tokens_formula():
+    # max(256, duration * 50) — reference model.py:309-311.
+    assert max(256, int(3.0 * 50)) == 256
+    assert max(256, int(30.0 * 50)) == 1500
+
+
+def test_context_manager_close():
+    m = Qwen3ASR.from_random(TINY_CFG, tokenizer=StubTokenizer(), runtime=RT, dtype=jnp.float32)
+    with m as ctx:
+        assert ctx is m
+    assert m._decoder_params is None
+
+
+def test_warm_up(model):
+    model.warm_up()  # 0.5 s of silence through the full pipeline
+
+
+def test_chunked_long_audio(model):
+    """duration > chunk_duration triggers the split-and-stitch path."""
+    audio = sine(5.0)
+    audio[2 * 16000 : 2 * 16000 + 2000] = 0.0  # silence pocket for the split
+    res = model.transcribe(audio, chunk_duration=2.0, max_tokens=4)
+    assert res.duration == pytest.approx(5.0)
+    assert isinstance(res.text, str)

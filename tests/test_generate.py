@@ -1,0 +1,161 @@
+"""Generation runtime tests with a tiny decoder (reference test_generate.py).
+
+Covers: audio-feature injection into the prompt, greedy determinism, loop
+termination, EOS semantics, and max_tokens budget.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_tpu.config import RuntimeConfig, TextDecoderConfig
+from qwen3_asr_tpu.models.decoder import (
+    decoder_forward,
+    decoder_logits,
+    embed_tokens,
+    init_decoder_params,
+)
+from qwen3_asr_tpu.runtime.generate import Generator
+from qwen3_asr_tpu.tokenizer import AUDIO_PAD_TOKEN_ID, build_prompt
+
+TINY = TextDecoderConfig(
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    intermediate_size=128,
+    vocab_size=512,
+)
+
+RT = RuntimeConfig(token_buckets=(32, 64))
+
+
+@pytest.fixture(scope="module")
+def gen():
+    params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    # Tiny vocab can't contain the real EOS ids; use id 500 as EOS.
+    return Generator(params, TINY, RT, eos_ids=frozenset({500}))
+
+
+def make_features(n_audio, total=8, hidden=64, seed=0):
+    rng = np.random.default_rng(seed)
+    f = np.zeros((1, total, hidden), np.float32)
+    f[:, :n_audio] = rng.standard_normal((1, n_audio, hidden)) * 0.5
+    return jnp.asarray(f)
+
+
+def prompt_for(n_audio):
+    # Clamp ids into the tiny vocab: keep structure, remap specials.
+    ids = build_prompt(n_audio, language_name_tokens=[77])
+    return [t % TINY.vocab_size for t in ids]
+
+
+def test_generate_terminates_and_types(gen):
+    feats = make_features(4)
+    ids = prompt_for(4)
+    out = gen.generate(feats, 4, ids, max_tokens=6)
+    assert isinstance(out, list)
+    assert 1 <= len(out) <= 6
+    assert all(isinstance(t, int) and 0 <= t < TINY.vocab_size for t in out)
+
+
+def test_greedy_deterministic(gen):
+    feats = make_features(4, seed=1)
+    ids = prompt_for(4)
+    a = gen.generate(feats, 4, ids, max_tokens=8, temperature=0.0)
+    b = gen.generate(feats, 4, ids, max_tokens=8, temperature=0.0)
+    assert a == b
+
+
+def test_max_tokens_budget(gen):
+    feats = make_features(4, seed=2)
+    ids = prompt_for(4)
+    out = gen.generate(feats, 4, ids, max_tokens=3)
+    assert len(out) <= 3
+
+
+def test_audio_features_change_prefill_logits(gen):
+    """Different injected audio must reach the decoder (logits differ)."""
+    ids = prompt_for(4)
+    L = len(ids)
+    Pb = 8 + 32
+    padded = np.zeros((1, Pb), np.int32)
+    padded[0, :L] = ids
+
+    def prefill_logits(feats):
+        _, logits = gen._prefill(
+            gen.params, feats, jnp.asarray(padded),
+            jnp.asarray([4]), jnp.asarray([L]), Pb + 32,
+        )
+        return np.asarray(logits)
+
+    a = prefill_logits(make_features(4, seed=3))
+    b = prefill_logits(make_features(4, seed=4))
+    assert not np.allclose(a, b)
+
+
+def test_prefill_injection_matches_manual(gen):
+    """Prefill logits == manual forward with features spliced at slot 9."""
+    n_audio = 4
+    feats = make_features(n_audio, seed=5)
+    ids = prompt_for(n_audio)
+    L = len(ids)
+    params = gen.params
+
+    # Manual: embed ids, splice features over the audio-pad positions.
+    id_arr = jnp.asarray([ids])
+    embeds = embed_tokens(params, id_arr)
+    embeds = embeds.at[:, 9 : 9 + n_audio].set(feats[:, :n_audio])
+    hidden, _ = decoder_forward(
+        params, TINY, embeds, jnp.arange(L)[None]
+    )
+    manual_logits = decoder_logits(params, TINY, hidden[:, L - 1 : L])[:, 0]
+
+    # Runtime prefill with right-padded bucket.
+    Pb = feats.shape[1] + 32
+    padded = np.zeros((1, Pb), np.int32)
+    padded[0, :L] = ids
+    kv, logits = gen._prefill(
+        params, feats, jnp.asarray(padded),
+        jnp.asarray([n_audio]), jnp.asarray([L]), Pb + 32,
+    )
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(manual_logits), atol=2e-3)
+
+
+def test_sampling_with_temperature_runs(gen):
+    feats = make_features(4, seed=6)
+    ids = prompt_for(4)
+    out = gen.generate(
+        feats, 4, ids, max_tokens=6, temperature=0.8, top_k=40, top_p=0.9,
+        repetition_penalty=1.2, seed=7,
+    )
+    assert 1 <= len(out) <= 6
+
+
+def test_seed_changes_stochastic_output(gen):
+    feats = make_features(4, seed=8)
+    ids = prompt_for(4)
+    outs = {
+        tuple(gen.generate(feats, 4, ids, max_tokens=8, temperature=5.0, seed=s))
+        for s in range(4)
+    }
+    assert len(outs) > 1  # at temperature 5 the samples must differ
+
+
+def test_repetition_penalty_reduces_repeats(gen):
+    feats = make_features(4, seed=9)
+    ids = prompt_for(4)
+    plain = gen.generate(feats, 4, ids, max_tokens=12, repetition_penalty=1.0)
+    pen = gen.generate(feats, 4, ids, max_tokens=12, repetition_penalty=5.0)
+
+    def max_run(seq):
+        best = run = 1
+        for a, b in zip(seq, seq[1:]):
+            run = run + 1 if a == b else 1
+            best = max(best, run)
+        return best
+
+    # A huge penalty can only shorten immediate repeats.
+    assert max_run(pen) <= max_run(plain)

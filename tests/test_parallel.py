@@ -1,0 +1,137 @@
+"""Multi-chip SPMD tests on the 8-device virtual CPU mesh.
+
+Oracles: sharded execution must be numerically equivalent to single-device
+execution (tp and dp), and the training dryrun must run end to end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_tpu.config import TextDecoderConfig
+from qwen3_asr_tpu.models.decoder import (
+    decoder_forward,
+    decoder_logits,
+    embed_tokens,
+    init_decoder_params,
+)
+from qwen3_asr_tpu.parallel.mesh import make_mesh
+from qwen3_asr_tpu.parallel.sharding import (
+    decoder_param_sharding,
+    shard_params,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+TINY = TextDecoderConfig(
+    hidden_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    intermediate_size=128,
+    vocab_size=512,
+)
+
+
+def _forward_logits(params, ids):
+    h = embed_tokens(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(ids.shape[1])[None], ids.shape)
+    out, _ = decoder_forward(params, TINY, h, pos)
+    return decoder_logits(params, TINY, out)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    with pytest.raises(ValueError):
+        make_mesh(3, 2, devices=jax.devices()[:4])
+
+
+def test_tp_sharded_forward_matches_single_device():
+    params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ids = jnp.asarray([[1, 5, 9, 200]])
+
+    ref = np.asarray(jax.jit(_forward_logits)(params, ids))
+
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    sharded = shard_params(params, decoder_param_sharding(params, mesh))
+    got = np.asarray(jax.jit(_forward_logits)(sharded, ids))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_tp4_sharded_forward_matches_single_device():
+    params = init_decoder_params(TINY, jax.random.PRNGKey(1), dtype=jnp.float32)
+    ids = jnp.asarray([[3, 7, 11]])
+    ref = np.asarray(jax.jit(_forward_logits)(params, ids))
+
+    # tp=2 is the max that divides this tiny model's 2 KV heads; use dp*tp mesh
+    # to exercise a 2-D mesh with a replicated batch.
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    sharded = shard_params(params, decoder_param_sharding(params, mesh))
+    got = np.asarray(jax.jit(_forward_logits)(sharded, ids))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_train_step_loss_decreases():
+    """Two sharded train steps on a fixed batch must reduce the loss."""
+    import optax
+
+    from qwen3_asr_tpu.config import AudioEncoderConfig, ModelConfig
+    from qwen3_asr_tpu.models.encoder import init_encoder_params
+    from qwen3_asr_tpu.training.train import (
+        Batch,
+        init_train_state,
+        make_train_step,
+    )
+
+    cfg = ModelConfig(
+        audio_encoder=AudioEncoderConfig(
+            d_model=32,
+            encoder_layers=1,
+            encoder_attention_heads=4,
+            encoder_ffn_dim=64,
+            output_dim=64,
+            downsample_hidden_size=8,
+        ),
+        text_decoder=TINY,
+    )
+    rng = jax.random.PRNGKey(0)
+    enc = init_encoder_params(cfg.audio_encoder, rng, dtype=jnp.float32)
+    dec = init_decoder_params(cfg.text_decoder, rng, dtype=jnp.float32)
+
+    optimizer = optax.adam(1e-3)
+    state = init_train_state(cfg, optimizer, enc, dec)
+    step = jax.jit(make_train_step(cfg, optimizer))
+
+    B, frames, P, n_audio = 2, 800, 144, 104
+    rngn = np.random.default_rng(0)
+    mask = np.zeros((B, P), bool)
+    mask[:, 9 + n_audio :] = True
+    batch = Batch(
+        mel=jnp.asarray(rngn.standard_normal((B, 128, frames)).astype(np.float32) * 0.1),
+        n_valid_frames=jnp.full((B,), frames, jnp.int32),
+        input_ids=jnp.full((B, P), 7, jnp.int32),
+        n_audio=jnp.full((B,), n_audio, jnp.int32),
+        labels=jnp.full((B, P), 11, jnp.int32),
+        label_mask=jnp.asarray(mask),
+    )
+
+    state, loss0 = step(state, batch)
+    state, loss1 = step(state, batch)
+    state, loss2 = step(state, batch)
+    assert float(loss2) < float(loss0)
+    assert np.isfinite(float(loss0))
