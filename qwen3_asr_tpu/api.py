@@ -166,6 +166,87 @@ class Qwen3ASR:
                 chunk_duration, seed,
             )
 
+    def transcribe_batch(
+        self,
+        audios: list,
+        language: Optional[str] = None,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.2,
+        max_tokens: Optional[int] = None,
+        repetition_context_size: int = 100,
+        seed: int = 0,
+    ) -> list[TranscriptionResult]:
+        """Transcribe several clips in ONE batched device program.
+
+        Shared mel frontend, batched encoder, batched prefill and a single
+        multi-sequence decode loop (per-clip EOS + token budgets).  No
+        reference counterpart — the reference serializes batch work behind
+        a lock (model.py:145, 239).
+        """
+        with self._lock:
+            return self._transcribe_batch_impl(
+                audios, language, temperature, top_p, top_k,
+                repetition_penalty, max_tokens, repetition_context_size, seed,
+            )
+
+    def _transcribe_batch_impl(
+        self, audios, language, temperature, top_p, top_k,
+        repetition_penalty, max_tokens, repetition_context_size, seed,
+    ) -> list[TranscriptionResult]:
+        lang_name = self._resolve_language(language)
+
+        samples_list: list[np.ndarray] = []
+        for audio in audios:
+            if isinstance(audio, (str, Path)):
+                samples_list.append(load_audio(audio))
+            else:
+                arr = np.asarray(audio, dtype=np.float32)
+                if arr.ndim != 1:
+                    raise ValueError(
+                        f"Audio array must be 1-D (mono), got shape {arr.shape}"
+                    )
+                samples_list.append(arr)
+
+        live = [i for i, s in enumerate(samples_list) if len(s) > 0]
+        results: list[TranscriptionResult] = [
+            TranscriptionResult(text="", language="Unknown", duration=0.0)
+            for _ in samples_list
+        ]
+        if not live:
+            return results
+
+        batch = [samples_list[i] for i in live]
+        durations = [len(s) / SAMPLE_RATE for s in batch]
+        budgets = [
+            max_tokens if max_tokens is not None else max(256, int(d * 50))
+            for d in durations
+        ]
+
+        mel, n_valid = self._mel.batch(batch)
+        features, _ = self._encode(
+            self._encoder_params, mel, jnp.asarray(n_valid, jnp.int32)
+        )
+        n_audio = [self._n_audio_tokens(int(v)) for v in n_valid]
+        prompts = [self._tokenizer.build_prompt(n, lang_name) for n in n_audio]
+
+        token_lists = self._generator.generate_batch(
+            features, n_audio, prompts,
+            max_tokens=budgets,
+            temperature=temperature,
+            top_p=top_p,
+            top_k=top_k,
+            repetition_penalty=repetition_penalty,
+            repetition_context_size=repetition_context_size,
+            seed=seed,
+        )
+        for i, toks, dur in zip(live, token_lists, durations):
+            results[i] = TranscriptionResult(
+                text=self._decode_output(toks), language=lang_name, duration=dur
+            )
+        return results
+
     def warm_up(self) -> None:
         """AOT-compile the smallest shape buckets with 0.5 s of silence."""
         self.transcribe(np.zeros(SAMPLE_RATE // 2, dtype=np.float32))

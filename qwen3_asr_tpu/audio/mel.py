@@ -111,20 +111,20 @@ def _stft_power(frames_signal: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray
     return real * real + imag * imag
 
 
-@partial(jax.jit, static_argnames=("n_frames", "n_fft", "hop", "n_mels"))
-def _mel_from_padded(
+def _mel_core(
     padded: jnp.ndarray,
     n_valid: jnp.ndarray,
     n_frames: int,
-    n_fft: int = N_FFT,
-    hop: int = HOP_LENGTH,
-    n_mels: int = N_MELS,
+    n_fft: int,
+    hop: int,
+    n_mels: int,
 ) -> jnp.ndarray:
-    """Device mel pipeline over a pre-reflected, zero-extended signal buffer.
+    """Mel pipeline over one pre-reflected, zero-extended signal buffer.
 
     ``padded`` has static length ``(n_frames - 1) * hop + n_fft``;
     ``n_valid`` is the (traced) count of frames carrying real audio.
-    Returns (n_mels, n_frames) float32 with invalid frames zeroed.
+    Returns (n_mels, n_frames) float32 with invalid frames zeroed.  The
+    dynamic-range clamp maxes over valid frames only, per clip.
     """
     power = _stft_power(padded, n_fft, hop)                 # (n_freqs, n_frames)
     fb = jnp.asarray(mel_filterbank(n_fft, n_mels))
@@ -137,6 +137,32 @@ def _mel_from_padded(
     log_spec = jnp.maximum(log_spec, global_max - 8.0)
     log_spec = (log_spec + 4.0) / 4.0
     return jnp.where(valid, log_spec, 0.0)
+
+
+@partial(jax.jit, static_argnames=("n_frames", "n_fft", "hop", "n_mels"))
+def _mel_from_padded(
+    padded: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    n_frames: int,
+    n_fft: int = N_FFT,
+    hop: int = HOP_LENGTH,
+    n_mels: int = N_MELS,
+) -> jnp.ndarray:
+    return _mel_core(padded, n_valid, n_frames, n_fft, hop, n_mels)
+
+
+@partial(jax.jit, static_argnames=("n_frames", "n_fft", "hop", "n_mels"))
+def _mel_batch_from_padded(
+    padded: jnp.ndarray,       # (B, L)
+    n_valid: jnp.ndarray,      # (B,)
+    n_frames: int,
+    n_fft: int = N_FFT,
+    hop: int = HOP_LENGTH,
+    n_mels: int = N_MELS,
+) -> jnp.ndarray:
+    return jax.vmap(
+        lambda p, v: _mel_core(p, v, n_frames, n_fft, hop, n_mels)
+    )(padded, n_valid)
 
 
 def _host_pad(audio: np.ndarray, n_frames: int, n_fft: int, hop: int) -> np.ndarray:
@@ -189,6 +215,21 @@ class MelFrontend:
         bucket = self.bucket_for(len(audio))
         padded = _host_pad(audio, bucket, N_FFT, HOP_LENGTH)
         mel = _mel_from_padded(jnp.asarray(padded), jnp.int32(n_valid), bucket)
+        return mel, n_valid
+
+    def batch(self, audios: list[np.ndarray]) -> tuple[jax.Array, np.ndarray]:
+        """Shared-bucket batched mel: (B, n_mels, bucket), valid counts (B,).
+
+        All clips are padded to the largest bucket among them so the batch
+        runs as ONE device program (the serving path's shared frontend).
+        """
+        audios = [np.asarray(a, dtype=np.float32) for a in audios]
+        bucket = max(self.bucket_for(len(a)) for a in audios)
+        n_valid = np.array([len(a) // HOP_LENGTH for a in audios], np.int32)
+        padded = np.stack(
+            [_host_pad(a, bucket, N_FFT, HOP_LENGTH) for a in audios]
+        )
+        mel = _mel_batch_from_padded(jnp.asarray(padded), jnp.asarray(n_valid), bucket)
         return mel, n_valid
 
 

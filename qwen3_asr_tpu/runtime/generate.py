@@ -212,34 +212,76 @@ class Generator:
         generated ids including the trailing EOS (reference contract:
         generate.py:289-315).
         """
+        return self.generate_batch(
+            features,
+            [n_audio_tokens],
+            [input_ids],
+            max_tokens=[max_tokens],
+            temperature=temperature,
+            top_p=top_p,
+            top_k=top_k,
+            repetition_penalty=repetition_penalty,
+            repetition_context_size=repetition_context_size,
+            seed=seed,
+        )[0]
+
+    def generate_batch(
+        self,
+        features: jax.Array,
+        n_audio_tokens: list[int],
+        input_ids: list[list[int]],
+        max_tokens: list[int] | int = 8192,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
+        repetition_context_size: int = 100,
+        seed: int = 0,
+    ) -> list[list[int]]:
+        """Decode B clips together in one prefill + one decode program.
+
+        Every sequence carries its own prompt length, token budget and EOS
+        state; the decode loop runs until all sequences finish.  This is
+        the serving fast path — per-step cost is amortized across the
+        batch, and the reference has no counterpart (batch-1 only,
+        encoder.py:249-250).
+        """
         rt = self.runtime
         B, Ta, _ = features.shape
-        prompt_len = len(input_ids)
+        if isinstance(max_tokens, int):
+            max_tokens = [max_tokens] * B
+        if not (len(input_ids) == len(n_audio_tokens) == len(max_tokens) == B):
+            raise ValueError("batch size mismatch between features and prompts")
+
+        prompt_lens = [len(ids) for ids in input_ids]
         prompt_bucket = Ta + 32
-        if prompt_len > prompt_bucket:
+        if max(prompt_lens) > prompt_bucket:
             raise ValueError(
-                f"prompt length {prompt_len} exceeds bucket {prompt_bucket}"
+                f"prompt length {max(prompt_lens)} exceeds bucket {prompt_bucket}"
             )
-        token_bucket = rt.pick_bucket(max_tokens, rt.token_buckets)
+        token_bucket = rt.pick_bucket(max(max_tokens), rt.token_buckets)
         cache_len = prompt_bucket + token_bucket
 
         ids = np.zeros((B, prompt_bucket), dtype=np.int32)
-        ids[0, :prompt_len] = input_ids
+        for b, seq in enumerate(input_ids):
+            ids[b, : len(seq)] = seq
 
         kv, first_logits = self._prefill(
             self.params,
             features,
             jnp.asarray(ids),
-            jnp.full((B,), n_audio_tokens, jnp.int32),
-            jnp.full((B,), prompt_len, jnp.int32),
+            jnp.asarray(n_audio_tokens, jnp.int32),
+            jnp.asarray(prompt_lens, jnp.int32),
             cache_len,
         )
         tokens, counts = self._decode(
             self.params,
             kv,
             first_logits,
-            jnp.full((B,), prompt_len, jnp.int32),
-            jnp.full((B,), min(max_tokens, token_bucket), jnp.int32),
+            jnp.asarray(prompt_lens, jnp.int32),
+            jnp.asarray(
+                [min(m, token_bucket) for m in max_tokens], jnp.int32
+            ),
             jnp.uint32(seed),
             jnp.float32(temperature),
             jnp.int32(top_k),
@@ -248,6 +290,6 @@ class Generator:
             jnp.int32(repetition_context_size),
             token_bucket,
         )
-        tokens_host = np.asarray(tokens[0])
-        n = int(counts[0])
-        return tokens_host[:n].tolist()
+        tokens_host = np.asarray(tokens)
+        counts_host = np.asarray(counts)
+        return [tokens_host[b, : counts_host[b]].tolist() for b in range(B)]

@@ -1,0 +1,71 @@
+"""Batched transcription + continuous-batching server tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from qwen3_asr_tpu.api import Qwen3ASR, TranscriptionResult
+from qwen3_asr_tpu.config import RuntimeConfig
+from qwen3_asr_tpu.serving.server import TranscriptionServer
+from tests.test_api import RT, TINY_CFG, StubTokenizer, sine
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(), runtime=RT, dtype=jnp.float32
+    )
+
+
+def test_transcribe_batch_matches_single(model):
+    """Batched greedy output must equal per-clip greedy output."""
+    clips = [sine(1.0, 440.0), sine(1.0, 330.0)]
+    batch = model.transcribe_batch(clips, max_tokens=6)
+    singles = [model.transcribe(c, max_tokens=6) for c in clips]
+    assert [r.text for r in batch] == [r.text for r in singles]
+    assert [r.duration for r in batch] == [r.duration for r in singles]
+
+
+def test_transcribe_batch_mixed_lengths(model):
+    clips = [sine(0.5), sine(2.0)]
+    out = model.transcribe_batch(clips, max_tokens=4)
+    assert out[0].duration == pytest.approx(0.5)
+    assert out[1].duration == pytest.approx(2.0)
+
+
+def test_transcribe_batch_empty_clip_isolated(model):
+    out = model.transcribe_batch(
+        [sine(0.5), np.zeros(0, np.float32)], max_tokens=4
+    )
+    assert out[0].text is not None
+    assert out[1] == TranscriptionResult(text="", language="Unknown", duration=0.0)
+
+
+def test_server_basic(model):
+    with TranscriptionServer(model, max_batch_size=4, batch_window_ms=30) as srv:
+        futs = [srv.submit(sine(0.5, 300.0 + 50 * i), max_tokens=4) for i in range(4)]
+        results = [f.result(timeout=120) for f in futs]
+    assert all(isinstance(r, TranscriptionResult) for r in results)
+    assert srv.stats.requests == 4
+    assert srv.stats.batches >= 1
+    assert srv.stats.mean_batch_size >= 1.0
+
+
+def test_server_matches_direct_call(model):
+    clip = sine(1.0, 275.0)
+    direct = model.transcribe(clip, max_tokens=5)
+    with TranscriptionServer(model) as srv:
+        served = srv.transcribe(clip, max_tokens=5)
+    assert served.text == direct.text
+
+
+def test_server_bad_clip_isolated(model):
+    """A malformed clip fails its own future, not its batchmates'."""
+    with TranscriptionServer(model, max_batch_size=2, batch_window_ms=50) as srv:
+        good = srv.submit(sine(0.5), max_tokens=4)
+        bad = srv.submit(np.zeros((2, 10), np.float32), max_tokens=4)
+        assert isinstance(good.result(timeout=120), TranscriptionResult)
+        with pytest.raises(ValueError):
+            bad.result(timeout=120)
+    assert srv.stats.failures == 1
