@@ -14,10 +14,19 @@ vs_baseline is measured RTFx / 500 (the BASELINE.md north-star target of
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compile cache: first bench invocation pays the compiles,
+# every later one (including the driver's) reuses them from disk.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_qwen3_asr"))
+
+
+def log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 AUDIO_SECONDS = 30.0
 DECODE_TOKENS = 128
@@ -25,11 +34,16 @@ REPEATS = 3
 
 
 def main() -> None:
+    import jax
+
     from qwen3_asr_tpu.api import Qwen3ASR
     from qwen3_asr_tpu.config import ModelConfig, RuntimeConfig
 
+    log(f"devices: {jax.devices()}")
     rt = RuntimeConfig()
-    model = Qwen3ASR.from_random(ModelConfig(), tokenizer=None, runtime=rt)
+    t0 = time.perf_counter()
+    model = Qwen3ASR.from_random(ModelConfig(), tokenizer=None, runtime=rt, seed=None)
+    log(f"1.7B params materialized in {time.perf_counter() - t0:.1f}s")
 
     sr = 16_000
     rng = np.random.default_rng(0)
@@ -55,8 +69,12 @@ def main() -> None:
         assert len(tokens) >= 1
         return time.perf_counter() - t0
 
-    run()  # warm-up: compile all programs
-    times = [run() for _ in range(REPEATS)]
+    t_compile = run()  # warm-up: compile all programs
+    log(f"compile+first run: {t_compile:.1f}s")
+    times = []
+    for i in range(REPEATS):
+        times.append(run())
+        log(f"run {i}: {times[-1]:.3f}s (stats: {model.last_stats.as_dict()})")
     best = min(times)
     rtfx = AUDIO_SECONDS / best
 

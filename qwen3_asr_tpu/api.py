@@ -129,11 +129,15 @@ class Qwen3ASR:
         tokenizer: Tokenizer | None = None,
         runtime: RuntimeConfig | None = None,
         dtype=jnp.bfloat16,
-        seed: int = 0,
+        seed: int | None = 0,
     ) -> "Qwen3ASR":
-        """Randomly initialized model (benchmarks / tests without weights)."""
+        """Randomly initialized model (benchmarks / tests without weights).
+
+        ``seed=None`` zero-initializes instead — much faster to materialize
+        (no per-shape RNG programs) and timing-equivalent for benchmarks.
+        """
         config = config or ModelConfig()
-        rng = jax.random.PRNGKey(seed)
+        rng = None if seed is None else jax.random.PRNGKey(seed)
         enc = init_encoder_params(config.audio_encoder, rng, dtype)
         dec = init_decoder_params(config.text_decoder, rng, dtype)
         return cls(config, enc, dec, tokenizer, runtime)

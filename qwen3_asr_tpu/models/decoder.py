@@ -125,6 +125,7 @@ def decoder_forward(
     positions: jax.Array,
     kv_cache: tuple[jax.Array, jax.Array] | None = None,
     write_slots: jax.Array | None = None,
+    attn_impl: str = "auto",
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
     """Run the layer stack over pre-computed input embeddings.
 
@@ -146,17 +147,39 @@ def decoder_forward(
         New rows occupy ``write_slots .. write_slots + T``.  When all
         sequences share the slot (prefill at 0) pass a scalar-like array;
         per-sequence slots drive batched decode.
+    attn_impl:
+        "cache"  — attend over the cache with the position mask (general;
+                   the only valid choice for incremental decode);
+        "flash"  — prefill-from-zero fast path: attend over the FRESH
+                   k/v with the Pallas causal flash kernel (requires
+                   write_slots == 0, positions == iota, T a multiple of
+                   the kernel blocks — the runtime's buckets guarantee it);
+        "causal" — same fast path but plain jnp (differentiable, any T);
+        "auto"   — "flash" when prefill-shaped on TPU, else "causal" for
+                   multi-token prefill, else "cache".
 
     Returns
     -------
     (hidden_out, (keys, values)) — hidden is pre-final-norm, ``(B, T, H)``.
     """
     B, T, H = hidden.shape
+    fresh_prefill = write_slots is None and T > 1
     if kv_cache is None:
         kv_cache = init_kv_cache(cfg, B, T, hidden.dtype)
     if write_slots is None:
         write_slots = jnp.zeros((B,), jnp.int32)
     write_slots = jnp.broadcast_to(jnp.asarray(write_slots, jnp.int32), (B,))
+
+    if attn_impl == "auto":
+        if fresh_prefill:
+            flash_ok = (
+                T % 256 == 0
+                and cfg.head_dim % 128 == 0
+                and jax.default_backend() == "tpu"
+            )
+            attn_impl = "flash" if flash_ok else "causal"
+        else:
+            attn_impl = "cache"
 
     keys_all, values_all = kv_cache
     S = keys_all.shape[3]
@@ -203,7 +226,18 @@ def decoder_forward(
         kcache = write_kv(kcache, k)
         vcache = write_kv(vcache, v)
 
-        attn = sdpa(q, kcache, vcache, mask=attn_mask, scale=scale)
+        if attn_impl == "flash":
+            from ..ops.pallas.flash_attention import flash_attention_causal
+
+            attn = flash_attention_causal(q, k, v, scale=scale)
+        elif attn_impl == "causal":
+            local = jax.lax.broadcasted_iota(jnp.int32, (1, 1, T, T), 3)
+            causal = local <= jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, T, T), 2
+            )
+            attn = sdpa(q, k, v, mask=causal, scale=scale)
+        else:
+            attn = sdpa(q, kcache, vcache, mask=attn_mask, scale=scale)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
         h = h + attn @ lp["wo"]
 

@@ -128,6 +128,109 @@ def encoder_params_from_tensors(
     }
 
 
+def _linear_out(w: jax.Array) -> jax.Array:
+    """(in, out) -> (out, in) — inverse of ``_linear`` for saving."""
+    return w.T
+
+
+def decoder_tensors_from_params(params) -> dict[str, jax.Array]:
+    """Inverse mapping: stacked decoder pytree -> ``model.*`` tensor dict."""
+    L = params["layers"]["ln1"].shape[0]
+    out: dict[str, jax.Array] = {
+        "model.embed_tokens.weight": params["embedding"],
+        "model.norm.weight": params["final_norm"],
+    }
+    name_map = {
+        "ln1": ("input_layernorm.weight", None),
+        "ln2": ("post_attention_layernorm.weight", None),
+        "wq": ("self_attn.q_proj.weight", _linear_out),
+        "wk": ("self_attn.k_proj.weight", _linear_out),
+        "wv": ("self_attn.v_proj.weight", _linear_out),
+        "wo": ("self_attn.o_proj.weight", _linear_out),
+        "q_norm": ("self_attn.q_norm.weight", None),
+        "k_norm": ("self_attn.k_norm.weight", None),
+        "wg": ("mlp.gate_proj.weight", _linear_out),
+        "wu": ("mlp.up_proj.weight", _linear_out),
+        "wd": ("mlp.down_proj.weight", _linear_out),
+    }
+    for key, (suffix, transform) in name_map.items():
+        stacked = params["layers"][key]
+        for i in range(L):
+            t = stacked[i]
+            out[f"model.layers.{i}.{suffix}"] = transform(t) if transform else t
+    return out
+
+
+def encoder_tensors_from_params(params) -> dict[str, jax.Array]:
+    """Inverse mapping: stacked encoder pytree -> ``audio_tower.*`` dict.
+
+    Conv weights are emitted in MLX layout (O, KH, KW, I), the layout of
+    published Qwen3-ASR MLX-community checkpoints.
+    """
+    L = params["layers"]["ln1_w"].shape[0]
+
+    def conv_out(w):  # HWIO -> OHWI
+        return jnp.transpose(w, (3, 0, 1, 2))
+
+    out: dict[str, jax.Array] = {
+        "audio_tower.conv2d1.weight": conv_out(params["conv1_w"]),
+        "audio_tower.conv2d1.bias": params["conv1_b"],
+        "audio_tower.conv2d2.weight": conv_out(params["conv2_w"]),
+        "audio_tower.conv2d2.bias": params["conv2_b"],
+        "audio_tower.conv2d3.weight": conv_out(params["conv3_w"]),
+        "audio_tower.conv2d3.bias": params["conv3_b"],
+        "audio_tower.conv_out.weight": _linear_out(params["conv_out"]),
+        "audio_tower.ln_post.weight": params["ln_post_w"],
+        "audio_tower.ln_post.bias": params["ln_post_b"],
+        "audio_tower.proj1.weight": _linear_out(params["proj1_w"]),
+        "audio_tower.proj1.bias": params["proj1_b"],
+        "audio_tower.proj2.weight": _linear_out(params["proj2_w"]),
+        "audio_tower.proj2.bias": params["proj2_b"],
+    }
+    name_map = {
+        "ln1_w": ("self_attn_layer_norm.weight", None),
+        "ln1_b": ("self_attn_layer_norm.bias", None),
+        "wq": ("self_attn.q_proj.weight", _linear_out),
+        "bq": ("self_attn.q_proj.bias", None),
+        "wk": ("self_attn.k_proj.weight", _linear_out),
+        "bk": ("self_attn.k_proj.bias", None),
+        "wv": ("self_attn.v_proj.weight", _linear_out),
+        "bv": ("self_attn.v_proj.bias", None),
+        "wo": ("self_attn.out_proj.weight", _linear_out),
+        "bo": ("self_attn.out_proj.bias", None),
+        "ln2_w": ("final_layer_norm.weight", None),
+        "ln2_b": ("final_layer_norm.bias", None),
+        "fc1_w": ("fc1.weight", _linear_out),
+        "fc1_b": ("fc1.bias", None),
+        "fc2_w": ("fc2.weight", _linear_out),
+        "fc2_b": ("fc2.bias", None),
+    }
+    for key, (suffix, transform) in name_map.items():
+        stacked = params["layers"][key]
+        for i in range(L):
+            t = stacked[i]
+            out[f"audio_tower.layers.{i}.{suffix}"] = transform(t) if transform else t
+    return out
+
+
+def save_checkpoint(model_path: str | Path, enc_params, dec_params) -> Path:
+    """Write encoder+decoder params as a reference-compatible safetensors.
+
+    The reference can only read checkpoints (SURVEY.md §5); saving enables
+    the fine-tuning workflow to round-trip through the standard layout.
+    """
+    from safetensors.flax import save_file
+
+    path = Path(model_path)
+    path.mkdir(parents=True, exist_ok=True)
+    tensors = {}
+    tensors.update(encoder_tensors_from_params(enc_params))
+    tensors.update(decoder_tensors_from_params(dec_params))
+    out = path / "model.safetensors"
+    save_file(tensors, str(out))
+    return out
+
+
 def load_checkpoint(
     model_path: str | Path,
     cfg: ModelConfig,

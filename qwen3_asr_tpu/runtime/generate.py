@@ -254,7 +254,10 @@ class Generator:
             raise ValueError("batch size mismatch between features and prompts")
 
         prompt_lens = [len(ids) for ids in input_ids]
-        prompt_bucket = Ta + 32
+        # Round the prompt bucket to a multiple of 256 so the prefill can
+        # use the Pallas flash kernel's tiling (padded tail is causally
+        # masked either way).
+        prompt_bucket = -(-(Ta + 32) // 256) * 256
         if max(prompt_lens) > prompt_bucket:
             raise ValueError(
                 f"prompt length {max(prompt_lens)} exceeds bucket {prompt_bucket}"
