@@ -49,15 +49,25 @@ def main() -> None:
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(int(AUDIO_SECONDS * sr)) * 0.05).astype(np.float32)
 
+    verbose = os.environ.get("BENCH_VERBOSE", "0") == "1"
+
     def run() -> float:
         t0 = time.perf_counter()
         # Tokenizer-free inner pipeline: mel -> encode -> prompt -> generate.
         import jax.numpy as jnp
 
+        def tick(name, x=None):
+            if verbose:
+                if x is not None:
+                    x.block_until_ready()
+                log(f"  {name}: {time.perf_counter() - t0:.1f}s")
+
         mel, n_valid = model._mel(audio)
+        tick("mel", mel)
         feats, _ = model._encode(
             model._encoder_params, mel[None], jnp.full((1,), n_valid, jnp.int32)
         )
+        tick("encode", feats)
         n_audio = model._n_audio_tokens(n_valid)
         from qwen3_asr_tpu.tokenizer import build_prompt
 
@@ -66,6 +76,7 @@ def main() -> None:
             feats, n_audio, ids,
             max_tokens=DECODE_TOKENS, temperature=0.0, repetition_penalty=1.2,
         )
+        tick("decode")
         assert len(tokens) >= 1
         return time.perf_counter() - t0
 

@@ -26,7 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .audio.io import SAMPLE_RATE, find_split_points, load_audio
-from .audio.mel import HOP_LENGTH, MelFrontend
+from .audio.mel import (
+    HOP_LENGTH,
+    N_FFT,
+    MelFrontend,
+    _host_pad,
+    _mel_core,
+)
 from .config import ModelConfig, RuntimeConfig
 from .models.decoder import init_decoder_params
 from .models.encoder import encoder_forward, init_encoder_params
@@ -98,6 +104,32 @@ class Qwen3ASR:
         )
         self._generator = Generator(
             decoder_params, config.text_decoder, self._runtime
+        )
+        self._fused_prefill = jax.jit(
+            self._fused_prefill_impl, static_argnames=("n_frames", "cache_len")
+        )
+
+    def _fused_prefill_impl(
+        self, enc_params, dec_params, padded, n_valid_frames, ids,
+        n_audio, prompt_len, n_frames, cache_len,
+    ):
+        """ONE device program: mel -> encoder -> injection -> prefill.
+
+        The prompt is host-derivable from the audio length alone, so the
+        entire prompt-side pipeline fuses into a single XLA launch — one
+        RPC/launch per request instead of three, and XLA overlaps the
+        stages.  ``padded`` is the (B, L) pre-reflected signal buffer from
+        the mel frontend's host pad.
+        """
+        n_mels = self._config.audio_encoder.num_mel_bins
+        mel = jax.vmap(
+            lambda p, v: _mel_core(p, v, n_frames, N_FFT, HOP_LENGTH, n_mels)
+        )(padded, n_valid_frames)
+        features, _ = encoder_forward(
+            enc_params, self._config.audio_encoder, mel, n_valid_frames
+        )
+        return self._generator._prefill_impl(
+            dec_params, features, ids, n_audio, prompt_len, cache_len
         )
 
     # ------------------------------------------------------------------
@@ -228,22 +260,9 @@ class Qwen3ASR:
             for d in durations
         ]
 
-        mel, n_valid = self._mel.batch(batch)
-        features, _ = self._encode(
-            self._encoder_params, mel, jnp.asarray(n_valid, jnp.int32)
-        )
-        n_audio = [self._n_audio_tokens(int(v)) for v in n_valid]
-        prompts = [self._tokenizer.build_prompt(n, lang_name) for n in n_audio]
-
-        token_lists = self._generator.generate_batch(
-            features, n_audio, prompts,
-            max_tokens=budgets,
-            temperature=temperature,
-            top_p=top_p,
-            top_k=top_k,
-            repetition_penalty=repetition_penalty,
-            repetition_context_size=repetition_context_size,
-            seed=seed,
+        token_lists, self.last_stats = self._run_pipeline_batch(
+            batch, lang_name, temperature, top_p, top_k,
+            repetition_penalty, budgets, repetition_context_size, seed,
         )
         for i, toks, dur in zip(live, token_lists, durations):
             results[i] = TranscriptionResult(
@@ -311,40 +330,65 @@ class Qwen3ASR:
         self, samples, lang_name, temperature, top_p, top_k,
         repetition_penalty, max_tokens, repetition_context_size, seed,
     ) -> str:
-        """mel -> encoder -> prompt -> generate -> decode for one clip."""
-        stats = self.last_stats = RequestStats(
-            audio_seconds=len(samples) / SAMPLE_RATE
+        """Fused mel->encoder->prefill program + decode loop for one clip."""
+        token_lists, stats_list = self._run_pipeline_batch(
+            [samples], lang_name, temperature, top_p, top_k,
+            repetition_penalty, [max_tokens], repetition_context_size, seed,
         )
-        with stage_timer(stats, "mel"):
-            mel, n_valid_frames = self._mel(samples)
-        with stage_timer(stats, "encode"):
-            features, _ = self._encode(
-                self._encoder_params,
-                mel[None],
-                jnp.full((1,), n_valid_frames, jnp.int32),
-            )
-        n_audio_tokens = self._n_audio_tokens(n_valid_frames)
-        input_ids = self._tokenizer.build_prompt(n_audio_tokens, lang_name)
-        stats.n_prompt_tokens = len(input_ids)
+        self.last_stats = stats_list
+        return self._decode_output(token_lists[0])
 
-        with stage_timer(stats, "decode"):
-            tokens = self._generator.generate(
-                features,
-                n_audio_tokens,
-                input_ids,
-                max_tokens=max_tokens,
-                temperature=temperature,
-                top_p=top_p,
-                top_k=top_k,
-                repetition_penalty=repetition_penalty,
-                repetition_context_size=repetition_context_size,
-                seed=seed,
+    def _run_pipeline_batch(
+        self, samples_list, lang_name, temperature, top_p, top_k,
+        repetition_penalty, max_tokens_list, repetition_context_size, seed,
+    ):
+        """Shared batched core: (token lists, RequestStats for the batch)."""
+        gen = self._generator
+        B = len(samples_list)
+        stats = RequestStats(
+            audio_seconds=sum(len(s) for s in samples_list) / SAMPLE_RATE
+        )
+
+        with stage_timer(stats, "prepare"):
+            bucket = max(self._mel.bucket_for(len(s)) for s in samples_list)
+            n_valid = [len(s) // HOP_LENGTH for s in samples_list]
+            padded = np.stack(
+                [_host_pad(s, bucket, N_FFT, HOP_LENGTH) for s in samples_list]
             )
-        stats.n_generated_tokens = len(tokens)
-        with stage_timer(stats, "detokenize"):
-            text = self._decode_output(tokens)
-        logger.debug("transcribe stats: %s", stats.as_dict())
-        return text
+            n_audio = [self._n_audio_tokens(v) for v in n_valid]
+            prompts = [self._tokenizer.build_prompt(n, lang_name) for n in n_audio]
+            prompt_lens = [len(p) for p in prompts]
+            stats.n_prompt_tokens = sum(prompt_lens)
+            audio_token_bucket = bucket // self._config.audio_encoder.chunk_frames * \
+                self._config.audio_encoder.tokens_per_chunk
+            prompt_bucket, token_bucket, cache_len = gen.plan(
+                audio_token_bucket, max(prompt_lens), max(max_tokens_list)
+            )
+            ids = gen.pack_prompts(prompts, prompt_bucket)
+
+        with stage_timer(stats, "prefill"):
+            kv, first_logits = self._fused_prefill(
+                self._encoder_params,
+                self._decoder_params,
+                jnp.asarray(padded),
+                jnp.asarray(n_valid, jnp.int32),
+                jnp.asarray(ids),
+                jnp.asarray(n_audio, jnp.int32),
+                jnp.asarray(prompt_lens, jnp.int32),
+                bucket,
+                cache_len,
+            )
+        with stage_timer(stats, "decode"):
+            token_lists = gen.decode(
+                kv, first_logits, prompt_lens, list(max_tokens_list),
+                token_bucket,
+                temperature=temperature, top_p=top_p, top_k=top_k,
+                repetition_penalty=repetition_penalty,
+                repetition_context_size=repetition_context_size, seed=seed,
+            )
+        stats.n_generated_tokens = sum(len(t) for t in token_lists)
+        logger.debug("transcribe stats (batch=%d): %s", B, stats.as_dict())
+        return token_lists, stats
 
     def _n_audio_tokens(self, n_valid_frames: int) -> int:
         """Host-side audio-token count (mirror of valid_token_count)."""

@@ -60,7 +60,9 @@ class Generator:
         self._prefill = jax.jit(
             self._prefill_impl, static_argnames=("cache_len",)
         )
-        self._decode = jax.jit(self._decode_impl, static_argnames=("token_bucket",))
+        self._decode = jax.jit(
+            self._decode_impl, static_argnames=("token_bucket", "mode")
+        )
 
     # -- prefill ----------------------------------------------------------
 
@@ -109,8 +111,14 @@ class Generator:
         repetition_penalty,
         repetition_context,
         token_bucket,
+        mode="sample",
     ):
         """Sample + autoregress until every sequence hits EOS or its budget.
+
+        ``mode`` is static: "greedy" compiles a lean program (penalized
+        argmax — no top-k/top-p vocab sorts in the graph at all, matching
+        temperature == 0 semantics exactly); "sample" compiles the full
+        sampling pipeline with traced temperature/top-k/top-p.
 
         Returns (tokens (B, token_bucket), counts (B,)).
         """
@@ -124,12 +132,22 @@ class Generator:
         rng = jax.random.PRNGKey(seed)
         rep_ctx = jnp.minimum(jnp.asarray(repetition_context, jnp.int32), REP_WINDOW)
 
+        def one_sample(key, logits, recent, penalty):
+            if mode == "greedy":
+                from ..ops.sampling import apply_repetition_penalty
+
+                penalized = apply_repetition_penalty(
+                    logits.astype(jnp.float32), recent, penalty
+                )
+                return jnp.argmax(penalized).astype(jnp.int32)
+            return sample_logits(
+                key, logits, temperature, top_k, top_p, penalty, recent
+            )
+
         def batch_sample(rng, logits, recent):
             keys = jax.random.split(rng, B)
             return jax.vmap(
-                lambda k, l, r: sample_logits(
-                    k, l, temperature, top_k, top_p, repetition_penalty, r
-                )
+                lambda k, l, r: one_sample(k, l, r, repetition_penalty)
             )(keys, logits, recent)
 
         # First token: sampled from prefill logits with NO repetition
@@ -138,7 +156,7 @@ class Generator:
         rng, sub = jax.random.split(rng)
         keys = jax.random.split(sub, B)
         first = jax.vmap(
-            lambda k, l: sample_logits(k, l, temperature, top_k, top_p, 1.0, no_recent[0])
+            lambda k, l: one_sample(k, l, no_recent[0], 1.0)
         )(keys, first_logits)
 
         tokens = jnp.zeros((B, token_bucket), jnp.int32)
@@ -246,28 +264,17 @@ class Generator:
         batch, and the reference has no counterpart (batch-1 only,
         encoder.py:249-250).
         """
-        rt = self.runtime
-        B, Ta, _ = features.shape
+        B = features.shape[0]
         if isinstance(max_tokens, int):
             max_tokens = [max_tokens] * B
         if not (len(input_ids) == len(n_audio_tokens) == len(max_tokens) == B):
             raise ValueError("batch size mismatch between features and prompts")
 
         prompt_lens = [len(ids) for ids in input_ids]
-        # Round the prompt bucket to a multiple of 256 so the prefill can
-        # use the Pallas flash kernel's tiling (padded tail is causally
-        # masked either way).
-        prompt_bucket = -(-(Ta + 32) // 256) * 256
-        if max(prompt_lens) > prompt_bucket:
-            raise ValueError(
-                f"prompt length {max(prompt_lens)} exceeds bucket {prompt_bucket}"
-            )
-        token_bucket = rt.pick_bucket(max(max_tokens), rt.token_buckets)
-        cache_len = prompt_bucket + token_bucket
-
-        ids = np.zeros((B, prompt_bucket), dtype=np.int32)
-        for b, seq in enumerate(input_ids):
-            ids[b, : len(seq)] = seq
+        prompt_bucket, token_bucket, cache_len = self.plan(
+            features.shape[1], max(prompt_lens), max(max_tokens)
+        )
+        ids = self.pack_prompts(input_ids, prompt_bucket)
 
         kv, first_logits = self._prefill(
             self.params,
@@ -277,14 +284,62 @@ class Generator:
             jnp.asarray(prompt_lens, jnp.int32),
             cache_len,
         )
+        return self.decode(
+            kv, first_logits, prompt_lens, max_tokens, token_bucket,
+            temperature=temperature, top_p=top_p, top_k=top_k,
+            repetition_penalty=repetition_penalty,
+            repetition_context_size=repetition_context_size, seed=seed,
+        )
+
+    # -- planning / decode helpers (shared with the fused API pipeline) ----
+
+    def plan(
+        self, audio_token_bucket: int, max_prompt_len: int, max_new_tokens: int
+    ) -> tuple[int, int, int]:
+        """(prompt_bucket, token_bucket, cache_len) for the given shapes.
+
+        The prompt bucket is rounded to a multiple of 256 so prefill can
+        use the Pallas flash kernel's tiling (the padded tail is causally
+        masked either way).
+        """
+        prompt_bucket = -(-(audio_token_bucket + 32) // 256) * 256
+        if max_prompt_len > prompt_bucket:
+            raise ValueError(
+                f"prompt length {max_prompt_len} exceeds bucket {prompt_bucket}"
+            )
+        token_bucket = self.runtime.pick_bucket(
+            max_new_tokens, self.runtime.token_buckets
+        )
+        return prompt_bucket, token_bucket, prompt_bucket + token_bucket
+
+    @staticmethod
+    def pack_prompts(input_ids: list[list[int]], prompt_bucket: int) -> np.ndarray:
+        ids = np.zeros((len(input_ids), prompt_bucket), dtype=np.int32)
+        for b, seq in enumerate(input_ids):
+            ids[b, : len(seq)] = seq
+        return ids
+
+    def decode(
+        self,
+        kv,
+        first_logits,
+        prompt_lens: list[int],
+        max_tokens: list[int],
+        token_bucket: int,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
+        repetition_context_size: int = 100,
+        seed: int = 0,
+    ) -> list[list[int]]:
+        """Run the compiled decode loop and fetch per-sequence token lists."""
         tokens, counts = self._decode(
             self.params,
             kv,
             first_logits,
             jnp.asarray(prompt_lens, jnp.int32),
-            jnp.asarray(
-                [min(m, token_bucket) for m in max_tokens], jnp.int32
-            ),
+            jnp.asarray([min(m, token_bucket) for m in max_tokens], jnp.int32),
             jnp.uint32(seed),
             jnp.float32(temperature),
             jnp.int32(top_k),
@@ -292,7 +347,10 @@ class Generator:
             jnp.float32(repetition_penalty),
             jnp.int32(repetition_context_size),
             token_bucket,
+            "greedy" if temperature == 0.0 else "sample",
         )
         tokens_host = np.asarray(tokens)
         counts_host = np.asarray(counts)
-        return [tokens_host[b, : counts_host[b]].tolist() for b in range(B)]
+        return [
+            tokens_host[b, : counts_host[b]].tolist() for b in range(len(prompt_lens))
+        ]
