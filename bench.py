@@ -1,14 +1,16 @@
 """Benchmark: end-to-end greedy transcription throughput on one chip.
 
-Measures the full pipeline (mel -> encoder -> prefill -> 128-token decode
-loop -> host fetch) on a 30 s synthetic clip with the flagship 1.7B
-configuration (random weights — checkpoints are not available in this
-environment; compute cost is identical).  Prints ONE JSON line:
+Measures the full pipeline (fused mel->encoder->prefill program + decode
+loop + host fetch) with the flagship 1.7B configuration (zero-init weights
+— checkpoints are unavailable here; bf16 matmul timing is data-independent)
+on 30 s clips with a 128-token decode budget:
 
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  * single-stream latency / RTFx (1 clip), and
+  * batched serving throughput / RTFx (batch of 8 clips),
 
-vs_baseline is measured RTFx / 500 (the BASELINE.md north-star target of
->= 500x real-time per chip; the reference itself publishes no numbers).
+and prints ONE JSON line with the batched RTFx as the headline metric.
+vs_baseline is measured RTFx / 500 (BASELINE.md north star; the reference
+itself publishes no numbers).
 """
 
 from __future__ import annotations
@@ -22,15 +24,30 @@ import numpy as np
 
 # Persistent XLA compile cache: first bench invocation pays the compiles,
 # every later one (including the driver's) reuses them from disk.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_qwen3_asr"))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_qwen3_asr")
+)
+
+AUDIO_SECONDS = 30.0
+DECODE_TOKENS = 128
+BATCH = 8
+REPEATS = 3
 
 
 def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-AUDIO_SECONDS = 30.0
-DECODE_TOKENS = 128
-REPEATS = 3
+
+class _BenchTokenizer:
+    """Prompt-protocol-only tokenizer (no vocab files needed)."""
+
+    def build_prompt(self, n_audio_tokens: int, language: str = "English"):
+        from qwen3_asr_tpu.tokenizer import build_prompt
+
+        return build_prompt(n_audio_tokens, language_name_tokens=[6364])
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(t) for t in ids)
 
 
 def main() -> None:
@@ -42,57 +59,49 @@ def main() -> None:
     log(f"devices: {jax.devices()}")
     rt = RuntimeConfig()
     t0 = time.perf_counter()
-    model = Qwen3ASR.from_random(ModelConfig(), tokenizer=None, runtime=rt, seed=None)
+    model = Qwen3ASR.from_random(
+        ModelConfig(), tokenizer=_BenchTokenizer(), runtime=rt, seed=None
+    )
     log(f"1.7B params materialized in {time.perf_counter() - t0:.1f}s")
 
     sr = 16_000
     rng = np.random.default_rng(0)
-    audio = (rng.standard_normal(int(AUDIO_SECONDS * sr)) * 0.05).astype(np.float32)
+    clips = [
+        (rng.standard_normal(int(AUDIO_SECONDS * sr)) * 0.05).astype(np.float32)
+        for _ in range(BATCH)
+    ]
 
-    verbose = os.environ.get("BENCH_VERBOSE", "0") == "1"
-
-    def run() -> float:
+    def run(batch_size: int) -> float:
         t0 = time.perf_counter()
-        # Tokenizer-free inner pipeline: mel -> encode -> prompt -> generate.
-        import jax.numpy as jnp
-
-        def tick(name, x=None):
-            if verbose:
-                if x is not None:
-                    x.block_until_ready()
-                log(f"  {name}: {time.perf_counter() - t0:.1f}s")
-
-        mel, n_valid = model._mel(audio)
-        tick("mel", mel)
-        feats, _ = model._encode(
-            model._encoder_params, mel[None], jnp.full((1,), n_valid, jnp.int32)
+        results = model.transcribe_batch(
+            clips[:batch_size], max_tokens=DECODE_TOKENS, temperature=0.0
         )
-        tick("encode", feats)
-        n_audio = model._n_audio_tokens(n_valid)
-        from qwen3_asr_tpu.tokenizer import build_prompt
-
-        ids = build_prompt(n_audio, language_name_tokens=[6364])
-        tokens = model._generator.generate(
-            feats, n_audio, ids,
-            max_tokens=DECODE_TOKENS, temperature=0.0, repetition_penalty=1.2,
-        )
-        tick("decode")
-        assert len(tokens) >= 1
+        assert all(r.duration > 0 for r in results)
         return time.perf_counter() - t0
 
-    t_compile = run()  # warm-up: compile all programs
-    log(f"compile+first run: {t_compile:.1f}s")
-    times = []
-    for i in range(REPEATS):
-        times.append(run())
-        log(f"run {i}: {times[-1]:.3f}s (stats: {model.last_stats.as_dict()})")
-    best = min(times)
-    rtfx = AUDIO_SECONDS / best
+    t_compile = run(1)
+    log(f"single-stream compile+first run: {t_compile:.1f}s")
+    singles = [run(1) for _ in range(REPEATS)]
+    single_best = min(singles)
+    log(
+        f"single-stream best: {single_best:.3f}s "
+        f"(RTFx {AUDIO_SECONDS / single_best:.1f}) stats={model.last_stats.as_dict()}"
+    )
+
+    t_compile_b = run(BATCH)
+    log(f"batch-{BATCH} compile+first run: {t_compile_b:.1f}s")
+    batched = [run(BATCH) for _ in range(REPEATS)]
+    batch_best = min(batched)
+    rtfx = AUDIO_SECONDS * BATCH / batch_best
+    log(
+        f"batch-{BATCH} best: {batch_best:.3f}s (RTFx {rtfx:.1f}) "
+        f"stats={model.last_stats.as_dict()}"
+    )
 
     print(
         json.dumps(
             {
-                "metric": f"RTFx_30s_greedy_{DECODE_TOKENS}tok_1chip",
+                "metric": f"RTFx_batch{BATCH}_30s_greedy_{DECODE_TOKENS}tok_1chip",
                 "value": round(rtfx, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtfx / 500.0, 3),

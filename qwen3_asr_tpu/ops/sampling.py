@@ -65,6 +65,14 @@ def top_p_mask(logits: jax.Array, p: jax.Array | float) -> jax.Array:
     return jnp.where(p < 1.0, masked, logits)
 
 
+#: Stochastic sampling restricts the candidate pool to this many highest
+#: logits (one ``lax.top_k`` instead of full-vocab sorts, which are
+#: pathologically slow to compile and run at a 152k vocab).  Exact for
+#: top_k <= 1024; top-p nuclei wider than 1024 tokens are truncated (their
+#: tail mass is negligible at any practical temperature).
+TOP_K_SUBSET = 1024
+
+
 def sample_logits(
     rng: jax.Array,
     logits: jax.Array,
@@ -88,8 +96,27 @@ def sample_logits(
 
     def stochastic(_):
         scaled = logits / jnp.maximum(temperature, 1e-6)
-        filtered = top_k_mask(scaled, top_k)
-        filtered = top_p_mask(filtered, top_p)
-        return jax.random.categorical(rng, filtered).astype(jnp.int32)
+        k_sub = min(TOP_K_SUBSET, scaled.shape[-1])
+        vals, idx = jax.lax.top_k(scaled, k_sub)       # descending
+
+        # top-k: threshold at the k-th largest, keep ties (>= threshold).
+        k = jnp.asarray(top_k, jnp.int32)
+        kth = jax.lax.dynamic_index_in_dim(
+            vals, jnp.clip(k - 1, 0, k_sub - 1), keepdims=False
+        )
+        keep_k = jnp.where(k > 0, vals >= kth, True)
+
+        # top-p over exact full-vocab probabilities: the softmax denominator
+        # comes from a logsumexp over ALL logits (no sort needed), and the
+        # descending order inside the subset matches the global order.
+        denom = jax.scipy.special.logsumexp(scaled)
+        probs = jnp.exp(vals - denom)
+        exclusive = jnp.cumsum(probs) - probs
+        p = jnp.asarray(top_p, jnp.float32)
+        keep_p = jnp.where(p < 1.0, exclusive < p, True)
+
+        masked = jnp.where(keep_k & keep_p, vals, -jnp.inf)
+        choice = jax.random.categorical(rng, masked)
+        return idx[choice].astype(jnp.int32)
 
     return jax.lax.cond(temperature == 0.0, greedy, stochastic, None)
