@@ -1,0 +1,82 @@
+"""Command-line interface: ``python -m qwen3_asr_tpu <audio files...>``.
+
+A TPU-native capability extension (the reference ships no CLI).  Prints
+one transcript per input file; ``--json`` emits structured records with
+per-request telemetry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="qwen3_asr_tpu",
+        description="Qwen3-ASR speech-to-text on TPU",
+    )
+    p.add_argument("audio", nargs="+", help="audio file path(s)")
+    p.add_argument(
+        "--model", required=True,
+        help="checkpoint directory or HuggingFace repo id",
+    )
+    p.add_argument("--language", default=None, help="language hint (e.g. en, German)")
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--repetition-penalty", type=float, default=1.2)
+    p.add_argument("--max-tokens", type=int, default=None)
+    p.add_argument("--chunk-duration", type=float, default=1200.0)
+    p.add_argument("--batch", action="store_true", help="transcribe files as one batch")
+    p.add_argument("--json", action="store_true", help="emit JSON records")
+    p.add_argument("--warm-up", action="store_true", help="AOT-compile before timing")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .api import Qwen3ASR
+
+    model = Qwen3ASR.from_pretrained(args.model)
+    if args.warm_up:
+        model.warm_up()
+
+    opts = dict(
+        language=args.language,
+        temperature=args.temperature,
+        top_p=args.top_p,
+        top_k=args.top_k,
+        repetition_penalty=args.repetition_penalty,
+        max_tokens=args.max_tokens,
+    )
+
+    def emit(path, result):
+        if args.json:
+            record = {
+                "file": str(path),
+                "text": result.text,
+                "language": result.language,
+                "duration": result.duration,
+            }
+            if model.last_stats is not None:
+                record["stats"] = model.last_stats.as_dict()
+            print(json.dumps(record))
+        else:
+            print(f"{path}: {result.text}")
+
+    if args.batch:
+        for path, result in zip(
+            args.audio, model.transcribe_batch(args.audio, **opts)
+        ):
+            emit(path, result)
+    else:
+        for path in args.audio:
+            emit(path, model.transcribe(path, chunk_duration=args.chunk_duration, **opts))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
