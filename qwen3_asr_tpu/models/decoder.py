@@ -126,6 +126,8 @@ def decoder_forward(
     kv_cache: tuple[jax.Array, jax.Array] | None = None,
     write_slots: jax.Array | None = None,
     attn_impl: str = "auto",
+    attn_mask: jax.Array | None = None,
+    uniform_write: bool = False,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
     """Run the layer stack over pre-computed input embeddings.
 
@@ -147,6 +149,14 @@ def decoder_forward(
         New rows occupy ``write_slots .. write_slots + T``.  When all
         sequences share the slot (prefill at 0) pass a scalar-like array;
         per-sequence slots drive batched decode.
+    attn_mask:
+        Optional boolean override ``(B, 1, T, S)`` (True = attend) replacing
+        the default slot<=position causality — used by the batched decode
+        loop whose cache layout separates prompt and decode regions.
+    uniform_write:
+        Static promise that every sequence writes at the SAME slot
+        (``write_slots[0]``), enabling a ``dynamic_update_slice`` instead
+        of a batched scatter.
     attn_impl:
         "cache"  — attend over the cache with the position mask (general;
                    the only valid choice for incremental decode);
@@ -187,11 +197,12 @@ def decoder_forward(
     eps = cfg.rms_norm_eps
     scale = D ** -0.5
 
-    # Causal-by-position mask over cache slots: (B, 1, T, S).
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
-    attn_mask = slot_ids <= positions[:, None, :, None]
+    if attn_mask is None:
+        # Causal-by-position mask over cache slots: (B, 1, T, S).
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
+        attn_mask = slot_ids <= positions[:, None, :, None]
 
-    uniform_slot = B == 1
+    uniform_slot = B == 1 or uniform_write
     pos_b = positions[:, None, :]  # (B, 1, T) broadcast over heads
 
     def write_kv(cache, new):

@@ -175,16 +175,30 @@ class Generator:
             )
             return jnp.where(in_ctx & (rep_ctx > 0), vals, RECENT_PAD_ID)
 
+        # Cache layout: [prompt slots 0..Pb) | decode slots Pb..S).  Every
+        # live sequence writes the SAME decode slot (Pb + step) each
+        # iteration — a dynamic_update_slice, not a per-sequence scatter —
+        # while RoPE positions stay per-sequence (prompt_len + count - 1).
+        S = kv[0].shape[3]
+        prompt_bucket = S - token_bucket
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
+
         def cond(state):
-            _, _, _, done, _, _ = state
+            done = state[3]
             return jnp.any(~done)
 
         def body(state):
-            kv, tokens, counts, done, cur, rng = state
+            kv, tokens, counts, done, cur, rng, step = state
             pos = prompt_len + counts - 1  # position of the token being fed
             embeds = embed_tokens(params, cur)[:, None, :]
+            attn_mask = (slot_ids < prompt_len[:, None, None, None]) | (
+                (slot_ids >= prompt_bucket) & (slot_ids <= prompt_bucket + step)
+            )
             hidden, kv_new = decoder_forward(
-                params, cfg, embeds, pos[:, None], kv, write_slots=pos
+                params, cfg, embeds, pos[:, None], kv,
+                write_slots=jnp.full((B,), prompt_bucket + step, jnp.int32),
+                attn_mask=attn_mask,
+                uniform_write=True,
             )
             logits = decoder_logits(params, cfg, hidden)[:, 0]
 
@@ -199,12 +213,10 @@ class Generator:
             counts = counts + (~done)
             done = done | is_eos(nxt) | (counts >= max_new)
             cur = jnp.where(done, cur, nxt)
-            # Finished sequences keep their cache untouched to stay bitwise
-            # stable (harmless either way; writes land in masked slots).
-            return kv_new, tokens, counts, done, cur, rng
+            return kv_new, tokens, counts, done, cur, rng, step + 1
 
-        kv, tokens, counts, done, cur, rng = jax.lax.while_loop(
-            cond, body, (kv, tokens, counts, done, cur, rng)
+        kv, tokens, counts, done, cur, rng, _ = jax.lax.while_loop(
+            cond, body, (kv, tokens, counts, done, cur, rng, jnp.int32(0))
         )
         return tokens, counts
 
