@@ -128,6 +128,7 @@ def decoder_forward(
     attn_impl: str = "auto",
     attn_mask: jax.Array | None = None,
     uniform_write: bool = False,
+    decode_ctx: tuple[jax.Array, jax.Array, int] | None = None,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
     """Run the layer stack over pre-computed input embeddings.
 
@@ -157,6 +158,11 @@ def decoder_forward(
         Static promise that every sequence writes at the SAME slot
         (``write_slots[0]``), enabling a ``dynamic_update_slice`` instead
         of a batched scatter.
+    decode_ctx:
+        ``(prompt_len (B,), decode_end scalar, prompt_bucket int)`` — the
+        two-interval cache validity of the batched decode loop.  On TPU
+        with T == 1 this routes attention through the fused Pallas
+        flash-decode kernel; elsewhere it expands to a boolean mask.
     attn_impl:
         "cache"  — attend over the cache with the position mask (general;
                    the only valid choice for incremental decode);
@@ -197,6 +203,19 @@ def decoder_forward(
     eps = cfg.rms_norm_eps
     scale = D ** -0.5
 
+    use_decode_kernel = (
+        decode_ctx is not None
+        and T == 1
+        and jax.default_backend() == "tpu"
+        and S % 128 == 0
+        and D % 128 == 0
+    )
+    if attn_mask is None and decode_ctx is not None and not use_decode_kernel:
+        plen, dend, pbucket = decode_ctx
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
+        attn_mask = (slot_ids < plen[:, None, None, None]) | (
+            (slot_ids >= pbucket) & (slot_ids <= dend)
+        )
     if attn_mask is None:
         # Causal-by-position mask over cache slots: (B, 1, T, S).
         slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
@@ -237,7 +256,16 @@ def decoder_forward(
         kcache = write_kv(kcache, k)
         vcache = write_kv(vcache, v)
 
-        if attn_impl == "flash":
+        if use_decode_kernel:
+            from ..ops.pallas.decode_attention import decode_attention
+
+            plen, dend, pbucket = decode_ctx
+            block_k = 256 if S % 256 == 0 else 128
+            attn = decode_attention(
+                q[:, :, 0, :], kcache, vcache, plen, dend, pbucket,
+                scale=scale, block_k=block_k,
+            )[:, :, None, :]
+        elif attn_impl == "flash":
             from ..ops.pallas.flash_attention import flash_attention_causal
 
             attn = flash_attention_causal(q, k, v, scale=scale)

@@ -181,7 +181,6 @@ class Generator:
         # while RoPE positions stay per-sequence (prompt_len + count - 1).
         S = kv[0].shape[3]
         prompt_bucket = S - token_bucket
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
 
         def cond(state):
             done = state[3]
@@ -191,14 +190,11 @@ class Generator:
             kv, tokens, counts, done, cur, rng, step = state
             pos = prompt_len + counts - 1  # position of the token being fed
             embeds = embed_tokens(params, cur)[:, None, :]
-            attn_mask = (slot_ids < prompt_len[:, None, None, None]) | (
-                (slot_ids >= prompt_bucket) & (slot_ids <= prompt_bucket + step)
-            )
             hidden, kv_new = decoder_forward(
                 params, cfg, embeds, pos[:, None], kv,
                 write_slots=jnp.full((B,), prompt_bucket + step, jnp.int32),
-                attn_mask=attn_mask,
                 uniform_write=True,
+                decode_ctx=(prompt_len, prompt_bucket + step, prompt_bucket),
             )
             logits = decoder_logits(params, cfg, hidden)[:, 0]
 

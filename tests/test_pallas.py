@@ -72,3 +72,72 @@ def test_flash_is_causal():
     np.testing.assert_allclose(
         np.asarray(out_a[:, :, :200]), np.asarray(out_b[:, :, :200]), atol=1e-5
     )
+
+
+# -- decode attention kernel ------------------------------------------------
+
+from qwen3_asr_tpu.ops.pallas.decode_attention import decode_attention
+
+
+def decode_oracle(q, k, v, prompt_len, decode_end, prompt_bucket, scale=None):
+    B, hq, D = q.shape
+    S = k.shape[2]
+    slots = jnp.arange(S)
+    mask = (slots[None, :] < prompt_len[:, None]) | (
+        (slots[None, :] >= prompt_bucket) & (slots[None, :] <= decode_end)
+    )
+    out = sdpa(q[:, :, None, :], k, v, mask=mask[:, None, None, :], scale=scale)
+    return out[:, :, 0, :]
+
+
+@pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 4), (16, 8)])
+def test_decode_attention_matches_oracle(hq, hkv):
+    B, S, D, Pb = 2, 512, 128, 256
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, hkv, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, hkv, S, D), jnp.float32)
+    prompt_len = jnp.asarray([100, 250], jnp.int32)
+    decode_end = jnp.int32(Pb + 37)
+
+    out = decode_attention(
+        q, k, v, prompt_len, decode_end, Pb, block_k=128, interpret=True
+    )
+    ref = decode_oracle(q, k, v, prompt_len, decode_end, Pb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_decode_attention_skipped_blocks_are_ignored():
+    """Garbage in masked regions (padded prompt tail, future decode slots)
+    must not change the output."""
+    B, hq, hkv, S, D, Pb = 1, 4, 2, 512, 128, 256
+    rng = jax.random.PRNGKey(9)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, hkv, S, D))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, hkv, S, D))
+    prompt_len = jnp.asarray([90], jnp.int32)
+    decode_end = jnp.int32(Pb + 10)
+
+    out_a = decode_attention(q, k, v, prompt_len, decode_end, Pb, block_k=128, interpret=True)
+    k2 = k.at[:, :, 90:256].set(55.0).at[:, :, Pb + 11 :].set(-44.0)
+    v2 = v.at[:, :, 90:256].set(-55.0).at[:, :, Pb + 11 :].set(44.0)
+    out_b = decode_attention(q, k2, v2, prompt_len, decode_end, Pb, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+
+
+def test_decode_attention_bf16():
+    B, hq, hkv, S, D, Pb = 1, 16, 8, 256, 128, 128
+    rng = jax.random.PRNGKey(11)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D)).astype(jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, hkv, S, D)).astype(jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, hkv, S, D)).astype(jnp.bfloat16)
+    prompt_len = jnp.asarray([64], jnp.int32)
+    decode_end = jnp.int32(140)
+
+    out = decode_attention(q, k, v, prompt_len, decode_end, Pb, block_k=128, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = decode_oracle(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        prompt_len, decode_end, Pb,
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref), atol=3e-2)
