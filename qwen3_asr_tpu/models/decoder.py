@@ -224,21 +224,27 @@ def decoder_forward(
     uniform_slot = B == 1 or uniform_write
     pos_b = positions[:, None, :]  # (B, 1, T) broadcast over heads
 
-    def write_kv(cache, new):
-        # cache (B, nkv, S, D); new (B, nkv, T, D)
+    # The cache rides the scan CARRY (not ys): each layer writes only its
+    # fresh (B, nkv, T, D) rows in place via dynamic_update_slice into the
+    # full (L, ...) buffer.  Stacked-ys scan output would rematerialize the
+    # ENTIRE cache every call — a full-cache HBM write per decode step.
+    def write_kv(cache_all, layer, new):
+        # cache_all (L, B, nkv, S, D); new (B, nkv, T, D)
+        new = new.astype(cache_all.dtype)[None]
         if uniform_slot:
             return jax.lax.dynamic_update_slice(
-                cache, new.astype(cache.dtype), (0, 0, write_slots[0], 0)
+                cache_all, new, (layer, 0, 0, write_slots[0], 0)
             )
         t_idx = write_slots[:, None] + jnp.arange(T)[None, :]  # (B, T)
-        return cache.at[
+        return cache_all.at[
+            layer,
             jnp.arange(B)[:, None, None],
             jnp.arange(nkv)[None, :, None],
             t_idx[:, None, :],
-        ].set(new.astype(cache.dtype), mode="drop")
+        ].set(new[0], mode="drop")
 
-    def layer_fn(h, xs):
-        lp, kcache, vcache = xs
+    def layer_fn(carry, lp):
+        h, kall, vall, layer = carry
 
         x = rms_norm(h, lp["ln1"], eps)
         q = (x @ lp["wq"]).reshape(B, T, nq, D)
@@ -253,19 +259,10 @@ def decoder_forward(
         q = rope_rotate(q, pos_b, cfg.rope_theta)
         k = rope_rotate(k, pos_b, cfg.rope_theta)
 
-        kcache = write_kv(kcache, k)
-        vcache = write_kv(vcache, v)
+        kall = write_kv(kall, layer, k)
+        vall = write_kv(vall, layer, v)
 
-        if use_decode_kernel:
-            from ..ops.pallas.decode_attention import decode_attention
-
-            plen, dend, pbucket = decode_ctx
-            block_k = 256 if S % 256 == 0 else 128
-            attn = decode_attention(
-                q[:, :, 0, :], kcache, vcache, plen, dend, pbucket,
-                scale=scale, block_k=block_k,
-            )[:, :, None, :]
-        elif attn_impl == "flash":
+        if attn_impl == "flash":
             from ..ops.pallas.flash_attention import flash_attention_causal
 
             attn = flash_attention_causal(q, k, v, scale=scale)
@@ -276,16 +273,30 @@ def decoder_forward(
             )
             attn = sdpa(q, k, v, mask=causal, scale=scale)
         else:
-            attn = sdpa(q, kcache, vcache, mask=attn_mask, scale=scale)
+            kcache = jax.lax.dynamic_index_in_dim(kall, layer, 0, keepdims=False)
+            vcache = jax.lax.dynamic_index_in_dim(vall, layer, 0, keepdims=False)
+            if use_decode_kernel:
+                from ..ops.pallas.decode_attention import decode_attention
+
+                plen, dend, pbucket = decode_ctx
+                block_k = 256 if S % 256 == 0 else 128
+                attn = decode_attention(
+                    q[:, :, 0, :], kcache, vcache, plen, dend, pbucket,
+                    scale=scale, block_k=block_k,
+                )[:, :, None, :]
+            else:
+                attn = sdpa(q, kcache, vcache, mask=attn_mask, scale=scale)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
         h = h + attn @ lp["wo"]
 
         x = rms_norm(h, lp["ln2"], eps)
         h = h + (jax.nn.silu(x @ lp["wg"]) * (x @ lp["wu"])) @ lp["wd"]
-        return h, (kcache, vcache)
+        return (h, kall, vall, layer + 1), None
 
-    hidden, (new_keys, new_values) = jax.lax.scan(
-        layer_fn, hidden, (params["layers"], keys_all, values_all)
+    (hidden, new_keys, new_values, _), _ = jax.lax.scan(
+        layer_fn,
+        (hidden, keys_all, values_all, jnp.int32(0)),
+        params["layers"],
     )
     return hidden, (new_keys, new_values)
 
