@@ -34,6 +34,15 @@ from ..ops.rope import rope_rotate
 
 DecoderParams = dict[str, Any]
 
+#: Route single-token decode attention through the Pallas flash-decode
+#: kernel (ops/pallas/decode_attention.py) instead of the XLA fusion.
+#: Default off: v5e A/B (docs/PERFORMANCE.md) currently measures the XLA
+#: path slightly ahead at both B=1 and B=16; the kernel stays available
+#: (QWEN3_ASR_DECODE_KERNEL=1) as the base for paged/quantized variants.
+DECODE_KERNEL_ENABLED = (
+    __import__("os").environ.get("QWEN3_ASR_DECODE_KERNEL", "0") == "1"
+)
+
 
 def init_decoder_params(
     cfg: TextDecoderConfig,
@@ -204,7 +213,8 @@ def decoder_forward(
     scale = D ** -0.5
 
     use_decode_kernel = (
-        decode_ctx is not None
+        DECODE_KERNEL_ENABLED
+        and decode_ctx is not None
         and T == 1
         and jax.default_backend() == "tpu"
         and S % 128 == 0
