@@ -265,8 +265,9 @@ class Qwen3ASR:
             repetition_penalty, budgets, repetition_context_size, seed,
         )
         for i, toks, dur in zip(live, token_lists, durations):
+            text, out_lang = self._finalize_output(toks, lang_name)
             results[i] = TranscriptionResult(
-                text=self._decode_output(toks), language=lang_name, duration=dur
+                text=text, language=out_lang, duration=dur
             )
         return results
 
@@ -320,11 +321,11 @@ class Qwen3ASR:
             )
 
         lang_name = self._resolve_language(language)
-        text = self._run_pipeline(
+        text, out_lang = self._run_pipeline(
             samples, lang_name, temperature, top_p, top_k,
             repetition_penalty, max_tokens, repetition_context_size, seed,
         )
-        return TranscriptionResult(text=text, language=lang_name, duration=duration)
+        return TranscriptionResult(text=text, language=out_lang, duration=duration)
 
     def _run_pipeline(
         self, samples, lang_name, temperature, top_p, top_k,
@@ -336,7 +337,7 @@ class Qwen3ASR:
             repetition_penalty, [max_tokens], repetition_context_size, seed,
         )
         self.last_stats = stats_list
-        return self._decode_output(token_lists[0])
+        return self._finalize_output(token_lists[0], lang_name)
 
     def _run_pipeline_batch(
         self, samples_list, lang_name, temperature, top_p, top_k,
@@ -400,7 +401,12 @@ class Qwen3ASR:
             rem_tokens = (rem_tokens - 1) // 2 + 1 if rem_tokens > 0 else 0
         return full * cfg.tokens_per_chunk + rem_tokens
 
-    def _resolve_language(self, language: Optional[str]) -> str:
+    def _resolve_language(self, language: Optional[str]) -> Optional[str]:
+        """Hint -> full name; "detect" -> None (true model-side detection,
+        a capability the reference claims but does not implement —
+        README vs model.py:328,357)."""
+        if language is not None and language.lower() == "detect":
+            return None
         if language is None or language.lower() in ("auto", ""):
             return "English"
         return LANGUAGE_MAP.get(language.lower(), language)
@@ -409,6 +415,24 @@ class Qwen3ASR:
         while tokens and tokens[-1] in EOS_TOKEN_IDS:
             tokens = tokens[:-1]
         return self._tokenizer.decode(tokens, skip_special_tokens=True).strip()
+
+    def _finalize_output(
+        self, tokens: list[int], lang_name: Optional[str]
+    ) -> tuple[str, str]:
+        """(text, language) from generated ids.
+
+        Primed prompt: output is transcription-only.  Detect mode
+        (lang_name None): output is ``language X<asr_text>transcript`` —
+        parsed with the chat-format parser.
+        """
+        if lang_name is not None:
+            return self._decode_output(tokens), lang_name
+        from .tokenizer import parse_language, parse_output
+
+        while tokens and tokens[-1] in EOS_TOKEN_IDS:
+            tokens = tokens[:-1]
+        raw = self._tokenizer.decode(tokens, skip_special_tokens=False)
+        return parse_output(raw), parse_language(raw) or "Unknown"
 
     def _transcribe_chunked(
         self, samples, duration, language, temperature, top_p, top_k,
@@ -421,6 +445,7 @@ class Qwen3ASR:
 
         lang_name = self._resolve_language(language)
         texts: list[str] = []
+        detected: list[str] = []
         prev = 0
         for sp in split_points + [len(samples)]:
             chunk = samples[prev:sp]
@@ -428,13 +453,17 @@ class Qwen3ASR:
             if len(chunk) == 0:
                 continue
             chunk_max = max(256, int(len(chunk) / SAMPLE_RATE * 50))
-            text = self._run_pipeline(
+            text, out_lang = self._run_pipeline(
                 chunk, lang_name, temperature, top_p, top_k,
                 repetition_penalty, chunk_max, repetition_context_size, seed,
             )
             if text:
                 texts.append(text)
+                detected.append(out_lang)
 
+        language_out = lang_name if lang_name is not None else (
+            detected[0] if detected else "Unknown"
+        )
         return TranscriptionResult(
-            text=" ".join(texts), language=lang_name, duration=duration
+            text=" ".join(texts), language=language_out, duration=duration
         )

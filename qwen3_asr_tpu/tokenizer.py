@@ -79,7 +79,29 @@ def build_prompt(
     )
 
 
+def build_detect_prompt(n_audio_tokens: int) -> list[int]:
+    """Prompt WITHOUT the language priming tail — true language detection.
+
+    The assistant turn is left open after ``<|im_start|>assistant\\n`` so
+    the model generates ``language {Name}<asr_text>{transcript}`` itself
+    (the reference's README claims auto-detection but its implementation
+    bakes the hint into the prompt and echoes it back — model.py:328,357;
+    its ``parse_output`` machinery for the detect format exists at
+    tokenizer.py:89-108 and is used here for real).
+    """
+    return list(PROMPT_PREFIX) + [AUDIO_PAD_TOKEN_ID] * n_audio_tokens + list(
+        PROMPT_SUFFIX
+    )
+
+
 _LANG_PREAMBLE_RE = re.compile(r"^language\s+\S+\s*", re.IGNORECASE)
+_LANG_CAPTURE_RE = re.compile(r"^\s*language\s+([^\s<]+)", re.IGNORECASE)
+
+
+def parse_language(text: str) -> str | None:
+    """Extract the detected language name from a raw model output."""
+    m = _LANG_CAPTURE_RE.match(text)
+    return m.group(1) if m else None
 
 
 def parse_output(text: str) -> str:
@@ -141,8 +163,13 @@ class Tokenizer:
     def decode(self, token_ids: Sequence[int], skip_special_tokens: bool = True) -> str:
         return self._tok.decode(list(token_ids), skip_special_tokens=skip_special_tokens)
 
-    def build_prompt(self, n_audio_tokens: int, language: str = "English") -> list[int]:
-        """Full prompt ids with the language name encoded and baked in."""
+    def build_prompt(
+        self, n_audio_tokens: int, language: str | None = "English"
+    ) -> list[int]:
+        """Full prompt ids; ``language=None`` leaves the assistant turn
+        open for true language detection (see ``build_detect_prompt``)."""
+        if language is None:
+            return build_detect_prompt(n_audio_tokens)
         return build_prompt(n_audio_tokens, self.encode(f" {language}"))
 
     def parse_output(self, text: str) -> str:

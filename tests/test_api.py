@@ -52,7 +52,12 @@ class StubTokenizer:
         return " ".join(f"t{t}" for t in ids)
 
     def build_prompt(self, n_audio_tokens, language="English"):
-        ids = build_prompt(n_audio_tokens, self.encode(f" {language}"))
+        from qwen3_asr_tpu.tokenizer import build_detect_prompt
+
+        if language is None:
+            ids = build_detect_prompt(n_audio_tokens)
+        else:
+            ids = build_prompt(n_audio_tokens, self.encode(f" {language}"))
         return [t % 512 for t in ids]
 
     def parse_output(self, text):
@@ -148,3 +153,11 @@ def test_chunked_long_audio(model):
     res = model.transcribe(audio, chunk_duration=2.0, max_tokens=4)
     assert res.duration == pytest.approx(5.0)
     assert isinstance(res.text, str)
+
+
+def test_language_detect_mode(model):
+    """language="detect" runs the unprimed prompt and parses model output."""
+    res = model.transcribe(sine(1.0), language="detect", max_tokens=6)
+    assert isinstance(res.text, str)
+    # Tiny random model won't emit the chat format; parser falls back.
+    assert isinstance(res.language, str) and res.language

@@ -61,3 +61,21 @@ def test_parse_output_fallback_language_preamble():
 
 def test_parse_output_plain():
     assert parse_output("  just text <|endoftext|>") == "just text"
+
+
+def test_detect_prompt_has_no_priming_tail():
+    from qwen3_asr_tpu.tokenizer import build_detect_prompt
+
+    ids = build_detect_prompt(2)
+    primed = build_prompt(2, language_name_tokens=[6364])
+    assert ids == primed[: len(ids)]
+    assert ids[-1] == 198  # ends right after "assistant\n"
+    assert 11528 not in ids and ASR_TEXT_TOKEN_ID not in ids
+
+
+def test_parse_language():
+    from qwen3_asr_tpu.tokenizer import parse_language
+
+    assert parse_language("language English<asr_text> hi") == "English"
+    assert parse_language("  language French<asr_text>bonjour") == "French"
+    assert parse_language("no preamble here") is None
