@@ -30,7 +30,7 @@ os.environ.setdefault(
 
 AUDIO_SECONDS = 30.0
 DECODE_TOKENS = 128
-BATCH = 8
+BATCH = 16
 REPEATS = 3
 
 
