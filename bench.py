@@ -23,8 +23,10 @@ import time
 import numpy as np
 
 # Persistent XLA compile cache: first bench invocation pays the compiles,
-# every later one (including the driver's) reuses them from disk.
-os.environ.setdefault(
+# every later one (including the driver's) reuses them from disk.  The env
+# var is not reliably honored by this jax build, so bench sets the config
+# flag explicitly (see main()).
+_COMPILE_CACHE = os.environ.get(
     "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_qwen3_asr")
 )
 
@@ -52,6 +54,11 @@ class _BenchTokenizer:
 
 def main() -> None:
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", _COMPILE_CACHE)
+    except Exception as exc:  # noqa: BLE001 — cache is best-effort
+        log(f"compile cache unavailable: {exc}")
 
     from qwen3_asr_tpu.api import Qwen3ASR
     from qwen3_asr_tpu.config import ModelConfig, RuntimeConfig

@@ -253,9 +253,16 @@ def decoder_forward(
             t_idx[:, None, :],
         ].set(new[0], mode="drop")
 
-    def layer_fn(carry, lp):
-        h, kall, vall, layer = carry
+    # Split-attention decode: with T == 1 the fresh token's self-term is a
+    # dot product, so attention runs over the PRE-STEP cache (read-only,
+    # closed over — no per-layer traced-index writes, which lower to
+    # expensive scatters) and the step's 28 new K/V rows are written by ONE
+    # dynamic_update_slice after the scan.
+    decode_split = (
+        decode_ctx is not None and T == 1 and uniform_slot and not use_decode_kernel
+    )
 
+    def qkv(h, lp):
         x = rms_norm(h, lp["ln1"], eps)
         q = (x @ lp["wq"]).reshape(B, T, nq, D)
         k = (x @ lp["wk"]).reshape(B, T, nkv, D)
@@ -268,6 +275,71 @@ def decoder_forward(
 
         q = rope_rotate(q, pos_b, cfg.rope_theta)
         k = rope_rotate(k, pos_b, cfg.rope_theta)
+        return q, k, v
+
+    def mlp(h, lp):
+        x = rms_norm(h, lp["ln2"], eps)
+        return h + (jax.nn.silu(x @ lp["wg"]) * (x @ lp["wu"])) @ lp["wd"]
+
+    if decode_split:
+        plen, dend, pbucket = decode_ctx
+        group = nq // nkv
+        # Old-cache validity: strictly before the current slot.
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, S), 4)
+        cache_mask = (slot_ids < plen[:, None, None, None, None]) | (
+            (slot_ids >= pbucket) & (slot_ids < dend)
+        )
+        neg = float(jnp.finfo(jnp.float32).min) / 2
+
+        def layer_fn(carry, xs):
+            h, layer = carry
+            lp = xs
+            q, k_new, v_new = qkv(h, lp)
+
+            kcache = jax.lax.dynamic_index_in_dim(keys_all, layer, 0, keepdims=False)
+            vcache = jax.lax.dynamic_index_in_dim(values_all, layer, 0, keepdims=False)
+
+            qg = q.reshape(B, nkv, group, 1, D)
+            logits = jnp.einsum(
+                "bkgqd,bkld->bkgql", qg, kcache,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            logits = jnp.where(cache_mask, logits, neg)
+            self_logit = jnp.sum(
+                qg.astype(jnp.float32)
+                * k_new.astype(jnp.float32)[:, :, None],
+                axis=-1, keepdims=True,
+            ) * scale                                     # (B,nkv,G,1,1)
+            all_logits = jnp.concatenate([logits, self_logit], axis=-1)
+            w = jax.nn.softmax(all_logits, axis=-1)
+            out = jnp.einsum(
+                "bkgql,bkld->bkgqd", w[..., :S].astype(vcache.dtype), vcache,
+                preferred_element_type=jnp.float32,
+            ) + w[..., S:].astype(jnp.float32) * v_new.astype(jnp.float32)[:, :, None]
+            attn = out.reshape(B, nq, T, D).astype(h.dtype)
+
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
+            h = h + attn @ lp["wo"]
+            h = mlp(h, lp)
+            return (h, layer + 1), (k_new, v_new)
+
+        (hidden, _), (k_rows, v_rows) = jax.lax.scan(
+            layer_fn, (hidden, jnp.int32(0)), params["layers"]
+        )
+        # One write for all layers: rows (L, B, nkv, 1, D) at the shared slot.
+        new_keys = jax.lax.dynamic_update_slice(
+            keys_all, k_rows.astype(keys_all.dtype),
+            (0, 0, 0, write_slots[0], 0),
+        )
+        new_values = jax.lax.dynamic_update_slice(
+            values_all, v_rows.astype(values_all.dtype),
+            (0, 0, 0, write_slots[0], 0),
+        )
+        return hidden, (new_keys, new_values)
+
+    def layer_fn(carry, lp):
+        h, kall, vall, layer = carry
+        q, k, v = qkv(h, lp)
 
         kall = write_kv(kall, layer, k)
         vall = write_kv(vall, layer, v)
@@ -298,9 +370,7 @@ def decoder_forward(
                 attn = sdpa(q, kcache, vcache, mask=attn_mask, scale=scale)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
         h = h + attn @ lp["wo"]
-
-        x = rms_norm(h, lp["ln2"], eps)
-        h = h + (jax.nn.silu(x @ lp["wg"]) * (x @ lp["wu"])) @ lp["wd"]
+        h = mlp(h, lp)
         return (h, kall, vall, layer + 1), None
 
     (hidden, new_keys, new_values, _), _ = jax.lax.scan(
