@@ -444,22 +444,31 @@ class Qwen3ASR:
         split_points = find_split_points(samples, chunk_samples, search_samples)
 
         lang_name = self._resolve_language(language)
-        texts: list[str] = []
-        detected: list[str] = []
+
+        chunks: list[np.ndarray] = []
         prev = 0
         for sp in split_points + [len(samples)]:
-            chunk = samples[prev:sp]
+            if sp > prev:
+                chunks.append(samples[prev:sp])
             prev = sp
-            if len(chunk) == 0:
-                continue
-            chunk_max = max(256, int(len(chunk) / SAMPLE_RATE * 50))
-            text, out_lang = self._run_pipeline(
-                chunk, lang_name, temperature, top_p, top_k,
-                repetition_penalty, chunk_max, repetition_context_size, seed,
+
+        texts: list[str] = []
+        detected: list[str] = []
+        # Chunks are transcribed in BATCHES of max_batch_size — the
+        # reference runs them strictly sequentially (model.py:409-441).
+        group_size = max(1, self._runtime.max_batch_size)
+        for start in range(0, len(chunks), group_size):
+            group = chunks[start : start + group_size]
+            budgets = [max(256, int(len(c) / SAMPLE_RATE * 50)) for c in group]
+            token_lists, self.last_stats = self._run_pipeline_batch(
+                group, lang_name, temperature, top_p, top_k,
+                repetition_penalty, budgets, repetition_context_size, seed,
             )
-            if text:
-                texts.append(text)
-                detected.append(out_lang)
+            for toks in token_lists:
+                text, out_lang = self._finalize_output(toks, lang_name)
+                if text:
+                    texts.append(text)
+                    detected.append(out_lang)
 
         language_out = lang_name if lang_name is not None else (
             detected[0] if detected else "Unknown"

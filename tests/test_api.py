@@ -161,3 +161,16 @@ def test_language_detect_mode(model):
     assert isinstance(res.text, str)
     # Tiny random model won't emit the chat format; parser falls back.
     assert isinstance(res.language, str) and res.language
+
+
+def test_no_nans_through_pipeline(model):
+    """Sanitizer mode: the whole pipeline must be NaN-free under
+    jax_debug_nans (the CI analog of a race/sanitizer job, SURVEY.md §5)."""
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
+    try:
+        res = model.transcribe(sine(1.0, 220.0), max_tokens=4)
+        assert isinstance(res.text, str)
+    finally:
+        jax.config.update("jax_debug_nans", False)
