@@ -91,6 +91,11 @@ class Qwen3ASR:
     ) -> None:
         self._config = config
         self._runtime = runtime or RuntimeConfig()
+        if self._runtime.quantization == "int8":
+            from .ops.quant import is_quantized, quantize_decoder_params
+
+            if not is_quantized(decoder_params["embedding"]):
+                decoder_params = quantize_decoder_params(decoder_params)
         self._encoder_params = encoder_params
         self._decoder_params = decoder_params
         self._tokenizer = tokenizer

@@ -218,6 +218,10 @@ class RuntimeConfig:
     tp: int = 1
     # Max decode batch for the batched/continuous decode path.
     max_batch_size: int = 8
+    # Weight quantization: "none" (bf16, token-identical greedy contract)
+    # or "int8" (weight-only, ~2x decode HBM traffic reduction; opt-in
+    # accuracy trade — see ops/quant.py).
+    quantization: str = "none"
 
     def pick_bucket(self, value: int, buckets: tuple[int, ...]) -> int:
         for b in buckets:

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..config import TextDecoderConfig
 from ..ops.attention import sdpa
 from ..ops.norms import rms_norm
+from ..ops.quant import is_quantized, qlinear
 from ..ops.rope import rope_rotate
 
 DecoderParams = dict[str, Any]
@@ -123,8 +124,17 @@ def init_kv_cache(
 
 
 def embed_tokens(params: DecoderParams, ids: jax.Array) -> jax.Array:
-    """Token embedding lookup, (..., ) -> (..., hidden)."""
-    return params["embedding"][ids]
+    """Token embedding lookup, (..., ) -> (..., hidden).
+
+    Quantized embeddings are stored transposed (H, V) int8 with per-vocab
+    scales; lookup gathers columns and rescales.
+    """
+    emb = params["embedding"]
+    if is_quantized(emb):
+        rows = jnp.moveaxis(jnp.take(emb["q"], ids, axis=1), 0, -1)
+        rows = rows.astype(jnp.float32) * emb["s"][ids][..., None]
+        return rows.astype(params["final_norm"].dtype)
+    return emb[ids]
 
 
 def decoder_forward(
@@ -264,9 +274,9 @@ def decoder_forward(
 
     def qkv(h, lp):
         x = rms_norm(h, lp["ln1"], eps)
-        q = (x @ lp["wq"]).reshape(B, T, nq, D)
-        k = (x @ lp["wk"]).reshape(B, T, nkv, D)
-        v = (x @ lp["wv"]).reshape(B, T, nkv, D)
+        q = qlinear(x, lp["wq"]).reshape(B, T, nq, D)
+        k = qlinear(x, lp["wk"]).reshape(B, T, nkv, D)
+        v = qlinear(x, lp["wv"]).reshape(B, T, nkv, D)
 
         # Per-head QK RMSNorm before RoPE (Qwen3 signature).
         q = rms_norm(q, lp["q_norm"], eps).transpose(0, 2, 1, 3)
@@ -279,7 +289,7 @@ def decoder_forward(
 
     def mlp(h, lp):
         x = rms_norm(h, lp["ln2"], eps)
-        return h + (jax.nn.silu(x @ lp["wg"]) * (x @ lp["wu"])) @ lp["wd"]
+        return h + qlinear(jax.nn.silu(qlinear(x, lp["wg"])) * qlinear(x, lp["wu"]), lp["wd"])
 
     if decode_split:
         plen, dend, pbucket = decode_ctx
@@ -319,7 +329,7 @@ def decoder_forward(
             attn = out.reshape(B, nq, T, D).astype(h.dtype)
 
             attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
-            h = h + attn @ lp["wo"]
+            h = h + qlinear(attn, lp["wo"])
             h = mlp(h, lp)
             return (h, layer + 1), (k_new, v_new)
 
@@ -369,7 +379,7 @@ def decoder_forward(
             else:
                 attn = sdpa(q, kcache, vcache, mask=attn_mask, scale=scale)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
-        h = h + attn @ lp["wo"]
+        h = h + qlinear(attn, lp["wo"])
         h = mlp(h, lp)
         return (h, kall, vall, layer + 1), None
 
@@ -384,6 +394,9 @@ def decoder_forward(
 def decoder_logits(params: DecoderParams, cfg: TextDecoderConfig, hidden: jax.Array) -> jax.Array:
     """Final RMSNorm + tied lm_head, float32 logits ``(B, T, vocab)``."""
     h = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    emb = params["embedding"]
+    if is_quantized(emb):
+        return qlinear(h, emb, out_dtype=jnp.float32)
     return jnp.einsum(
-        "bth,vh->btv", h, params["embedding"], preferred_element_type=jnp.float32
+        "bth,vh->btv", h, emb, preferred_element_type=jnp.float32
     )

@@ -1,0 +1,163 @@
+"""Int8 weight-only quantization: representation, Pallas matmul, dispatch.
+
+Decode throughput on TPU is bound by streaming the bf16 weights from HBM
+(3.4 GB/step for the 1.7B decoder).  Symmetric per-output-channel int8
+halves that traffic; dequantization happens on-chip inside a Pallas tiled
+matmul (int8 tiles -> VMEM -> bf16 convert -> MXU, scales applied to the
+f32 accumulator), so no bf16 weight copy ever exists in HBM.
+
+This is an opt-in speed/accuracy trade (RuntimeConfig.quantization="int8");
+the default bf16 path preserves the token-identical greedy contract vs the
+reference.  No reference counterpart (SURVEY.md: bf16-only).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QuantizedWeight = dict[str, jax.Array]   # {"q": int8 (in, out), "s": f32 (out,)}
+
+
+def quantize_weight(w: jax.Array) -> QuantizedWeight:
+    """Symmetric per-output-channel int8 over the LAST axis of (in, out)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale}
+
+
+def dequantize_weight(wq: QuantizedWeight, dtype=jnp.bfloat16) -> jax.Array:
+    return (wq["q"].astype(jnp.float32) * wq["s"][None, :]).astype(dtype)
+
+
+def is_quantized(w: Any) -> bool:
+    return isinstance(w, dict) and "q" in w and "s" in w
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: (M, K) bf16 @ (K, N) int8 -> (M, N), scales on the way out
+# ---------------------------------------------------------------------------
+
+def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, k_tiles: int):
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]                                 # (M, BK) bf16
+    w = w_ref[...].astype(jnp.bfloat16)            # (BK, BN) int8 -> bf16
+    acc_ref[...] += jax.lax.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == k_tiles - 1)
+    def _finalize():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_k", "out_dtype", "interpret")
+)
+def quantized_matmul(
+    x: jax.Array,          # (M, K) — M may be tiny (decode batch)
+    wq: jax.Array,         # (K, N) int8
+    scale: jax.Array,      # (N,) f32
+    block_n: int = 512,
+    block_k: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Weight-only int8 matmul; returns (M, N) in ``out_dtype``."""
+    M, K = x.shape
+    N = wq.shape[1]
+    block_k = min(block_k, K)
+    block_n = min(block_n, N)
+    if K % block_k or N % block_n:
+        raise ValueError(f"({K}, {N}) not tileable by ({block_k}, {block_n})")
+    m_pad = max(8, -(-M // 8) * 8)
+    if m_pad != M:
+        x = jnp.pad(x, ((0, m_pad - M), (0, 0)))
+    k_tiles = K // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, k_tiles=k_tiles),
+        out_shape=jax.ShapeDtypeStruct((m_pad, N), out_dtype),
+        grid=(N // block_n, k_tiles),
+        in_specs=[
+            pl.BlockSpec((m_pad, block_k), lambda n, k: (0, k)),
+            pl.BlockSpec((block_k, block_n), lambda n, k: (k, n)),
+            pl.BlockSpec((1, block_n), lambda n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, block_n), lambda n, k: (0, n)),
+        scratch_shapes=[pltpu.VMEM((m_pad, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, wq, scale.reshape(1, N).astype(jnp.float32))
+    return out[:M]
+
+
+def qlinear(x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
+    """``x @ w`` for plain or quantized weights, any leading batch dims.
+
+    On TPU quantized weights route through the Pallas kernel; elsewhere
+    they dequantize inline (XLA fuses the multiply into the matmul operand
+    read on CPU, and tests stay fast).
+    """
+    if not is_quantized(w):
+        y = x @ w
+        return y.astype(out_dtype) if out_dtype is not None else y
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    N = w["q"].shape[1]
+    if (
+        jax.default_backend() == "tpu"
+        and K % 128 == 0
+        and N % 128 == 0
+    ):
+        block_n = 512 if N % 512 == 0 else 128
+        block_k = 512 if K % 512 == 0 else 128
+        y = quantized_matmul(
+            x2, w["q"], w["s"], block_n=block_n, block_k=block_k,
+            out_dtype=out_dtype,
+        )
+    else:
+        y = (x2 @ dequantize_weight(w, x.dtype)).astype(out_dtype)
+    return y.reshape(*lead, N)
+
+
+# ---------------------------------------------------------------------------
+# Parameter-tree quantization
+# ---------------------------------------------------------------------------
+
+#: Decoder linear weights worth quantizing (the HBM-dominant reads).
+DECODER_QUANT_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+
+
+def quantize_decoder_params(params: dict) -> dict:
+    """Quantize the decoder's big matmuls + embedding to int8.
+
+    Stacked (L, in, out) layer weights become {"q": int8, "s": f32} with
+    per-(layer, out-channel) scales; the tied embedding is stored
+    transposed ({"q": (H, V) int8, "s": (V,)}) so the lm head is a direct
+    (M, H) @ (H, V) kernel call and row lookups gather columns.
+    Norm weights stay in full precision.
+    """
+    layers = dict(params["layers"])
+    for key in DECODER_QUANT_KEYS:
+        layers[key] = jax.vmap(quantize_weight)(layers[key])
+    emb_t = params["embedding"].T  # (H, V)
+    return {
+        "embedding": quantize_weight(emb_t),
+        "layers": layers,
+        "final_norm": params["final_norm"],
+    }
