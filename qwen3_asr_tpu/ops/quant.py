@@ -46,13 +46,13 @@ def is_quantized(w: Any) -> bool:
 # ---------------------------------------------------------------------------
 
 def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, k_tiles: int):
-    ki = pl.program_id(1)
+    ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...]                                 # (M, BK) bf16
+    x = x_ref[...]                                 # (BM, BK) bf16
     w = w_ref[...].astype(jnp.bfloat16)            # (BK, BN) int8 -> bf16
     acc_ref[...] += jax.lax.dot(x, w, preferred_element_type=jnp.float32)
 
@@ -80,7 +80,9 @@ def quantized_matmul(
     block_n = min(block_n, N)
     if K % block_k or N % block_n:
         raise ValueError(f"({K}, {N}) not tileable by ({block_k}, {block_n})")
-    m_pad = max(8, -(-M // 8) * 8)
+    # Tile M as well: decode uses one small tile, prefill (M = B * P) many.
+    block_m = min(256, max(8, -(-M // 8) * 8))
+    m_pad = -(-M // block_m) * block_m
     if m_pad != M:
         x = jnp.pad(x, ((0, m_pad - M), (0, 0)))
     k_tiles = K // block_k
@@ -88,16 +90,16 @@ def quantized_matmul(
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, k_tiles=k_tiles),
         out_shape=jax.ShapeDtypeStruct((m_pad, N), out_dtype),
-        grid=(N // block_n, k_tiles),
+        grid=(m_pad // block_m, N // block_n, k_tiles),
         in_specs=[
-            pl.BlockSpec((m_pad, block_k), lambda n, k: (0, k)),
-            pl.BlockSpec((block_k, block_n), lambda n, k: (k, n)),
-            pl.BlockSpec((1, block_n), lambda n, k: (0, n)),
+            pl.BlockSpec((block_m, block_k), lambda m, n, k: (m, k)),
+            pl.BlockSpec((block_k, block_n), lambda m, n, k: (k, n)),
+            pl.BlockSpec((1, block_n), lambda m, n, k: (0, n)),
         ],
-        out_specs=pl.BlockSpec((m_pad, block_n), lambda n, k: (0, n)),
-        scratch_shapes=[pltpu.VMEM((m_pad, block_n), jnp.float32)],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda m, n, k: (m, n)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(x, wq, scale.reshape(1, N).astype(jnp.float32))
