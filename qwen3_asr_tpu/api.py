@@ -96,6 +96,29 @@ class Qwen3ASR:
 
             if not is_quantized(decoder_params["embedding"]):
                 decoder_params = quantize_decoder_params(decoder_params)
+        if self._runtime.dp * self._runtime.tp > 1:
+            # SPMD inference: shard parameters over the (dp, tp) mesh;
+            # GSPMD propagates shardings through every jitted program and
+            # inserts the tp collectives over ICI.  (Quantized trees keep
+            # replicated placement until the sharding rules learn their
+            # layout.)
+            from .parallel.mesh import make_mesh
+            from .parallel.sharding import (
+                decoder_param_sharding,
+                encoder_param_sharding,
+                shard_params,
+            )
+
+            self._mesh = make_mesh(self._runtime.dp, self._runtime.tp)
+            if self._runtime.quantization == "none":
+                decoder_params = shard_params(
+                    decoder_params, decoder_param_sharding(decoder_params, self._mesh)
+                )
+            encoder_params = shard_params(
+                encoder_params, encoder_param_sharding(encoder_params, self._mesh)
+            )
+        else:
+            self._mesh = None
         self._encoder_params = encoder_params
         self._decoder_params = decoder_params
         self._tokenizer = tokenizer

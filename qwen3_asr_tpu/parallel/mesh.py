@@ -30,7 +30,9 @@ def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
     ``tp`` should divide the KV head count (8 for Qwen3-ASR 1.7B) so that
     head sharding never splits a head.
     """
-    devices = np.asarray(devices if devices is not None else jax.devices())
+    if devices is None:
+        devices = jax.devices()[: dp * tp]
+    devices = np.asarray(devices)
     if devices.size != dp * tp:
         raise ValueError(
             f"need dp*tp = {dp * tp} devices, have {devices.size}"

@@ -135,3 +135,25 @@ def test_train_step_loss_decreases():
     state, loss2 = step(state, batch)
     assert float(loss2) < float(loss0)
     assert np.isfinite(float(loss0))
+
+
+def test_tp_inference_matches_single_device():
+    """Qwen3ASR with tp=2 sharded params == single-device transcribe."""
+    import jax.numpy as jnp
+
+    from qwen3_asr_tpu.api import Qwen3ASR
+    from qwen3_asr_tpu.config import RuntimeConfig
+    from tests.test_api import TINY_CFG, StubTokenizer, sine
+
+    rt1 = RuntimeConfig(frame_buckets=(800,), token_buckets=(16,))
+    rt2 = RuntimeConfig(frame_buckets=(800,), token_buckets=(16,), dp=1, tp=2)
+    m1 = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(), runtime=rt1, dtype=jnp.float32
+    )
+    m2 = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(), runtime=rt2, dtype=jnp.float32
+    )
+    clip = sine(1.0, 350.0)
+    r1 = m1.transcribe(clip, max_tokens=6)
+    r2 = m2.transcribe(clip, max_tokens=6)
+    assert r1.text == r2.text
