@@ -91,6 +91,11 @@ class Qwen3ASR:
     ) -> None:
         self._config = config
         self._runtime = runtime or RuntimeConfig()
+        if self._runtime.fuse_qkv and self._runtime.tp == 1:
+            from .models.decoder import fuse_decoder_params
+
+            if "wq" in decoder_params["layers"]:
+                decoder_params = fuse_decoder_params(decoder_params)
         if self._runtime.quantization == "int8":
             from .ops.quant import is_quantized, quantize_decoder_params
 

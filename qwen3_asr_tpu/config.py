@@ -222,6 +222,10 @@ class RuntimeConfig:
     # or "int8" (weight-only, ~2x decode HBM traffic reduction; opt-in
     # accuracy trade — see ops/quant.py).
     quantization: str = "none"
+    # Fuse Q|K|V and gate|up projections into single matmuls (pure
+    # re-layout, identical math).  Auto-disabled under tensor parallelism
+    # (fused column order misaligns with head sharding).
+    fuse_qkv: bool = True
 
     def pick_bucket(self, value: int, buckets: tuple[int, ...]) -> int:
         for b in buckets:

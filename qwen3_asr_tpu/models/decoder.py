@@ -123,6 +123,25 @@ def init_kv_cache(
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
+def fuse_decoder_params(params: DecoderParams) -> DecoderParams:
+    """Concatenate Q|K|V and gate|up projections into single matmuls.
+
+    4 big matmuls per layer instead of 7 — better MXU utilization at the
+    small row counts of decode and fewer weight-fetch streams.  Pure
+    re-layout (identical math); apply before quantization.  Prefer the
+    unfused layout under tensor parallelism: the fused column order does
+    not align with head-boundary sharding.
+    """
+    layers = dict(params["layers"])
+    layers["wqkv"] = jnp.concatenate(
+        [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1
+    )
+    layers["wgu"] = jnp.concatenate(
+        [layers.pop("wg"), layers.pop("wu")], axis=-1
+    )
+    return {**params, "layers": layers}
+
+
 def embed_tokens(params: DecoderParams, ids: jax.Array) -> jax.Array:
     """Token embedding lookup, (..., ) -> (..., hidden).
 
@@ -274,9 +293,16 @@ def decoder_forward(
 
     def qkv(h, lp):
         x = rms_norm(h, lp["ln1"], eps)
-        q = qlinear(x, lp["wq"]).reshape(B, T, nq, D)
-        k = qlinear(x, lp["wk"]).reshape(B, T, nkv, D)
-        v = qlinear(x, lp["wv"]).reshape(B, T, nkv, D)
+        if "wqkv" in lp:
+            fused = qlinear(x, lp["wqkv"])
+            q, k, v = jnp.split(fused, [nq * D, (nq + nkv) * D], axis=-1)
+            q = q.reshape(B, T, nq, D)
+            k = k.reshape(B, T, nkv, D)
+            v = v.reshape(B, T, nkv, D)
+        else:
+            q = qlinear(x, lp["wq"]).reshape(B, T, nq, D)
+            k = qlinear(x, lp["wk"]).reshape(B, T, nkv, D)
+            v = qlinear(x, lp["wv"]).reshape(B, T, nkv, D)
 
         # Per-head QK RMSNorm before RoPE (Qwen3 signature).
         q = rms_norm(q, lp["q_norm"], eps).transpose(0, 2, 1, 3)
@@ -289,7 +315,11 @@ def decoder_forward(
 
     def mlp(h, lp):
         x = rms_norm(h, lp["ln2"], eps)
-        return h + qlinear(jax.nn.silu(qlinear(x, lp["wg"])) * qlinear(x, lp["wu"]), lp["wd"])
+        if "wgu" in lp:
+            gate, up = jnp.split(qlinear(x, lp["wgu"]), 2, axis=-1)
+        else:
+            gate, up = qlinear(x, lp["wg"]), qlinear(x, lp["wu"])
+        return h + qlinear(jax.nn.silu(gate) * up, lp["wd"])
 
     if decode_split:
         plen, dend, pbucket = decode_ctx

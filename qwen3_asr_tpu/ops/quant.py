@@ -141,8 +141,9 @@ def qlinear(x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
 # Parameter-tree quantization
 # ---------------------------------------------------------------------------
 
-#: Decoder linear weights worth quantizing (the HBM-dominant reads).
-DECODER_QUANT_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+#: Decoder linear weights worth quantizing (the HBM-dominant reads);
+#: covers both the canonical and the fused (wqkv/wgu) layouts.
+DECODER_QUANT_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd", "wqkv", "wgu")
 
 
 def quantize_decoder_params(params: dict) -> dict:
@@ -156,7 +157,8 @@ def quantize_decoder_params(params: dict) -> dict:
     """
     layers = dict(params["layers"])
     for key in DECODER_QUANT_KEYS:
-        layers[key] = jax.vmap(quantize_weight)(layers[key])
+        if key in layers:
+            layers[key] = jax.vmap(quantize_weight)(layers[key])
     emb_t = params["embedding"].T  # (H, V)
     return {
         "embedding": quantize_weight(emb_t),

@@ -195,3 +195,18 @@ def test_batched_forward_matches_single(tiny_params):
         np.testing.assert_allclose(
             np.asarray(out[b : b + 1]), np.asarray(single), atol=1e-5
         )
+
+
+def test_fused_params_match_unfused(tiny_params):
+    """wqkv/wgu fusion is a pure re-layout: identical logits."""
+    from qwen3_asr_tpu.models.decoder import fuse_decoder_params
+
+    fused = fuse_decoder_params(tiny_params)
+    assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
+
+    ids = jnp.asarray([[3, 1, 4, 1, 5]])
+    pos = jnp.arange(5)[None]
+    h = embed_tokens(tiny_params, ids)
+    out_a, _ = decoder_forward(tiny_params, TINY, h, pos)
+    out_b, _ = decoder_forward(fused, TINY, h, pos)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
