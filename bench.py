@@ -33,7 +33,7 @@ _COMPILE_CACHE = os.environ.get(
 AUDIO_SECONDS = 30.0
 DECODE_TOKENS = 128
 BATCH = 32
-REPEATS = 3
+REPEATS = 5
 
 
 def log(msg: str) -> None:

@@ -44,6 +44,12 @@ DECODE_KERNEL_ENABLED = (
     __import__("os").environ.get("QWEN3_ASR_DECODE_KERNEL", "0") == "1"
 )
 
+#: Use the Pallas causal flash kernel for prefill (attn_impl="auto").
+#: QWEN3_ASR_PREFILL_FLASH=0 falls back to the XLA causal path.
+PREFILL_FLASH_ENABLED = (
+    __import__("os").environ.get("QWEN3_ASR_PREFILL_FLASH", "1") != "0"
+)
+
 
 def init_decoder_params(
     cfg: TextDecoderConfig,
@@ -227,7 +233,8 @@ def decoder_forward(
     if attn_impl == "auto":
         if fresh_prefill:
             flash_ok = (
-                T % 256 == 0
+                PREFILL_FLASH_ENABLED
+                and T % 256 == 0
                 and cfg.head_dim % 128 == 0
                 and jax.default_backend() == "tpu"
             )
