@@ -489,7 +489,25 @@ class Qwen3ASR:
         detected: list[str] = []
         # Chunks are transcribed in BATCHES of max_batch_size — the
         # reference runs them strictly sequentially (model.py:409-441).
+        # Group size is additionally bounded by the KV-cache HBM budget
+        # (a 20-min chunk needs a ~24k-slot cache ≈ 2.8 GB per sequence).
         group_size = max(1, self._runtime.max_batch_size)
+        if chunks:
+            tc = self._config.text_decoder
+            longest = max(len(c) for c in chunks)
+            frames_bucket = self._mel.bucket_for(longest)
+            slots = (
+                frames_bucket // self._config.audio_encoder.chunk_frames
+                * self._config.audio_encoder.tokens_per_chunk
+                + 32
+                + self._runtime.max_decode_slots
+            )
+            per_seq_bytes = (
+                tc.num_hidden_layers * tc.num_key_value_heads
+                * slots * tc.head_dim * 2 * 2
+            )
+            budget = int(self._runtime.kv_cache_budget_gb * 2**30)
+            group_size = max(1, min(group_size, budget // max(per_seq_bytes, 1)))
         for start in range(0, len(chunks), group_size):
             group = chunks[start : start + group_size]
             budgets = [max(256, int(len(c) / SAMPLE_RATE * 50)) for c in group]

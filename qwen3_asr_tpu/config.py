@@ -226,6 +226,14 @@ class RuntimeConfig:
     # re-layout, identical math).  Auto-disabled under tensor parallelism
     # (fused column order misaligns with head sharding).
     fuse_qkv: bool = True
+    # Cap on preallocated decode slots per sequence.  The reference's
+    # auto budget (50 tokens per audio second, model.py:311) reaches 60k
+    # for a 20-minute chunk, but its cache grows lazily; a preallocated
+    # cache must bound it.  8192 tokens ≈ 45 minutes of speech-dense
+    # transcript — far above any real 20-minute chunk.
+    max_decode_slots: int = 8192
+    # HBM budget for KV caches when sizing chunk groups (GiB).
+    kv_cache_budget_gb: float = 6.0
 
     def pick_bucket(self, value: int, buckets: tuple[int, ...]) -> int:
         for b in buckets:

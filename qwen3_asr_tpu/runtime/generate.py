@@ -316,8 +316,10 @@ class Generator:
                 f"prompt length {max_prompt_len} exceeds bucket {prompt_bucket}"
             )
         token_bucket = self.runtime.pick_bucket(
-            max_new_tokens, self.runtime.token_buckets
+            min(max_new_tokens, self.runtime.max_decode_slots),
+            self.runtime.token_buckets,
         )
+        token_bucket = min(token_bucket, self.runtime.max_decode_slots)
         return prompt_bucket, token_bucket, prompt_bucket + token_bucket
 
     @staticmethod
