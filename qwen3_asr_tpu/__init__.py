@@ -27,7 +27,9 @@ from .models.encoder import encoder_forward, init_encoder_params
 from .models.params import load_checkpoint
 from .ops.sampling import sample_logits
 from .runtime.generate import Generator
-from .tokenizer import Tokenizer, build_prompt, parse_output
+from .serving.server import TranscriptionServer
+from .tokenizer import Tokenizer, build_detect_prompt, build_prompt, parse_output
+from .utils.telemetry import RequestStats
 
 __all__ = [
     "__version__",
@@ -53,7 +55,10 @@ __all__ = [
     "load_checkpoint",
     "sample_logits",
     "Generator",
+    "TranscriptionServer",
+    "RequestStats",
     "Tokenizer",
     "build_prompt",
+    "build_detect_prompt",
     "parse_output",
 ]
