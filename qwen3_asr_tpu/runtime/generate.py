@@ -60,8 +60,14 @@ class Generator:
         self._prefill = jax.jit(
             self._prefill_impl, static_argnames=("cache_len",)
         )
+        # The KV cache (arg 1) is donated: the decode loop reuses the
+        # prefill's buffer in place instead of holding input + carry copies
+        # (2 x 2.8 GB at the 20-minute bucket — the difference between
+        # fitting and OOM on a 16 GB chip).
         self._decode = jax.jit(
-            self._decode_impl, static_argnames=("token_bucket", "mode")
+            self._decode_impl,
+            static_argnames=("token_bucket", "mode"),
+            donate_argnums=(1,),
         )
 
     # -- prefill ----------------------------------------------------------
