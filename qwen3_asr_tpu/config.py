@@ -229,9 +229,10 @@ class RuntimeConfig:
     # Cap on preallocated decode slots per sequence.  The reference's
     # auto budget (50 tokens per audio second, model.py:311) reaches 60k
     # for a 20-minute chunk, but its cache grows lazily; a preallocated
-    # cache must bound it.  8192 tokens ≈ 45 minutes of speech-dense
-    # transcript — far above any real 20-minute chunk.
-    max_decode_slots: int = 8192
+    # cache must bound it.  4096 tokens ≈ 22 minutes of speech-dense
+    # transcript — above any real 20-minute chunk, and keeps the K+V pair
+    # for a 20-min prompt bucket under ~4.6 GB.
+    max_decode_slots: int = 4096
     # HBM budget for KV caches when sizing chunk groups (GiB).
     kv_cache_budget_gb: float = 6.0
 
