@@ -111,8 +111,14 @@ def flash_attention_causal(
     group = hq // hkv
     if scale is None:
         scale = D ** -0.5
+    # Adapt tile sizes downward until they divide T (prompt buckets are
+    # multiples of 256, but not necessarily of the default 512 block_k).
     block_q = min(block_q, T)
     block_k = min(block_k, T)
+    while block_q > 128 and T % block_q:
+        block_q //= 2
+    while block_k > 128 and T % block_k:
+        block_k //= 2
     if T % block_q or T % block_k:
         raise ValueError(f"T={T} not a multiple of blocks ({block_q}, {block_k})")
     kv_tiles = T // block_k
