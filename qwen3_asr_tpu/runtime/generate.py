@@ -220,7 +220,10 @@ class Generator:
         kv, tokens, counts, done, cur, rng, _ = jax.lax.while_loop(
             cond, body, (kv, tokens, counts, done, cur, rng, jnp.int32(0))
         )
-        return tokens, counts
+        # kv is returned solely so the donated input buffer can alias an
+        # output (donation is inert without a matching output) — the caller
+        # drops it and the buffer frees immediately.
+        return tokens, counts, kv
 
     # -- public API -------------------------------------------------------
 
@@ -350,7 +353,7 @@ class Generator:
         seed: int = 0,
     ) -> list[list[int]]:
         """Run the compiled decode loop and fetch per-sequence token lists."""
-        tokens, counts = self._decode(
+        tokens, counts, _ = self._decode(
             self.params,
             kv,
             first_logits,
