@@ -188,3 +188,48 @@ def test_frame_rms_values():
     x = np.concatenate([np.zeros(480), np.ones(480)]).astype(np.float32)
     e = frame_rms(x, 480)
     np.testing.assert_allclose(e, [0.0, 1.0], atol=1e-6)
+
+
+def test_decode_wav_extensible_format():
+    """WAVE_FORMAT_EXTENSIBLE wraps the real tag in a GUID sub-chunk."""
+    audio = sine(0.1)
+    payload = audio.astype("<f4").tobytes()
+    # fmt chunk: tag 0xFFFE, cbSize=22 extension = validBits(2) +
+    # channelMask(4) + SubFormat GUID whose first 2 bytes are the real
+    # format (3 = IEEE float) — i.e. the tag sits at byte 24 of the chunk.
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, SR, SR * 4, 4, 32)
+    fmt += struct.pack("<HHI", 22, 32, 0x4) + struct.pack("<H", 3) + b"\x00" * 14
+    data = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data += b"data" + struct.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data
+    decoded, sr = _decode_wav(blob)
+    assert sr == SR
+    np.testing.assert_allclose(decoded, audio, atol=0)
+
+
+def test_decode_wav_odd_sized_chunk_alignment():
+    """Chunks are word-aligned; an odd-sized extra chunk must be skipped."""
+    audio = sine(0.05)
+    payload = audio.astype("<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, SR, SR * 4, 4, 32)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd + pad
+    data = junk + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data += b"data" + struct.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + struct.pack("<I", 4 + len(data)) + b"WAVE" + data
+    decoded, _ = _decode_wav(blob)
+    np.testing.assert_allclose(decoded, audio, atol=0)
+
+
+def test_resample_downsamples():
+    x = sine(1.0, sr=SR)
+    y = resample_linear(x, SR, 8000)
+    assert abs(len(y) - 8000) <= 1
+
+
+def test_mel_very_short_clip():
+    """Sub-second clips shorter than the FFT window must not crash."""
+    audio = sine(0.02)  # 320 samples, 2 frames
+    mel = log_mel_spectrogram_np(audio)
+    assert mel.shape == (N_MELS, 2)
+    dev = np.asarray(log_mel_spectrogram(audio))
+    np.testing.assert_allclose(dev, mel, atol=2e-3)
