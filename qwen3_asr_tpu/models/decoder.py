@@ -35,14 +35,14 @@ from ..ops.rope import rope_rotate
 
 DecoderParams = dict[str, Any]
 
-#: Route single-token decode attention through the Pallas flash-decode
-#: kernel (ops/pallas/decode_attention.py) instead of the XLA fusion.
-#: Default off: v5e A/B (docs/PERFORMANCE.md) currently measures the XLA
-#: path slightly ahead at both B=1 and B=16; the kernel stays available
-#: (QWEN3_ASR_DECODE_KERNEL=1) as the base for paged/quantized variants.
-DECODE_KERNEL_ENABLED = (
-    __import__("os").environ.get("QWEN3_ASR_DECODE_KERNEL", "0") == "1"
-)
+#: Decode attention implementation: "0" = XLA fusion (default), "1" =
+#: Pallas BlockSpec kernel (ops/pallas/decode_attention.py), "2" = Pallas
+#: manual-DMA kernel over the stacked HBM cache with block skipping
+#: (ops/pallas/decode_attention_hbm.py).  See docs/PERFORMANCE.md for the
+#: v5e A/B numbers behind the default.
+DECODE_KERNEL_MODE = __import__("os").environ.get("QWEN3_ASR_DECODE_KERNEL", "0")
+DECODE_KERNEL_ENABLED = DECODE_KERNEL_MODE == "1"
+
 
 #: Use the Pallas causal flash kernel for prefill (attn_impl="auto").
 #: QWEN3_ASR_PREFILL_FLASH=0 falls back to the XLA causal path.
@@ -297,6 +297,13 @@ def decoder_forward(
     decode_split = (
         decode_ctx is not None and T == 1 and uniform_slot and not use_decode_kernel
     )
+    use_hbm_kernel = (
+        decode_split
+        and DECODE_KERNEL_MODE == "2"
+        and jax.default_backend() == "tpu"
+        and S % 128 == 0
+        and D % 128 == 0
+    )
 
     def qkv(h, lp):
         x = rms_norm(h, lp["ln1"], eps)
@@ -342,6 +349,19 @@ def decoder_forward(
             h, layer = carry
             lp = xs
             q, k_new, v_new = qkv(h, lp)
+
+            if use_hbm_kernel:
+                from ..ops.pallas.decode_attention_hbm import decode_attention_hbm
+
+                block_k = 256 if (S % 256 == 0 and pbucket % 256 == 0) else 128
+                attn = decode_attention_hbm(
+                    q[:, :, 0, :], keys_all, values_all, k_new, v_new,
+                    layer, plen, dend, pbucket, scale=scale, block_k=block_k,
+                )[:, :, None, :]
+                attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
+                h = h + qlinear(attn, lp["wo"])
+                h = mlp(h, lp)
+                return (h, layer + 1), (k_new, v_new)
 
             kcache = jax.lax.dynamic_index_in_dim(keys_all, layer, 0, keepdims=False)
             vcache = jax.lax.dynamic_index_in_dim(values_all, layer, 0, keepdims=False)

@@ -141,3 +141,62 @@ def test_decode_attention_bf16():
         prompt_len, decode_end, Pb,
     )
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref), atol=3e-2)
+
+
+# -- decode attention v2 (HBM DMA, block skip, fused self-term) --------------
+
+from qwen3_asr_tpu.ops.pallas.decode_attention_hbm import decode_attention_hbm
+
+
+def hbm_oracle(q, kall, vall, k_new, v_new, layer, plen, dend, Pb, scale=None):
+    """Oracle: cache slots < plen | [Pb, dend) plus the fresh row."""
+    k = jnp.concatenate([kall[layer], k_new], axis=2)
+    v = jnp.concatenate([vall[layer], v_new], axis=2)
+    S = kall.shape[3]
+    slots = jnp.arange(S + 1)
+    mask = (slots[None, :] < plen[:, None]) | (
+        (slots[None, :] >= Pb) & (slots[None, :] < dend)
+    )
+    mask = mask.at[:, S].set(True)  # fresh row always attendable
+    out = sdpa(q[:, :, None, :], k, v, mask=mask[:, None, None, :], scale=scale)
+    return out[:, :, 0, :]
+
+
+@pytest.mark.parametrize("hq,hkv", [(4, 2), (16, 8)])
+def test_decode_attention_hbm_matches_oracle(hq, hkv):
+    L, B, S, D, Pb = 3, 2, 512, 128, 256
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D), jnp.float32)
+    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D), jnp.float32)
+    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D), jnp.float32)
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D), jnp.float32)
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D), jnp.float32)
+    plen = jnp.asarray([100, 250], jnp.int32)
+    layer = jnp.int32(1)
+    dend = jnp.int32(Pb + 37)
+
+    out = decode_attention_hbm(
+        q, kall, vall, k_new, v_new, layer, plen, dend, Pb,
+        block_k=128, interpret=True,
+    )
+    ref = hbm_oracle(q, kall, vall, k_new, v_new, 1, plen, dend, Pb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_decode_attention_hbm_first_step():
+    """dend == Pb: no prior decode slots, only prompt + self."""
+    L, B, hq, hkv, S, D, Pb = 2, 1, 4, 2, 256, 128, 128
+    rng = jax.random.PRNGKey(5)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D))
+    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D))
+    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D))
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D))
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D))
+    plen = jnp.asarray([90], jnp.int32)
+
+    out = decode_attention_hbm(
+        q, kall, vall, k_new, v_new, jnp.int32(0), plen, jnp.int32(Pb), Pb,
+        block_k=128, interpret=True,
+    )
+    ref = hbm_oracle(q, kall, vall, k_new, v_new, 0, plen, jnp.int32(Pb), Pb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
