@@ -35,13 +35,18 @@ from ..ops.rope import rope_rotate
 
 DecoderParams = dict[str, Any]
 
-#: Decode attention implementation: "0" = XLA fusion (default), "1" =
-#: Pallas BlockSpec kernel (ops/pallas/decode_attention.py), "2" = Pallas
-#: manual-DMA kernel over the stacked HBM cache with block skipping
-#: (ops/pallas/decode_attention_hbm.py).  See docs/PERFORMANCE.md for the
-#: v5e A/B numbers behind the default.
-DECODE_KERNEL_MODE = __import__("os").environ.get("QWEN3_ASR_DECODE_KERNEL", "0")
+#: Decode attention implementation: "auto" (default) picks the XLA fusion
+#: for short caches and the Pallas manual-DMA kernel for long ones; "0"
+#: forces XLA, "1" the BlockSpec kernel (ops/pallas/decode_attention.py),
+#: "2" the manual-DMA kernel (ops/pallas/decode_attention_hbm.py).  v5e
+#: A/B behind the policy: XLA wins at short context (batch-32 30 s clips),
+#: the manual-DMA kernel wins ~20% at a 15-minute context (block skipping
+#: + no per-layer slice copy).  See docs/PERFORMANCE.md.
+DECODE_KERNEL_MODE = __import__("os").environ.get("QWEN3_ASR_DECODE_KERNEL", "auto")
 DECODE_KERNEL_ENABLED = DECODE_KERNEL_MODE == "1"
+
+#: "auto" switches to the manual-DMA kernel at this many cache slots.
+HBM_KERNEL_MIN_SLOTS = 4096
 
 
 #: Use the Pallas causal flash kernel for prefill (attn_impl="auto").
@@ -297,9 +302,12 @@ def decoder_forward(
     decode_split = (
         decode_ctx is not None and T == 1 and uniform_slot and not use_decode_kernel
     )
+    want_hbm = DECODE_KERNEL_MODE == "2" or (
+        DECODE_KERNEL_MODE == "auto" and S >= HBM_KERNEL_MIN_SLOTS
+    )
     use_hbm_kernel = (
         decode_split
-        and DECODE_KERNEL_MODE == "2"
+        and want_hbm
         and jax.default_backend() == "tpu"
         and S % 128 == 0
         and D % 128 == 0
