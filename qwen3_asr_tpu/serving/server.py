@@ -31,8 +31,28 @@ class _Request:
     options: dict
     future: Future
 
-    def options_key(self) -> tuple:
-        return tuple(sorted(self.options.items()))
+    def batch_key(self) -> tuple:
+        """Requests batch together only with the same sampling options AND
+        a comparable audio length (same mel frame bucket) — batching a 1 s
+        clip with a 10-minute clip would pad the short one to the long
+        bucket and waste encoder/prefill compute."""
+        try:
+            import numpy as np
+
+            from ..config import DEFAULT_FRAME_BUCKETS
+
+            n = len(self.audio) if not isinstance(self.audio, (str,)) else -1
+            if n >= 0:
+                frames = int(n) // 160
+                bucket = next(
+                    (b for b in DEFAULT_FRAME_BUCKETS if frames <= b),
+                    DEFAULT_FRAME_BUCKETS[-1],
+                )
+            else:
+                bucket = -1  # file paths: length unknown without decoding
+        except Exception:  # noqa: BLE001
+            bucket = -1
+        return (bucket, tuple(sorted(self.options.items())))
 
 
 @dataclass
@@ -103,7 +123,7 @@ class TranscriptionServer:
         if first is None:
             return None
         batch = [first]
-        key = first.options_key()
+        key = first.batch_key()
         deferred: list[_Request] = []
         deadline = threading.Event()
         timer = threading.Timer(self._window_s, deadline.set)
@@ -117,7 +137,7 @@ class TranscriptionServer:
                 if req is None:
                     self._queue.put(None)  # re-post shutdown sentinel
                     break
-                if req.options_key() == key:
+                if req.batch_key() == key:
                     batch.append(req)
                 else:
                     deferred.append(req)

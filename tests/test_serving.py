@@ -69,3 +69,16 @@ def test_server_bad_clip_isolated(model):
         with pytest.raises(ValueError):
             bad.result(timeout=120)
     assert srv.stats.failures == 1
+
+
+def test_server_groups_by_length_bucket(model):
+    """Short and long clips land in separate batches (no cross-padding)."""
+    with TranscriptionServer(model, max_batch_size=4, batch_window_ms=60) as srv:
+        futs = [
+            srv.submit(sine(0.5), max_tokens=4),
+            srv.submit(sine(20.0), max_tokens=4),   # different frame bucket
+            srv.submit(sine(0.6), max_tokens=4),
+        ]
+        for f in futs:
+            assert isinstance(f.result(timeout=180), TranscriptionResult)
+    assert srv.stats.batches >= 2  # at least one split by bucket
