@@ -304,9 +304,30 @@ class Qwen3ASR:
             )
         return results
 
-    def warm_up(self) -> None:
-        """AOT-compile the smallest shape buckets with 0.5 s of silence."""
-        self.transcribe(np.zeros(SAMPLE_RATE // 2, dtype=np.float32))
+    def warm_up(
+        self,
+        durations: tuple[float, ...] = (0.5,),
+        batch_sizes: tuple[int, ...] = (1,),
+        max_tokens: int = 2,
+    ) -> None:
+        """AOT-compile shape buckets ahead of serving.
+
+        The default warms the smallest bucket (the reference's semantics:
+        one short silent clip, model.py:252-259).  Pass the durations and
+        batch sizes your deployment will see to pre-pay every compile:
+
+            model.warm_up(durations=(10.0, 30.0), batch_sizes=(1, 8))
+
+        ``max_tokens`` selects which decode-token bucket gets compiled
+        (buckets: RuntimeConfig.token_buckets); with real weights silence
+        hits EOS almost immediately, so warming a large bucket is cheap.
+        """
+        for b in batch_sizes:
+            for d in durations:
+                clips = [
+                    np.zeros(max(1, int(d * SAMPLE_RATE)), dtype=np.float32)
+                ] * b
+                self.transcribe_batch(clips, max_tokens=max_tokens)
 
     def close(self) -> None:
         """Release parameters and device buffers."""
