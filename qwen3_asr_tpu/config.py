@@ -235,6 +235,10 @@ class RuntimeConfig:
     max_decode_slots: int = 4096
     # HBM budget for KV caches when sizing chunk groups (GiB).
     kv_cache_budget_gb: float = 6.0
+    # Unroll the 28 decoder layers in the decode loop.  Static per-layer
+    # weight indices avoid the scan's traced-index weight slicing (which
+    # copies every weight each step); costs a much longer compile.
+    unroll_decode_layers: bool = False
 
     def pick_bucket(self, value: int, buckets: tuple[int, ...]) -> int:
         for b in buckets:

@@ -178,6 +178,7 @@ def decoder_forward(
     attn_mask: jax.Array | None = None,
     uniform_write: bool = False,
     decode_ctx: tuple[jax.Array, jax.Array, int] | None = None,
+    unroll_layers: bool = False,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array] | None]:
     """Run the layer stack over pre-computed input embeddings.
 
@@ -398,9 +399,26 @@ def decoder_forward(
             h = mlp(h, lp)
             return (h, layer + 1), (k_new, v_new)
 
-        (hidden, _), (k_rows, v_rows) = jax.lax.scan(
-            layer_fn, (hidden, jnp.int32(0)), params["layers"]
-        )
+        if unroll_layers:
+            # Unrolled: static per-layer indices make the weight slices
+            # zero-copy views (scan-xs slicing with a traced index copies
+            # every weight through memory each step — double HBM traffic).
+            n_layers = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+            rows_k, rows_v = [], []
+            carry = (hidden, jnp.int32(0))
+            for li in range(n_layers):
+                lp_l = jax.tree_util.tree_map(lambda x, li=li: x[li], params["layers"])
+                carry, (kr, vr) = layer_fn(carry, lp_l)
+            # layer_fn's ys are per-call; collect manually:
+                rows_k.append(kr)
+                rows_v.append(vr)
+            hidden = carry[0]
+            k_rows = jnp.stack(rows_k)
+            v_rows = jnp.stack(rows_v)
+        else:
+            (hidden, _), (k_rows, v_rows) = jax.lax.scan(
+                layer_fn, (hidden, jnp.int32(0)), params["layers"]
+            )
         # One write for all layers: rows (L, B, nkv, 1, D) at the shared slot.
         new_keys = jax.lax.dynamic_update_slice(
             keys_all, k_rows.astype(keys_all.dtype),

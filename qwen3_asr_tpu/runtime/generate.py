@@ -201,6 +201,7 @@ class Generator:
                 write_slots=jnp.full((B,), prompt_bucket + step, jnp.int32),
                 uniform_write=True,
                 decode_ctx=(prompt_len, prompt_bucket + step, prompt_bucket),
+                unroll_layers=self.runtime.unroll_decode_layers,
             )
             logits = decoder_logits(params, cfg, hidden)[:, 0]
 

@@ -159,3 +159,16 @@ def test_repetition_penalty_reduces_repeats(gen):
 
     # A huge penalty can only shorten immediate repeats.
     assert max_run(pen) <= max_run(plain)
+
+
+def test_unrolled_decode_matches_scan(gen):
+    """unroll_decode_layers is a pure compilation strategy: same tokens."""
+    from qwen3_asr_tpu.runtime.generate import Generator
+
+    rt2 = RuntimeConfig(token_buckets=(32, 64), unroll_decode_layers=True)
+    gen2 = Generator(gen.params, TINY, rt2, eos_ids=frozenset({500}))
+    feats = make_features(4, seed=12)
+    ids = prompt_for(4)
+    a = gen.generate(feats, 4, ids, max_tokens=8)
+    b = gen2.generate(feats, 4, ids, max_tokens=8)
+    assert a == b
