@@ -362,7 +362,13 @@ def decoder_forward(
             if use_hbm_kernel:
                 from ..ops.pallas.decode_attention_hbm import decode_attention_hbm
 
-                block_k = 256 if (S % 256 == 0 and pbucket % 256 == 0) else 128
+                # Biggest tile that divides both S and the prompt bucket:
+                # fewer, larger DMAs (per-transfer overhead dominates the
+                # block loop at long context).
+                block_k = next(
+                    bk for bk in (1024, 512, 256, 128)
+                    if S % bk == 0 and pbucket % bk == 0
+                )
                 attn = decode_attention_hbm(
                     q[:, :, 0, :], keys_all, values_all, k_new, v_new,
                     layer, plen, dend, pbucket, scale=scale, block_k=block_k,
