@@ -3,15 +3,21 @@
 The decode loop appends one (L, B, Hkv, 1, D) column of K/V rows per step.
 Expressed as ``jax.lax.dynamic_update_slice`` inside the while body, XLA
 refuses to alias the buffer (the cache is also read by attention earlier in
-the same iteration) and copies the ENTIRE cache — 1.4 GB and ~4 ms per
-step at batch 32 on v5e, measured by xprof as the single largest decode
-cost.  ``input_output_aliases`` lets Pallas guarantee the in-place write:
-one strided DMA drops the column into the HBM-resident cache.
+the same iteration, defeating its aliasing analysis) and copies the ENTIRE
+cache — 1.4 GB and ~4 ms per step at batch 32 on v5e, measured by xprof as
+the single largest decode cost.
+
+``input_output_aliases`` lets Pallas guarantee the in-place write.  HBM
+tiling is (8, 128) on the trailing dims, so a single row cannot be DMA'd
+directly; instead the kernel read-modify-writes the 8-row tile containing
+the slot (per layer: fetch tile -> select the new row in -> store tile).
+The neighbor rows are either already-written decode slots (rewritten
+unchanged) or not-yet-attendable future slots (garbage in, garbage out) —
+the decode region starts at a 256-aligned bucket boundary, so the tile
+never crosses into the prompt.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -19,39 +25,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(slot_ref, rows_ref, cache_ref, out_ref, sem):
-    # out_ref aliases cache_ref; write the (L, B, H, 1, D) column at slot.
+def _kernel(slot_ref, rows_ref, cache_ref, out_ref, buf, sem):
+    # out_ref aliases cache_ref; grid iterates layers.
+    layer = pl.program_id(0)
     slot = slot_ref[0]
-    dma = pltpu.make_async_copy(
-        rows_ref,
-        out_ref.at[:, :, :, pl.ds(slot, 1), :],
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    aligned = (slot // 8) * 8
+    offset = slot - aligned
+
+    tile_src = out_ref.at[layer, :, :, pl.ds(aligned, 8), :]
+    fetch = pltpu.make_async_copy(tile_src, buf, sem)
+    fetch.start()
+    fetch.wait()
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, buf.shape, 2)  # (B,H,8,D)
+    buf[...] = jnp.where(row_ids == offset, rows_ref[0], buf[...])
+
+    store = pltpu.make_async_copy(buf, tile_src, sem)
+    store.start()
+    store.wait()
 
 
 @jax.jit
 def kv_write_rows(
-    cache: jax.Array,   # (L, B, Hkv, S, D) — donated/aliased in place
+    cache: jax.Array,   # (L, B, Hkv, S, D) — aliased, updated in place
     rows: jax.Array,    # (L, B, Hkv, 1, D)
     slot: jax.Array,    # scalar int32
 ) -> jax.Array:
     """Return ``cache`` with ``rows`` written at ``slot`` (no full copy)."""
+    L, B, H, S, D = cache.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(1,),
+        grid=(L,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # rows
-            pl.BlockSpec(memory_space=pltpu.ANY),   # cache
+            pl.BlockSpec(
+                (1, B, H, 1, D), lambda l, *_: (l, 0, 0, 0, 0)
+            ),                                       # this layer's rows
+            pl.BlockSpec(memory_space=pltpu.ANY),    # cache stays in HBM
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        scratch_shapes=[
+            pltpu.VMEM((B, H, 8, D), cache.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     return pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
         grid_spec=grid_spec,
-        input_output_aliases={2: 0},  # flat input 2 (after prefetch + rows) == cache
+        input_output_aliases={2: 0},  # flat input 2 (prefetch, rows, cache)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(slot.reshape(1).astype(jnp.int32), rows.astype(cache.dtype), cache)
