@@ -303,7 +303,7 @@ def decoder_forward(
     decode_split = (
         decode_ctx is not None and T == 1 and uniform_slot and not use_decode_kernel
     )
-    want_hbm = DECODE_KERNEL_MODE == "2" or (
+    want_hbm = DECODE_KERNEL_MODE in ("2", "3") or (
         DECODE_KERNEL_MODE == "auto" and S >= HBM_KERNEL_MIN_SLOTS
     )
     use_hbm_kernel = (
@@ -360,8 +360,6 @@ def decoder_forward(
             q, k_new, v_new = qkv(h, lp)
 
             if use_hbm_kernel:
-                from ..ops.pallas.decode_attention_hbm import decode_attention_hbm
-
                 # Biggest tile that divides both S and the prompt bucket:
                 # fewer, larger DMAs (per-transfer overhead dominates the
                 # block loop at long context).
@@ -369,7 +367,15 @@ def decoder_forward(
                     bk for bk in (1024, 512, 256, 128)
                     if S % bk == 0 and pbucket % bk == 0
                 )
-                attn = decode_attention_hbm(
+                if DECODE_KERNEL_MODE == "3":
+                    from ..ops.pallas.decode_attention_hbm2 import (
+                        decode_attention_hbm2 as hbm_attn,
+                    )
+                else:
+                    from ..ops.pallas.decode_attention_hbm import (
+                        decode_attention_hbm as hbm_attn,
+                    )
+                attn = hbm_attn(
                     q[:, :, 0, :], keys_all, values_all, k_new, v_new,
                     layer, plen, dend, pbucket, scale=scale, block_k=block_k,
                 )[:, :, None, :]

@@ -200,3 +200,24 @@ def test_decode_attention_hbm_first_step():
     )
     ref = hbm_oracle(q, kall, vall, k_new, v_new, 0, plen, jnp.int32(Pb), Pb)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_decode_attention_hbm2_matches_oracle():
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm2 import decode_attention_hbm2
+
+    L, B, hq, hkv, S, D, Pb = 3, 2, 16, 8, 512, 128, 256
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D), jnp.float32)
+    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D), jnp.float32)
+    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D), jnp.float32)
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D), jnp.float32)
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D), jnp.float32)
+    plen = jnp.asarray([100, 250], jnp.int32)
+    dend = jnp.int32(Pb + 37)
+
+    out = decode_attention_hbm2(
+        q, kall, vall, k_new, v_new, jnp.int32(1), plen, dend, Pb,
+        block_k=128, interpret=True,
+    )
+    ref = hbm_oracle(q, kall, vall, k_new, v_new, 1, plen, dend, Pb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
