@@ -35,18 +35,15 @@ from ..ops.rope import rope_rotate
 
 DecoderParams = dict[str, Any]
 
-#: Decode attention implementation: "auto" (default) picks the XLA fusion
-#: for short caches and the Pallas manual-DMA kernel for long ones; "0"
-#: forces XLA, "1" the BlockSpec kernel (ops/pallas/decode_attention.py),
-#: "2" the manual-DMA kernel (ops/pallas/decode_attention_hbm.py).  v5e
-#: A/B behind the policy: XLA wins at short context (batch-32 30 s clips),
-#: the manual-DMA kernel wins ~20% at a 15-minute context (block skipping
-#: + no per-layer slice copy).  See docs/PERFORMANCE.md.
+#: Decode attention implementation.  "auto"/"3" (default) = the v3
+#: manual-DMA Pallas kernel (ops/pallas/decode_attention_hbm2.py:
+#: whole-batch-element cells, double-buffered block DMA from the stacked
+#: cache, relevant-block skip, fused self-term) — v5e A/B: batch-32 30 s
+#: clips 2.0 s vs 2.4 s XLA, 15-min clip 3.35 s vs 4.7 s XLA, B=1 at par.
+#: "2" = v2 per-(b,h)-cell variant, "1" = BlockSpec kernel, "0" = XLA
+#: fusion.  See docs/PERFORMANCE.md.
 DECODE_KERNEL_MODE = __import__("os").environ.get("QWEN3_ASR_DECODE_KERNEL", "auto")
 DECODE_KERNEL_ENABLED = DECODE_KERNEL_MODE == "1"
-
-#: "auto" switches to the manual-DMA kernel at this many cache slots.
-HBM_KERNEL_MIN_SLOTS = 4096
 
 
 #: Use the Pallas causal flash kernel for prefill (attn_impl="auto").
@@ -303,9 +300,7 @@ def decoder_forward(
     decode_split = (
         decode_ctx is not None and T == 1 and uniform_slot and not use_decode_kernel
     )
-    want_hbm = DECODE_KERNEL_MODE in ("2", "3") or (
-        DECODE_KERNEL_MODE == "auto" and S >= HBM_KERNEL_MIN_SLOTS
-    )
+    want_hbm = DECODE_KERNEL_MODE in ("2", "3", "auto")
     use_hbm_kernel = (
         decode_split
         and want_hbm
@@ -367,13 +362,13 @@ def decoder_forward(
                     bk for bk in (1024, 512, 256, 128)
                     if S % bk == 0 and pbucket % bk == 0
                 )
-                if DECODE_KERNEL_MODE == "3":
-                    from ..ops.pallas.decode_attention_hbm2 import (
-                        decode_attention_hbm2 as hbm_attn,
-                    )
-                else:
+                if DECODE_KERNEL_MODE == "2":
                     from ..ops.pallas.decode_attention_hbm import (
                         decode_attention_hbm as hbm_attn,
+                    )
+                else:
+                    from ..ops.pallas.decode_attention_hbm2 import (
+                        decode_attention_hbm2 as hbm_attn,
                     )
                 attn = hbm_attn(
                     q[:, :, 0, :], keys_all, values_all, k_new, v_new,
