@@ -60,7 +60,9 @@ def _kernel(
 
     kd, vd = dma_pair(0, 0)
     kd.start(); vd.start()
-    q = q_ref[0].astype(jnp.float32)                      # (Hkv, QPAD, D)
+    # bf16 MXU inputs with f32 accumulation — the same contract as the XLA
+    # einsum path (and no per-block f32 converts of the K/V tiles).
+    q = q_ref[0].astype(jnp.bfloat16)                     # (Hkv, QPAD, D)
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -75,7 +77,7 @@ def _kernel(
         kd.wait(); vd.wait()
         k = k_buf[slot]                                   # (Hkv, BK, D)
         s = jax.lax.dot_general(
-            q, k.astype(jnp.float32),
+            q, k.astype(jnp.bfloat16),
             (((2,), (2,)), ((0,), (0,))),                 # batch over heads
             preferred_element_type=jnp.float32,
         )                                                  # (Hkv, QPAD, BK)
@@ -94,7 +96,7 @@ def _kernel(
         )
         v = v_buf[slot]
         pv = jax.lax.dot_general(
-            p.astype(jnp.float32), v.astype(jnp.float32),
+            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                                  # (Hkv, QPAD, D)
@@ -109,8 +111,10 @@ def _kernel(
     )
     m, l, acc = jax.lax.fori_loop(0, total, body, init)
 
-    k_new = knew_ref[0, :, 0].astype(jnp.float32)          # (Hkv, D)
-    s_self = jnp.sum(q * k_new[:, None, :], axis=2, keepdims=True)  # (Hkv, QPAD, 1)
+    k_new = knew_ref[0, :, 0].astype(jnp.bfloat16)         # (Hkv, D)
+    s_self = jnp.sum(
+        (q * k_new[:, None, :]).astype(jnp.float32), axis=2, keepdims=True
+    )                                                      # (Hkv, QPAD, 1)
     m_next = jnp.maximum(m, jnp.broadcast_to(s_self, m.shape))
     alpha = jnp.exp(m - m_next)
     p_self = jnp.exp(s_self - m_next[:, :, :1])

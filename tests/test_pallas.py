@@ -220,4 +220,18 @@ def test_decode_attention_hbm2_matches_oracle():
         block_k=128, interpret=True,
     )
     ref = hbm_oracle(q, kall, vall, k_new, v_new, 1, plen, dend, Pb)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+    # v3 uses bf16 MXU inputs with f32 accumulation (the production
+    # contract — activations are bf16); vs this f32 oracle that costs
+    # ~1e-2 absolute.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2)
+
+    # And against a bf16-input oracle the agreement is tight.
+    refb = hbm_oracle(
+        q.astype(jnp.bfloat16).astype(jnp.float32),
+        kall.astype(jnp.bfloat16).astype(jnp.float32),
+        vall.astype(jnp.bfloat16).astype(jnp.float32),
+        k_new.astype(jnp.bfloat16).astype(jnp.float32),
+        v_new.astype(jnp.bfloat16).astype(jnp.float32),
+        1, plen, dend, Pb,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(refb), atol=5e-3)
