@@ -64,10 +64,11 @@ class Generator:
         # prefill's buffer in place instead of holding input + carry copies
         # (2 x 2.8 GB at the 20-minute bucket — the difference between
         # fitting and OOM on a 16 GB chip).
+        donate = (1,) if jax.default_backend() == "tpu" else ()
         self._decode = jax.jit(
             self._decode_impl,
             static_argnames=("token_bucket", "mode"),
-            donate_argnums=(1,),
+            donate_argnums=donate,
         )
 
     # -- prefill ----------------------------------------------------------
