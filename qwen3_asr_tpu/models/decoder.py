@@ -300,7 +300,7 @@ def decoder_forward(
     decode_split = (
         decode_ctx is not None and T == 1 and uniform_slot and not use_decode_kernel
     )
-    want_hbm = DECODE_KERNEL_MODE in ("2", "3", "auto")
+    want_hbm = DECODE_KERNEL_MODE in ("2", "3", "4", "auto")
     use_hbm_kernel = (
         decode_split
         and want_hbm
@@ -365,6 +365,10 @@ def decoder_forward(
                 if DECODE_KERNEL_MODE == "2":
                     from ..ops.pallas.decode_attention_hbm import (
                         decode_attention_hbm as hbm_attn,
+                    )
+                elif DECODE_KERNEL_MODE == "4":
+                    from ..ops.pallas.decode_attention_hbm3 import (
+                        decode_attention_hbm3 as hbm_attn,
                     )
                 else:
                     from ..ops.pallas.decode_attention_hbm2 import (

@@ -235,3 +235,59 @@ def test_decode_attention_hbm2_matches_oracle():
         1, plen, dend, Pb,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(refb), atol=5e-3)
+
+
+def test_decode_attention_hbm3_matches_oracle():
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm3 import decode_attention_hbm3
+
+    L, B, hq, hkv, S, D, Pb = 3, 3, 16, 8, 512, 128, 256
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D), jnp.float32)
+    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D), jnp.float32)
+    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D), jnp.float32)
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D), jnp.float32)
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D), jnp.float32)
+    plen = jnp.asarray([100, 250, 37], jnp.int32)
+    dend = jnp.int32(Pb + 37)
+
+    out = decode_attention_hbm3(
+        q, kall, vall, k_new, v_new, jnp.int32(1), plen, dend, Pb,
+        block_k=128, interpret=True,
+    )
+    ref = hbm_oracle(
+        q.astype(jnp.bfloat16).astype(jnp.float32),
+        kall.astype(jnp.bfloat16).astype(jnp.float32),
+        vall.astype(jnp.bfloat16).astype(jnp.float32),
+        k_new.astype(jnp.bfloat16).astype(jnp.float32),
+        v_new.astype(jnp.bfloat16).astype(jnp.float32),
+        1, plen, dend, Pb,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+def test_decode_attention_hbm3_batch1():
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm3 import decode_attention_hbm3
+
+    L, B, hq, hkv, S, D, Pb = 2, 1, 4, 2, 256, 128, 128
+    rng = jax.random.PRNGKey(7)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D))
+    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D))
+    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D))
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D))
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D))
+    plen = jnp.asarray([90], jnp.int32)
+    dend = jnp.int32(Pb)
+
+    out = decode_attention_hbm3(
+        q, kall, vall, k_new, v_new, jnp.int32(0), plen, dend, Pb,
+        block_k=128, interpret=True,
+    )
+    ref = hbm_oracle(
+        q.astype(jnp.bfloat16).astype(jnp.float32),
+        kall.astype(jnp.bfloat16).astype(jnp.float32),
+        vall.astype(jnp.bfloat16).astype(jnp.float32),
+        k_new.astype(jnp.bfloat16).astype(jnp.float32),
+        v_new.astype(jnp.bfloat16).astype(jnp.float32),
+        0, plen, dend, Pb,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
