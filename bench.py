@@ -33,7 +33,7 @@ _COMPILE_CACHE = os.environ.get(
 AUDIO_SECONDS = 30.0
 DECODE_TOKENS = 128
 BATCH = 32
-REPEATS = 5
+REPEATS = 8
 
 
 def log(msg: str) -> None:
