@@ -1,3 +1,3 @@
-from .generate import Generator, GenerationResult
+from .generate import Generator
 
-__all__ = ["Generator", "GenerationResult"]
+__all__ = ["Generator"]

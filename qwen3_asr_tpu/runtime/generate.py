@@ -15,8 +15,6 @@ temperature/top-k/etc. does NOT recompile.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,11 +34,6 @@ from ..tokenizer import EOS_TOKEN_IDS, PROMPT_PREFIX
 REP_WINDOW = 128
 
 _AUDIO_OFFSET = len(PROMPT_PREFIX)  # audio features start at slot 9
-
-@dataclass
-class GenerationResult:
-    tokens: list[int]           # generated ids, EOS included (reference parity)
-    n_prompt_tokens: int
 
 
 class Generator:
