@@ -22,6 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _QPAD = 8
+_NBUF = 4   # in-flight KV block buffers (prefetch depth _NBUF - 1)
 
 
 def _kernel(
@@ -32,7 +33,7 @@ def _kernel(
     knew_ref,         # (1, BH, Hkv, 1, D) VMEM
     vnew_ref,
     o_ref,            # (1, BH, Hkv, QPAD, D) VMEM (f32)
-    k_buf, v_buf,     # (2, Hkv, BK, D)
+    k_buf, v_buf,     # (NBUF, Hkv, BK, D)
     k_sems, v_sems,
     *, block_k: int, prompt_bucket: int, per_core: int,
 ):
@@ -77,9 +78,16 @@ def _kernel(
         last = i + 1 >= n_blocks(bl)
         return jnp.where(last, bl + 1, bl), jnp.where(last, 0, i + 1)
 
+    # Warm up a deeper pipeline: the first _NBUF-1 (bl, i) pairs.
     @pl.when(my_count > 0)
     def _warm():
-        start(0, 0, 0)
+        def w(n, coords):
+            bl, i = coords
+            @pl.when(bl < my_count)
+            def _():
+                start(bl, i, n)
+            return next_coords(bl, i)
+        jax.lax.fori_loop(0, _NBUF - 1, w, (0, 0))
 
     def b_loop(state):
         bl, slot = state
@@ -90,11 +98,15 @@ def _kernel(
         def blk(i, carry):
             m_prev, l_prev, acc, slot = carry
 
-            nb, ni = next_coords(bl, i)
+            # Keep _NBUF-1 blocks in flight: start the one _NBUF-1 ahead.
+            def ahead(_, coords):
+                return next_coords(*coords)
+
+            nb, ni = jax.lax.fori_loop(0, _NBUF - 1, ahead, (bl, i))
 
             @pl.when(nb < my_count)
             def _prefetch():
-                start(nb, ni, 1 - slot)
+                start(nb, ni, jax.lax.rem(slot + _NBUF - 1, _NBUF))
 
             wait(bl, i, slot)
             k = k_buf[slot]
@@ -125,7 +137,7 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )
             acc = acc * alpha[:, :, :1] + pv
-            return m_next, l_next, acc, 1 - slot
+            return m_next, l_next, acc, jax.lax.rem(slot + 1, _NBUF)
 
         hkv, _, d = q.shape
         init = (
@@ -226,10 +238,10 @@ def decode_attention_hbm3(
             (1, per_core, hkv, _QPAD, D), lambda c, *_: (c, 0, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, hkv, block_k, D), kall.dtype),
-            pltpu.VMEM((2, hkv, block_k, D), vall.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_NBUF, hkv, block_k, D), kall.dtype),
+            pltpu.VMEM((_NBUF, hkv, block_k, D), vall.dtype),
+            pltpu.SemaphoreType.DMA((_NBUF,)),
+            pltpu.SemaphoreType.DMA((_NBUF,)),
         ],
     )
     out = pl.pallas_call(
