@@ -35,13 +35,13 @@ from ..ops.rope import rope_rotate
 
 DecoderParams = dict[str, Any]
 
-#: Decode attention implementation.  "auto"/"3" (default) = the v3
-#: manual-DMA Pallas kernel (ops/pallas/decode_attention_hbm2.py:
-#: whole-batch-element cells, double-buffered block DMA from the stacked
-#: cache, relevant-block skip, fused self-term) — v5e A/B: batch-32 30 s
-#: clips 2.0 s vs 2.4 s XLA, 15-min clip 3.35 s vs 4.7 s XLA, B=1 at par.
-#: "2" = v2 per-(b,h)-cell variant, "1" = BlockSpec kernel, "0" = XLA
-#: fusion.  See docs/PERFORMANCE.md.
+#: Decode attention implementation.  "auto"/"4" (default) = the v4
+#: manual-DMA Pallas kernel (ops/pallas/decode_attention_hbm3.py: per-core
+#: pipelined (batch, block) stream, 4-buffer DMA prefetch, relevant-block
+#: skip, fused self-term) — v5e A/B: batch-32 30 s clips 1.98 s vs 2.4 s
+#: XLA, 15-min clip ~3.4 s vs 4.7 s XLA, B=1 at par.  "3" = v3
+#: whole-batch-element cells, "2" = per-(b,h) cells, "1" = BlockSpec
+#: kernel, "0" = XLA fusion.  See docs/PERFORMANCE.md.
 DECODE_KERNEL_MODE = __import__("os").environ.get("QWEN3_ASR_DECODE_KERNEL", "auto")
 DECODE_KERNEL_ENABLED = DECODE_KERNEL_MODE == "1"
 
@@ -366,13 +366,13 @@ def decoder_forward(
                     from ..ops.pallas.decode_attention_hbm import (
                         decode_attention_hbm as hbm_attn,
                     )
-                elif DECODE_KERNEL_MODE == "4":
-                    from ..ops.pallas.decode_attention_hbm3 import (
-                        decode_attention_hbm3 as hbm_attn,
-                    )
-                else:
+                elif DECODE_KERNEL_MODE == "3":
                     from ..ops.pallas.decode_attention_hbm2 import (
                         decode_attention_hbm2 as hbm_attn,
+                    )
+                else:
+                    from ..ops.pallas.decode_attention_hbm3 import (
+                        decode_attention_hbm3 as hbm_attn,
                     )
                 attn = hbm_attn(
                     q[:, :, 0, :], keys_all, values_all, k_new, v_new,
