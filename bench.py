@@ -73,8 +73,15 @@ def main() -> None:
 
     sr = 16_000
     rng = np.random.default_rng(0)
+    # PCM16 clips — the wire format of real speech audio (WAV/telephony);
+    # the int16 transport path ships half the bytes of float32 with
+    # bit-identical mel numerics (device scales x/32768 exactly).
     clips = [
-        (rng.standard_normal(int(AUDIO_SECONDS * sr)) * 0.05).astype(np.float32)
+        np.clip(
+            rng.standard_normal(int(AUDIO_SECONDS * sr)) * 0.05 * 32768.0,
+            -32768,
+            32767,
+        ).astype(np.int16)
         for _ in range(BATCH)
     ]
 

@@ -72,6 +72,20 @@ class TranscriptionResult:
     duration: float
 
 
+def _validate_samples(audio) -> np.ndarray:
+    """1-D mono samples: float32, or int16 PCM (kept as int16 so the
+    host->device transfer ships half the bytes; the device applies the
+    exact reference scaling x/32768 — audio.py:147)."""
+    arr = np.asarray(audio)
+    if arr.dtype != np.int16:
+        arr = arr.astype(np.float32)
+    if arr.ndim != 1:
+        raise ValueError(
+            f"Audio array must be 1-D (mono), got shape {arr.shape}"
+        )
+    return arr
+
+
 class Qwen3ASR:
     """Qwen3-ASR speech-to-text on TPU.
 
@@ -271,12 +285,7 @@ class Qwen3ASR:
             if isinstance(audio, (str, Path)):
                 samples_list.append(load_audio(audio))
             else:
-                arr = np.asarray(audio, dtype=np.float32)
-                if arr.ndim != 1:
-                    raise ValueError(
-                        f"Audio array must be 1-D (mono), got shape {arr.shape}"
-                    )
-                samples_list.append(arr)
+                samples_list.append(_validate_samples(audio))
 
         live = [i for i, s in enumerate(samples_list) if len(s) > 0]
         results: list[TranscriptionResult] = [
@@ -354,11 +363,7 @@ class Qwen3ASR:
         if isinstance(audio, (str, Path)):
             samples = load_audio(audio)
         else:
-            samples = np.asarray(audio, dtype=np.float32)
-            if samples.ndim != 1:
-                raise ValueError(
-                    f"Audio array must be 1-D (mono), got shape {samples.shape}"
-                )
+            samples = _validate_samples(audio)
 
         if len(samples) == 0:
             return TranscriptionResult(text="", language="Unknown", duration=0.0)
@@ -405,10 +410,22 @@ class Qwen3ASR:
         )
 
         with stage_timer(stats, "prepare"):
+            # Transport dtype: when every clip is int16 PCM the batch ships
+            # as int16 (half the bytes; device converts with the exact
+            # reference scaling).  Mixed batches upcast losslessly.
+            if all(s.dtype == np.int16 for s in samples_list):
+                transport = samples_list
+            else:
+                transport = [
+                    s.astype(np.float32) / 32768.0
+                    if s.dtype == np.int16
+                    else s
+                    for s in samples_list
+                ]
             bucket = max(self._mel.bucket_for(len(s)) for s in samples_list)
             n_valid = [len(s) // HOP_LENGTH for s in samples_list]
             padded = np.stack(
-                [_host_pad(s, bucket, N_FFT, HOP_LENGTH) for s in samples_list]
+                [_host_pad(s, bucket, N_FFT, HOP_LENGTH) for s in transport]
             )
             n_audio = [self._n_audio_tokens(v) for v in n_valid]
             prompts = [self._tokenizer.build_prompt(n, lang_name) for n in n_audio]
@@ -422,17 +439,41 @@ class Qwen3ASR:
             ids = gen.pack_prompts(prompts, prompt_bucket)
 
         with stage_timer(stats, "prefill"):
-            kv, first_logits = self._fused_prefill(
-                self._encoder_params,
-                self._decoder_params,
-                jnp.asarray(padded),
-                jnp.asarray(n_valid, jnp.int32),
-                jnp.asarray(ids),
-                jnp.asarray(n_audio, jnp.int32),
-                jnp.asarray(prompt_lens, jnp.int32),
-                bucket,
-                cache_len,
-            )
+            # The prefill runs in sub-groups dispatched back-to-back WITHOUT
+            # host syncs: the runtime then overlaps group g+1's host->device
+            # audio transfer with group g's device compute (the dev tunnel
+            # moves ~40 MB/s, so an un-overlapped batch-32 transfer costs
+            # more than the entire prefill).  Explicit device_put keeps the
+            # transfer off the backend's slow synchronous argument path
+            # (measured 1.5 s for 65 MB vs 42 ms).
+            gs = self._runtime.prefill_group_size or B
+            groups = [(lo, min(lo + gs, B)) for lo in range(0, B, gs)]
+            n_valid_np = np.asarray(n_valid, np.int32)
+            n_audio_np = np.asarray(n_audio, np.int32)
+            prompt_lens_np = np.asarray(prompt_lens, np.int32)
+            kv_parts, logit_parts = [], []
+            for lo, hi in groups:
+                kv_g, logits_g = self._fused_prefill(
+                    self._encoder_params,
+                    self._decoder_params,
+                    jax.device_put(padded[lo:hi]),
+                    jax.device_put(n_valid_np[lo:hi]),
+                    jax.device_put(ids[lo:hi]),
+                    jax.device_put(n_audio_np[lo:hi]),
+                    jax.device_put(prompt_lens_np[lo:hi]),
+                    bucket,
+                    cache_len,
+                )
+                kv_parts.append(kv_g)
+                logit_parts.append(logits_g)
+            if len(groups) == 1:
+                kv, first_logits = kv_parts[0], logit_parts[0]
+            else:
+                kv = (
+                    jnp.concatenate([k for k, _ in kv_parts], axis=1),
+                    jnp.concatenate([v for _, v in kv_parts], axis=1),
+                )
+                first_logits = jnp.concatenate(logit_parts, axis=0)
         with stage_timer(stats, "decode"):
             token_lists = gen.decode(
                 kv, first_logits, prompt_lens, list(max_tokens_list),

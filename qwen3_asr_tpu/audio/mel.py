@@ -125,7 +125,13 @@ def _mel_core(
     ``n_valid`` is the (traced) count of frames carrying real audio.
     Returns (n_mels, n_frames) float32 with invalid frames zeroed.  The
     dynamic-range clamp maxes over valid frames only, per clip.
+
+    ``padded`` may be int16 PCM: it is converted on device with the exact
+    reference scaling (x / 32768, audio.py:147) — int16 transport halves
+    the host->device payload with bit-identical results for PCM sources.
     """
+    if padded.dtype == jnp.int16:
+        padded = padded.astype(jnp.float32) * (1.0 / 32768.0)
     power = _stft_power(padded, n_fft, hop)                 # (n_freqs, n_frames)
     fb = jnp.asarray(mel_filterbank(n_fft, n_mels))
     mel = jnp.dot(fb, power, precision=jax.lax.Precision.HIGHEST)
@@ -165,6 +171,12 @@ def _mel_batch_from_padded(
     )(padded, n_valid)
 
 
+def _as_samples(audio: np.ndarray) -> np.ndarray:
+    """float32 samples, or int16 PCM passed through (device scales /32768)."""
+    arr = np.asarray(audio)
+    return arr if arr.dtype == np.int16 else arr.astype(np.float32)
+
+
 def _host_pad(audio: np.ndarray, n_frames: int, n_fft: int, hop: int) -> np.ndarray:
     """Lay out ``[reflect(pad) | audio | reflect | zeros]`` with static length.
 
@@ -176,7 +188,8 @@ def _host_pad(audio: np.ndarray, n_frames: int, n_fft: int, hop: int) -> np.ndar
     """
     pad = n_fft // 2
     buf_len = (n_frames - 1) * hop + n_fft
-    buf = np.zeros(buf_len, dtype=np.float32)
+    dtype = audio.dtype if audio.dtype in (np.int16, np.float32) else np.float32
+    buf = np.zeros(buf_len, dtype=dtype)
     n = len(audio)
     if n == 0:
         return buf
@@ -210,7 +223,7 @@ class MelFrontend:
         return self.frame_buckets[-1]
 
     def __call__(self, audio: np.ndarray) -> tuple[jax.Array, int]:
-        audio = np.asarray(audio, dtype=np.float32)
+        audio = _as_samples(audio)
         n_valid = len(audio) // HOP_LENGTH
         bucket = self.bucket_for(len(audio))
         padded = _host_pad(audio, bucket, N_FFT, HOP_LENGTH)
@@ -223,7 +236,7 @@ class MelFrontend:
         All clips are padded to the largest bucket among them so the batch
         runs as ONE device program (the serving path's shared frontend).
         """
-        audios = [np.asarray(a, dtype=np.float32) for a in audios]
+        audios = [_as_samples(a) for a in audios]
         bucket = max(self.bucket_for(len(a)) for a in audios)
         n_valid = np.array([len(a) // HOP_LENGTH for a in audios], np.int32)
         padded = np.stack(
@@ -239,7 +252,7 @@ def log_mel_spectrogram(audio: np.ndarray) -> jax.Array:
     API-parity convenience (reference exports ``log_mel_spectrogram``);
     production paths use :class:`MelFrontend` for static shapes.
     """
-    audio = np.asarray(audio, dtype=np.float32)
+    audio = _as_samples(audio)
     n_frames = max(1, len(audio) // HOP_LENGTH)
     padded = _host_pad(audio, n_frames, N_FFT, HOP_LENGTH)
     return _mel_from_padded(jnp.asarray(padded), jnp.int32(n_frames), n_frames)
@@ -250,7 +263,10 @@ def log_mel_spectrogram_np(audio: np.ndarray) -> np.ndarray:
 
     Used by golden tests to pin the device kernel to reference numerics.
     """
-    audio = np.asarray(audio, dtype=np.float32)
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16:
+        audio = audio.astype(np.float32) / 32768.0
+    audio = audio.astype(np.float32)
     window = np.hanning(N_FFT).astype(np.float32)
     pad = N_FFT // 2
     x = np.pad(audio, pad, mode="reflect")

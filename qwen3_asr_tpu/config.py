@@ -239,6 +239,11 @@ class RuntimeConfig:
     # weight indices avoid the scan's traced-index weight slicing (which
     # copies every weight each step); costs a much longer compile.
     unroll_decode_layers: bool = False
+    # Batched prefill is dispatched in sub-groups of this many sequences so
+    # the host->device audio transfer of group g+1 overlaps the device
+    # compute of group g (the dev tunnel moves ~40 MB/s; overlapping hides
+    # most of it).  0 disables grouping (one prefill for the whole batch).
+    prefill_group_size: int = 8
 
     def pick_bucket(self, value: int, buckets: tuple[int, ...]) -> int:
         for b in buckets:

@@ -291,9 +291,9 @@ class Generator:
         kv, first_logits = self._prefill(
             self.params,
             features,
-            jnp.asarray(ids),
-            jnp.asarray(n_audio_tokens, jnp.int32),
-            jnp.asarray(prompt_lens, jnp.int32),
+            jax.device_put(ids),
+            jax.device_put(np.asarray(n_audio_tokens, np.int32)),
+            jax.device_put(np.asarray(prompt_lens, np.int32)),
             cache_len,
         )
         return self.decode(
@@ -352,8 +352,10 @@ class Generator:
             self.params,
             kv,
             first_logits,
-            jnp.asarray(prompt_lens, jnp.int32),
-            jnp.asarray([min(m, token_bucket) for m in max_tokens], jnp.int32),
+            jax.device_put(np.asarray(prompt_lens, np.int32)),
+            jax.device_put(
+                np.asarray([min(m, token_bucket) for m in max_tokens], np.int32)
+            ),
             jnp.uint32(seed),
             jnp.float32(temperature),
             jnp.int32(top_k),

@@ -174,3 +174,47 @@ def test_no_nans_through_pipeline(model):
         assert isinstance(res.text, str)
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_int16_transport_matches_float32(model):
+    """int16 PCM input must produce the same transcript as its exact
+    float32 counterpart (device scales x/32768 — transport parity)."""
+    f32 = sine(1.0, 350.0)
+    pcm = np.clip(np.round(f32 * 32768.0), -32768, 32767).astype(np.int16)
+    exact_f32 = pcm.astype(np.float32) / 32768.0
+    r_pcm = model.transcribe(pcm, max_tokens=6)
+    r_f32 = model.transcribe(exact_f32, max_tokens=6)
+    assert r_pcm.text == r_f32.text
+    assert r_pcm.duration == r_f32.duration
+
+
+def test_int16_batch_and_mixed_batch(model):
+    f32 = sine(1.0, 220.0)
+    pcm = np.clip(np.round(f32 * 32768.0), -32768, 32767).astype(np.int16)
+    exact = pcm.astype(np.float32) / 32768.0
+    all_pcm = model.transcribe_batch([pcm, pcm], max_tokens=6)
+    mixed = model.transcribe_batch([pcm, exact], max_tokens=6)
+    ref = model.transcribe_batch([exact, exact], max_tokens=6)
+    assert [r.text for r in all_pcm] == [r.text for r in ref]
+    assert [r.text for r in mixed] == [r.text for r in ref]
+
+
+def test_grouped_prefill_matches_single_program():
+    """Sub-group pipelined prefill (transfer/compute overlap) must be
+    numerically identical to the one-program prefill."""
+    rt_grouped = RuntimeConfig(
+        frame_buckets=(800,), token_buckets=(16,), prefill_group_size=2
+    )
+    rt_single = RuntimeConfig(
+        frame_buckets=(800,), token_buckets=(16,), prefill_group_size=0
+    )
+    m1 = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(), runtime=rt_grouped, dtype=jnp.float32
+    )
+    m2 = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(), runtime=rt_single, dtype=jnp.float32
+    )
+    clips = [sine(1.0, 200.0 + 60 * i) for i in range(5)]  # 3 groups: 2+2+1
+    r1 = m1.transcribe_batch(clips, max_tokens=6)
+    r2 = m2.transcribe_batch(clips, max_tokens=6)
+    assert [r.text for r in r1] == [r.text for r in r2]
