@@ -32,7 +32,7 @@ _COMPILE_CACHE = os.environ.get(
 
 AUDIO_SECONDS = 30.0
 DECODE_TOKENS = 128
-BATCH = 32
+BATCH = 48
 REPEATS = 8
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import gc
 import threading
 from dataclasses import dataclass
+from functools import partial
 from pathlib import Path
 from typing import Optional
 
@@ -30,8 +31,8 @@ from .audio.mel import (
     HOP_LENGTH,
     N_FFT,
     MelFrontend,
-    _host_pad,
     _mel_core,
+    host_pad_batch,
 )
 from .config import ModelConfig, RuntimeConfig
 from .models.decoder import init_decoder_params
@@ -70,6 +71,12 @@ class TranscriptionResult:
     text: str
     language: str
     duration: float
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("lo",))
+def _write_cache_slice(full, part, lo: int):
+    """In-place (donated) batch-slice write into the full KV buffer."""
+    return jax.lax.dynamic_update_slice(full, part, (0, lo, 0, 0, 0))
 
 
 def _validate_samples(audio) -> np.ndarray:
@@ -424,9 +431,6 @@ class Qwen3ASR:
                 ]
             bucket = max(self._mel.bucket_for(len(s)) for s in samples_list)
             n_valid = [len(s) // HOP_LENGTH for s in samples_list]
-            padded = np.stack(
-                [_host_pad(s, bucket, N_FFT, HOP_LENGTH) for s in transport]
-            )
             n_audio = [self._n_audio_tokens(v) for v in n_valid]
             prompts = [self._tokenizer.build_prompt(n, lang_name) for n in n_audio]
             prompt_lens = [len(p) for p in prompts]
@@ -451,12 +455,19 @@ class Qwen3ASR:
             n_valid_np = np.asarray(n_valid, np.int32)
             n_audio_np = np.asarray(n_audio, np.int32)
             prompt_lens_np = np.asarray(prompt_lens, np.int32)
-            kv_parts, logit_parts = [], []
+            keys_full = values_full = None
+            logit_parts = []
             for lo, hi in groups:
+                # Host padding is done per group AFTER dispatching the
+                # previous one, so it overlaps device transfer/compute
+                # instead of serializing ahead of the whole batch.
+                padded_g = host_pad_batch(
+                    transport[lo:hi], bucket, N_FFT, HOP_LENGTH
+                )
                 kv_g, logits_g = self._fused_prefill(
                     self._encoder_params,
                     self._decoder_params,
-                    jax.device_put(padded[lo:hi]),
+                    jax.device_put(padded_g),
                     jax.device_put(n_valid_np[lo:hi]),
                     jax.device_put(ids[lo:hi]),
                     jax.device_put(n_audio_np[lo:hi]),
@@ -464,16 +475,28 @@ class Qwen3ASR:
                     bucket,
                     cache_len,
                 )
-                kv_parts.append(kv_g)
                 logit_parts.append(logits_g)
-            if len(groups) == 1:
-                kv, first_logits = kv_parts[0], logit_parts[0]
-            else:
-                kv = (
-                    jnp.concatenate([k for k, _ in kv_parts], axis=1),
-                    jnp.concatenate([v for _, v in kv_parts], axis=1),
-                )
-                first_logits = jnp.concatenate(logit_parts, axis=0)
+                if len(groups) == 1:
+                    keys_full, values_full = kv_g
+                elif keys_full is None:
+                    # Grow the first part to full batch width; later parts
+                    # land via donated in-place slice writes, so peak extra
+                    # memory is ONE group's cache (a concatenate would
+                    # transiently hold a second full-batch copy and OOMs
+                    # at batch >= 96).
+                    pad = ((0, 0), (0, B - kv_g[0].shape[1]), (0, 0), (0, 0), (0, 0))
+                    keys_full = jnp.pad(kv_g[0], pad)
+                    values_full = jnp.pad(kv_g[1], pad)
+                else:
+                    keys_full = _write_cache_slice(keys_full, kv_g[0], lo)
+                    values_full = _write_cache_slice(values_full, kv_g[1], lo)
+                del kv_g
+            kv = (keys_full, values_full)
+            first_logits = (
+                logit_parts[0]
+                if len(groups) == 1
+                else jnp.concatenate(logit_parts, axis=0)
+            )
         with stage_timer(stats, "decode"):
             token_lists = gen.decode(
                 kv, first_logits, prompt_lens, list(max_tokens_list),

@@ -177,6 +177,35 @@ def _as_samples(audio: np.ndarray) -> np.ndarray:
     return arr if arr.dtype == np.int16 else arr.astype(np.float32)
 
 
+def _host_pad_into(buf: np.ndarray, audio: np.ndarray, n_fft: int) -> None:
+    """Fill ``buf`` with ``[reflect(pad) | audio | reflect | zeros]`` in place."""
+    pad = n_fft // 2
+    buf_len = len(buf)
+    n = len(audio)
+    if n == 0:
+        return
+    if n == 1:
+        buf[pad] = audio[0]
+        return
+    if n <= pad:
+        # Tiny clip: np.pad wraps the reflection multiple times; defer to it.
+        reflected = np.pad(audio, pad, mode="reflect")
+        take = min(len(reflected), buf_len)
+        buf[:take] = reflected[:take]
+        return
+    # Head: reflect(audio[1..pad]) reversed; body: the signal; tail: the
+    # trailing reflection — written piecewise, no intermediate copy of the
+    # whole padded signal (np.pad costs ~10 ms/clip at 30 s x batch 32).
+    head = min(pad, n - 1)
+    buf[pad - head : pad] = audio[1 : head + 1][::-1]
+    body_take = min(n, buf_len - pad)
+    buf[pad : pad + body_take] = audio[:body_take]
+    tail_start = pad + n
+    tail_len = min(buf_len - tail_start, n - 1, pad)
+    if tail_len > 0:
+        buf[tail_start : tail_start + tail_len] = audio[n - 2 : n - 2 - tail_len : -1]
+
+
 def _host_pad(audio: np.ndarray, n_frames: int, n_fft: int, hop: int) -> np.ndarray:
     """Lay out ``[reflect(pad) | audio | reflect | zeros]`` with static length.
 
@@ -186,20 +215,26 @@ def _host_pad(audio: np.ndarray, n_frames: int, n_fft: int, hop: int) -> np.ndar
     valid frame ends at sample len(audio) + n_fft - hop, always inside the
     reflected region.)
     """
-    pad = n_fft // 2
     buf_len = (n_frames - 1) * hop + n_fft
     dtype = audio.dtype if audio.dtype in (np.int16, np.float32) else np.float32
     buf = np.zeros(buf_len, dtype=dtype)
-    n = len(audio)
-    if n == 0:
-        return buf
-    if n == 1:
-        buf[pad] = audio[0]
-        return buf
-    reflected = np.pad(audio, pad, mode="reflect")
-    take = min(len(reflected), buf_len)
-    buf[:take] = reflected[:take]
+    _host_pad_into(buf, audio, n_fft)
     return buf
+
+
+def host_pad_batch(
+    audios: list[np.ndarray], n_frames: int, n_fft: int, hop: int
+) -> np.ndarray:
+    """(B, L) padded batch written directly into one buffer (no np.stack).
+
+    All clips must share a dtype (the caller normalizes mixed batches).
+    """
+    buf_len = (n_frames - 1) * hop + n_fft
+    dtype = audios[0].dtype if audios[0].dtype in (np.int16, np.float32) else np.float32
+    out = np.zeros((len(audios), buf_len), dtype=dtype)
+    for row, a in zip(out, audios):
+        _host_pad_into(row, a, n_fft)
+    return out
 
 
 class MelFrontend:

@@ -200,7 +200,7 @@ DEFAULT_FRAME_BUCKETS: tuple[int, ...] = (
 )
 
 # Decode-step buckets for the autoregressive token budget.
-DEFAULT_TOKEN_BUCKETS: tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+DEFAULT_TOKEN_BUCKETS: tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
 
 @dataclass

@@ -35,15 +35,16 @@ from ..ops.rope import rope_rotate
 
 DecoderParams = dict[str, Any]
 
-#: Decode attention implementation.  "auto"/"4" (default) = the v4
-#: manual-DMA Pallas kernel (ops/pallas/decode_attention_hbm3.py: per-core
-#: pipelined (batch, block) stream, 4-buffer DMA prefetch, relevant-block
-#: skip, fused self-term) — v5e A/B: batch-32 30 s clips 1.98 s vs 2.4 s
-#: XLA, 15-min clip ~3.4 s vs 4.7 s XLA, B=1 at par.  "3" = v3
-#: whole-batch-element cells, "2" = per-(b,h) cells, "1" = BlockSpec
-#: kernel, "0" = XLA fusion.  See docs/PERFORMANCE.md.
+#: Decode attention implementation.  "auto"/"5" (default) = the v5
+#: dual-granularity manual-DMA Pallas kernel (decode_attention_hbm4.py:
+#: per-core pipelined (batch, block) stream, 4-buffer DMA prefetch, large
+#: prompt blocks + 128-row decode blocks, fused self-term) — measured at
+#: the HBM bandwidth bound (~89% of peak) on v5e.  "4" = v4 uniform-block
+#: kernel (same speed where its S-tiling constraint holds), "3" = v3
+#: whole-batch-element cells, "0" = XLA fusion.  Superseded modes 1-2
+#: (BlockSpec grid / per-(b,h) cells) were deleted in round 2; their
+#: negative results are recorded in docs/PERFORMANCE.md.
 DECODE_KERNEL_MODE = __import__("os").environ.get("QWEN3_ASR_DECODE_KERNEL", "auto")
-DECODE_KERNEL_ENABLED = DECODE_KERNEL_MODE == "1"
 
 
 #: Use the Pallas causal flash kernel for prefill (attn_impl="auto").
@@ -251,15 +252,7 @@ def decoder_forward(
     eps = cfg.rms_norm_eps
     scale = D ** -0.5
 
-    use_decode_kernel = (
-        DECODE_KERNEL_ENABLED
-        and decode_ctx is not None
-        and T == 1
-        and jax.default_backend() == "tpu"
-        and S % 128 == 0
-        and D % 128 == 0
-    )
-    if attn_mask is None and decode_ctx is not None and not use_decode_kernel:
+    if attn_mask is None and decode_ctx is not None:
         plen, dend, pbucket = decode_ctx
         slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
         attn_mask = (slot_ids < plen[:, None, None, None]) | (
@@ -297,10 +290,8 @@ def decoder_forward(
     # closed over — no per-layer traced-index writes, which lower to
     # expensive scatters) and the step's 28 new K/V rows are written by ONE
     # dynamic_update_slice after the scan.
-    decode_split = (
-        decode_ctx is not None and T == 1 and uniform_slot and not use_decode_kernel
-    )
-    want_hbm = DECODE_KERNEL_MODE in ("2", "3", "4", "auto")
+    decode_split = decode_ctx is not None and T == 1 and uniform_slot
+    want_hbm = DECODE_KERNEL_MODE in ("3", "4", "5", "auto")
     use_hbm_kernel = (
         decode_split
         and want_hbm
@@ -355,29 +346,40 @@ def decoder_forward(
             q, k_new, v_new = qkv(h, lp)
 
             if use_hbm_kernel:
-                # Biggest tile that divides both S and the prompt bucket:
-                # fewer, larger DMAs (per-transfer overhead dominates the
-                # block loop at long context).
-                block_k = next(
-                    bk for bk in (1024, 512, 256, 128)
-                    if S % bk == 0 and pbucket % bk == 0
-                )
-                if DECODE_KERNEL_MODE == "2":
-                    from ..ops.pallas.decode_attention_hbm import (
-                        decode_attention_hbm as hbm_attn,
-                    )
-                elif DECODE_KERNEL_MODE == "3":
+                if DECODE_KERNEL_MODE == "3":
                     from ..ops.pallas.decode_attention_hbm2 import (
                         decode_attention_hbm2 as hbm_attn,
                     )
-                else:
+                elif DECODE_KERNEL_MODE == "4":
                     from ..ops.pallas.decode_attention_hbm3 import (
                         decode_attention_hbm3 as hbm_attn,
                     )
-                attn = hbm_attn(
-                    q[:, :, 0, :], keys_all, values_all, k_new, v_new,
-                    layer, plen, dend, pbucket, scale=scale, block_k=block_k,
-                )[:, :, None, :]
+                else:
+                    hbm_attn = None
+                if hbm_attn is None and pbucket % 128 == 0 and (S - pbucket) % 128 == 0:
+                    from ..ops.pallas.decode_attention_hbm4 import (
+                        decode_attention_hbm4,
+                    )
+
+                    attn = decode_attention_hbm4(
+                        q[:, :, 0, :], keys_all, values_all, k_new, v_new,
+                        layer, plen, dend, pbucket, scale=scale,
+                    )[:, :, None, :]
+                else:
+                    if hbm_attn is None:
+                        from ..ops.pallas.decode_attention_hbm3 import (
+                            decode_attention_hbm3 as hbm_attn,
+                        )
+                    # Biggest tile that divides both S and the prompt
+                    # bucket: fewer, larger DMAs.
+                    block_k = next(
+                        bk for bk in (1024, 512, 256, 128)
+                        if S % bk == 0 and pbucket % bk == 0
+                    )
+                    attn = hbm_attn(
+                        q[:, :, 0, :], keys_all, values_all, k_new, v_new,
+                        layer, plen, dend, pbucket, scale=scale, block_k=block_k,
+                    )[:, :, None, :]
                 attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
                 h = h + qlinear(attn, lp["wo"])
                 h = mlp(h, lp)
@@ -503,17 +505,7 @@ def decoder_forward(
         else:
             kcache = jax.lax.dynamic_index_in_dim(kall, layer, 0, keepdims=False)
             vcache = jax.lax.dynamic_index_in_dim(vall, layer, 0, keepdims=False)
-            if use_decode_kernel:
-                from ..ops.pallas.decode_attention import decode_attention
-
-                plen, dend, pbucket = decode_ctx
-                block_k = 256 if S % 256 == 0 else 128
-                attn = decode_attention(
-                    q[:, :, 0, :], kcache, vcache, plen, dend, pbucket,
-                    scale=scale, block_k=block_k,
-                )[:, :, None, :]
-            else:
-                attn = sdpa(q, kcache, vcache, mask=attn_mask, scale=scale)
+            attn = sdpa(q, kcache, vcache, mask=attn_mask, scale=scale)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
         h = h + qlinear(attn, lp["wo"])
         h = mlp(h, lp)

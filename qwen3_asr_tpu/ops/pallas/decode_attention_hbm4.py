@@ -1,14 +1,19 @@
-"""Flash-decode attention v4: fully pipelined (batch, block) stream.
+"""Flash-decode attention v5: dual-granularity pipelined (batch, block) stream.
 
-v3 (decode_attention_hbm2) serializes one grid cell per batch element, so
-its fixed per-cell costs (DMA issue latency, small-op overhead) multiply by
-B.  Here the grid is just the TensorCores; each core owns a contiguous half
-of the batch and walks it in ONE software-pipelined loop over
-(batch element, KV block) pairs with the next block's DMA always in flight
-— including across batch-element boundaries, where v3 stalls.
+v4 (decode_attention_hbm3) tiles the whole cache with ONE block size that
+must divide both S and the prompt bucket, so a 512+256 cache forces 256-row
+blocks and every step reads the full cache even when only ~60% of the rows
+are valid.  Here the prompt region is tiled with the largest block that
+divides the prompt bucket (up to 512 rows — fewer, bigger DMAs) and the
+decode region with 128-row blocks (so early decode steps read at most 127
+wasted rows instead of block_k-1), cutting HBM traffic by the
+invalid-to-valid ratio.  Decode blocks are processed on a statically
+sliced sub-buffer, so stale rows beyond the DMA are never read.
 
-Same math as v2/v3: two-interval mask over the stacked cache, online
-softmax in f32, bf16 MXU inputs, fused fresh-token self-term.
+Same math as v4: two-interval mask over the stacked (L, B, Hkv, S, D)
+cache, online softmax in f32, bf16 MXU inputs, fused fresh-token
+self-term; per-core software-pipelined (batch element, block) walk with
+_NBUF-1 DMAs always in flight.
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _QPAD = 8
 _NBUF = 4   # in-flight KV block buffers (prefetch depth _NBUF - 1)
+_BLOCK_D = 128
 
 
 def _kernel(
@@ -33,62 +39,99 @@ def _kernel(
     knew_ref,         # (1, BH, Hkv, 1, D) VMEM
     vnew_ref,
     o_ref,            # (1, BH, Hkv, QPAD, D) VMEM (f32)
-    k_buf, v_buf,     # (NBUF, Hkv, BK, D)
+    k_buf, v_buf,     # (NBUF, Hkv, BP, D)
     k_sems, v_sems,
-    *, block_k: int, prompt_bucket: int, per_core: int, b_pad: int,
+    *, block_p: int, prompt_bucket: int, per_core: int, b_pad: int,
 ):
     core = pl.program_id(0)
     layer = layer_ref[0]
     dend = decode_end_ref[0]
     my_count = count_ref[core]           # live batch elements on this core
     base = core * per_core
-    first_decode = prompt_bucket // block_k
-    n_decode = pl.cdiv(dend - prompt_bucket, block_k)
+    n_decode = pl.cdiv(dend - prompt_bucket, _BLOCK_D)
 
     def plen_of(bl):
-        # Clamp: the pipeline lookahead walks (bl, i) past the last live
-        # batch element; the guarded prefetch never uses the result, but
-        # the SMEM read itself must stay in bounds.
+        # Clamp: pipeline lookahead walks (bl, i) past the last live batch
+        # element; the guarded prefetch never uses the result, but the SMEM
+        # read itself must stay in bounds.
         return prompt_len_ref[jnp.minimum(base + bl, b_pad - 1)]
 
-    def n_blocks(bl):
-        return pl.cdiv(plen_of(bl), block_k) + n_decode
+    def n_prompt(bl):
+        return pl.cdiv(plen_of(bl), block_p)
 
-    def block_index(bl, i):
-        n_prompt = pl.cdiv(plen_of(bl), block_k)
-        return jnp.where(i < n_prompt, i, first_decode + (i - n_prompt))
+    def n_blocks(bl):
+        return n_prompt(bl) + n_decode
+
+    def coords(bl, i):
+        """(is_prompt, row_offset) of block i of batch element bl."""
+        np_b = n_prompt(bl)
+        is_p = i < np_b
+        off = jnp.where(
+            is_p, i * block_p, prompt_bucket + (i - np_b) * _BLOCK_D
+        )
+        # Both branches are multiples of _BLOCK_D; the `where` hides that
+        # from Mosaic's divisibility analysis, so restate it.
+        return is_p, pl.multiple_of(off, _BLOCK_D)
 
     def start(bl, i, slot):
-        bi = block_index(bl, i)
-        pltpu.make_async_copy(
-            kall_ref.at[layer, base + bl, :, pl.ds(bi * block_k, block_k), :],
-            k_buf.at[slot], k_sems.at[slot],
-        ).start()
-        pltpu.make_async_copy(
-            vall_ref.at[layer, base + bl, :, pl.ds(bi * block_k, block_k), :],
-            v_buf.at[slot], v_sems.at[slot],
-        ).start()
+        is_p, off = coords(bl, i)
+
+        @pl.when(is_p)
+        def _():
+            pltpu.make_async_copy(
+                kall_ref.at[layer, base + bl, :, pl.ds(off, block_p), :],
+                k_buf.at[slot], k_sems.at[slot],
+            ).start()
+            pltpu.make_async_copy(
+                vall_ref.at[layer, base + bl, :, pl.ds(off, block_p), :],
+                v_buf.at[slot], v_sems.at[slot],
+            ).start()
+
+        @pl.when(jnp.logical_not(is_p))
+        def _():
+            pltpu.make_async_copy(
+                kall_ref.at[layer, base + bl, :, pl.ds(off, _BLOCK_D), :],
+                k_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], k_sems.at[slot],
+            ).start()
+            pltpu.make_async_copy(
+                vall_ref.at[layer, base + bl, :, pl.ds(off, _BLOCK_D), :],
+                v_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], v_sems.at[slot],
+            ).start()
 
     def wait(bl, i, slot):
-        bi = block_index(bl, i)
-        pltpu.make_async_copy(
-            kall_ref.at[layer, base + bl, :, pl.ds(bi * block_k, block_k), :],
-            k_buf.at[slot], k_sems.at[slot],
-        ).wait()
-        pltpu.make_async_copy(
-            vall_ref.at[layer, base + bl, :, pl.ds(bi * block_k, block_k), :],
-            v_buf.at[slot], v_sems.at[slot],
-        ).wait()
+        is_p, off = coords(bl, i)
+
+        @pl.when(is_p)
+        def _():
+            pltpu.make_async_copy(
+                kall_ref.at[layer, base + bl, :, pl.ds(off, block_p), :],
+                k_buf.at[slot], k_sems.at[slot],
+            ).wait()
+            pltpu.make_async_copy(
+                vall_ref.at[layer, base + bl, :, pl.ds(off, block_p), :],
+                v_buf.at[slot], v_sems.at[slot],
+            ).wait()
+
+        @pl.when(jnp.logical_not(is_p))
+        def _():
+            pltpu.make_async_copy(
+                kall_ref.at[layer, base + bl, :, pl.ds(off, _BLOCK_D), :],
+                k_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], k_sems.at[slot],
+            ).wait()
+            pltpu.make_async_copy(
+                vall_ref.at[layer, base + bl, :, pl.ds(off, _BLOCK_D), :],
+                v_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], v_sems.at[slot],
+            ).wait()
 
     def next_coords(bl, i):
         last = i + 1 >= n_blocks(bl)
         return jnp.where(last, bl + 1, bl), jnp.where(last, 0, i + 1)
 
-    # Warm up a deeper pipeline: the first _NBUF-1 (bl, i) pairs.
+    # Warm up the pipeline: the first _NBUF-1 (bl, i) pairs.
     @pl.when(my_count > 0)
     def _warm():
-        def w(n, coords):
-            bl, i = coords
+        def w(n, c):
+            bl, i = c
             @pl.when(bl < my_count)
             def _():
                 start(bl, i, n)
@@ -97,36 +140,21 @@ def _kernel(
 
     def b_loop(state):
         bl, slot = state
-        plen = prompt_len_ref[base + bl]
+        plen = plen_of(bl)
         total_b = n_blocks(bl)
         q = q_ref[0, bl].astype(jnp.bfloat16)             # (Hkv, QPAD, D)
+        hkv, _, d = q.shape
 
-        def blk(i, carry):
-            m_prev, l_prev, acc, slot = carry
-
-            # Keep _NBUF-1 blocks in flight: start the one _NBUF-1 ahead.
-            def ahead(_, coords):
-                return next_coords(*coords)
-
-            nb, ni = jax.lax.fori_loop(0, _NBUF - 1, ahead, (bl, i))
-
-            @pl.when(nb < my_count)
-            def _prefetch():
-                start(nb, ni, jax.lax.rem(slot + _NBUF - 1, _NBUF))
-
-            wait(bl, i, slot)
-            k = k_buf[slot]
+        def tile_update(carry, k, v, off, width):
+            """Online-softmax update over one (Hkv, width, D) tile."""
+            m_prev, l_prev, acc = carry
             s = jax.lax.dot_general(
                 q, k.astype(jnp.bfloat16),
                 (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )                                              # (Hkv, QPAD, BK)
-
-            bi = block_index(bl, i)
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + bi * block_k
-            valid = (cols < plen) | (
-                (cols >= prompt_bucket) & (cols < dend)
-            )
+            )                                              # (Hkv, QPAD, width)
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + off
+            valid = (cols < plen) | ((cols >= prompt_bucket) & (cols < dend))
             s = jnp.where(valid, s, _MASK_VALUE)
 
             m_tile = jnp.max(s, axis=2, keepdims=True)
@@ -136,16 +164,46 @@ def _kernel(
             l_next = alpha * l_prev + jnp.broadcast_to(
                 jnp.sum(p, axis=2, keepdims=True), l_prev.shape
             )
-            v = v_buf[slot]
             pv = jax.lax.dot_general(
                 p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
                 (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            acc = acc * alpha[:, :, :1] + pv
-            return m_next, l_next, acc, jax.lax.rem(slot + 1, _NBUF)
+            return m_next, l_next, acc * alpha[:, :, :1] + pv
 
-        hkv, _, d = q.shape
+        def blk(i, carry):
+            m_prev, l_prev, acc, slot = carry
+
+            # Keep _NBUF-1 blocks in flight: start the one _NBUF-1 ahead.
+            def ahead(_, c):
+                return next_coords(*c)
+
+            nb, ni = jax.lax.fori_loop(0, _NBUF - 1, ahead, (bl, i))
+
+            @pl.when(nb < my_count)
+            def _prefetch():
+                start(nb, ni, jax.lax.rem(slot + _NBUF - 1, _NBUF))
+
+            wait(bl, i, slot)
+            is_p, off = coords(bl, i)
+
+            def on_prompt(c):
+                return tile_update(c, k_buf[slot], v_buf[slot], off, block_p)
+
+            def on_decode(c):
+                return tile_update(
+                    c,
+                    k_buf[slot, :, : _BLOCK_D, :],
+                    v_buf[slot, :, : _BLOCK_D, :],
+                    off,
+                    _BLOCK_D,
+                )
+
+            m, l, acc = jax.lax.cond(
+                is_p, on_prompt, on_decode, (m_prev, l_prev, acc)
+            )
+            return m, l, acc, jax.lax.rem(slot + 1, _NBUF)
+
         init = (
             jnp.full((hkv, _QPAD, 128), -jnp.inf, jnp.float32),
             jnp.zeros((hkv, _QPAD, 128), jnp.float32),
@@ -176,9 +234,9 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("prompt_bucket", "scale", "block_k", "interpret"),
+    static_argnames=("prompt_bucket", "scale", "block_p", "interpret"),
 )
-def decode_attention_hbm3(
+def decode_attention_hbm4(
     q: jax.Array,            # (B, Hq, D)
     kall: jax.Array,         # (L, B, Hkv, S, D)
     vall: jax.Array,
@@ -189,20 +247,29 @@ def decode_attention_hbm3(
     decode_end: jax.Array,
     prompt_bucket: int,
     scale: float | None = None,
-    block_k: int = 512,
+    block_p: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """As v3 but with a per-core fully pipelined (batch, block) stream."""
+    """Dual-granularity flash-decode over the stacked KV cache.
+
+    Requires ``prompt_bucket % block_p == 0`` and a decode region
+    (``S - prompt_bucket``) that is a multiple of 128.
+    """
     B, hq, D = q.shape
     hkv, S = kall.shape[2], kall.shape[3]
     group = hq // hkv
     if scale is None:
         scale = D ** -0.5
-    block_k = min(block_k, S)
-    while block_k > 128 and (S % block_k or prompt_bucket % block_k):
-        block_k //= 2
-    if S % block_k or prompt_bucket % block_k:
-        raise ValueError(f"S={S}/Pb={prompt_bucket} not tileable by {block_k}")
+    if block_p is None:
+        block_p = next(
+            bp for bp in (512, 256, 128) if prompt_bucket % bp == 0
+        )
+    if prompt_bucket % block_p:
+        raise ValueError(f"prompt_bucket={prompt_bucket} not tileable by {block_p}")
+    if (S - prompt_bucket) % _BLOCK_D:
+        raise ValueError(
+            f"decode region {S - prompt_bucket} not a multiple of {_BLOCK_D}"
+        )
 
     cores = 2 if B > 1 else 1
     per_core = -(-B // cores)
@@ -244,8 +311,8 @@ def decode_attention_hbm3(
             (1, per_core, hkv, _QPAD, D), lambda c, *_: (c, 0, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((_NBUF, hkv, block_k, D), kall.dtype),
-            pltpu.VMEM((_NBUF, hkv, block_k, D), vall.dtype),
+            pltpu.VMEM((_NBUF, hkv, block_p, D), kall.dtype),
+            pltpu.VMEM((_NBUF, hkv, block_p, D), vall.dtype),
             pltpu.SemaphoreType.DMA((_NBUF,)),
             pltpu.SemaphoreType.DMA((_NBUF,)),
         ],
@@ -253,7 +320,7 @@ def decode_attention_hbm3(
     out = pl.pallas_call(
         functools.partial(
             _kernel,
-            block_k=block_k,
+            block_p=block_p,
             prompt_bucket=prompt_bucket,
             per_core=per_core,
             b_pad=b_pad,

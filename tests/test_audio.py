@@ -233,3 +233,31 @@ def test_mel_very_short_clip():
     assert mel.shape == (N_MELS, 2)
     dev = np.asarray(log_mel_spectrogram(audio))
     np.testing.assert_allclose(dev, mel, atol=2e-3)
+
+
+def test_host_pad_piecewise_matches_np_pad():
+    """The in-place piecewise reflect fill must equal np.pad(..., 'reflect')
+    for every regime: tiny (multi-wrap), short, exact, and bucket-padded."""
+    from qwen3_asr_tpu.audio.mel import _host_pad, host_pad_batch
+
+    rng = np.random.default_rng(7)
+    for n in (2, 5, 199, 200, 201, 400, 4000, 16000, 16123):
+        audio = rng.standard_normal(n).astype(np.float32)
+        n_frames = max(1, n // 160)
+        buf_len = (n_frames - 1) * 160 + 400
+        ref = np.zeros(buf_len, np.float32)
+        reflected = np.pad(audio, 200, mode="reflect")
+        take = min(len(reflected), buf_len)
+        ref[:take] = reflected[:take]
+        got = _host_pad(audio, n_frames, 400, 160)
+        np.testing.assert_array_equal(got, ref, err_msg=f"n={n}")
+
+    # batched path, int16 dtype preserved
+    clips = [
+        (rng.standard_normal(16000) * 4000).astype(np.int16),
+        (rng.standard_normal(8000) * 4000).astype(np.int16),
+    ]
+    out = host_pad_batch(clips, 100, 400, 160)
+    assert out.dtype == np.int16
+    for row, c in zip(out, clips):
+        np.testing.assert_array_equal(row, _host_pad(c, 100, 400, 160))

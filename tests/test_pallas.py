@@ -74,78 +74,8 @@ def test_flash_is_causal():
     )
 
 
-# -- decode attention kernel ------------------------------------------------
-
-from qwen3_asr_tpu.ops.pallas.decode_attention import decode_attention
-
-
-def decode_oracle(q, k, v, prompt_len, decode_end, prompt_bucket, scale=None):
-    B, hq, D = q.shape
-    S = k.shape[2]
-    slots = jnp.arange(S)
-    mask = (slots[None, :] < prompt_len[:, None]) | (
-        (slots[None, :] >= prompt_bucket) & (slots[None, :] <= decode_end)
-    )
-    out = sdpa(q[:, :, None, :], k, v, mask=mask[:, None, None, :], scale=scale)
-    return out[:, :, 0, :]
-
-
-@pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 4), (16, 8)])
-def test_decode_attention_matches_oracle(hq, hkv):
-    B, S, D, Pb = 2, 512, 128, 256
-    rng = jax.random.PRNGKey(0)
-    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D), jnp.float32)
-    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, hkv, S, D), jnp.float32)
-    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, hkv, S, D), jnp.float32)
-    prompt_len = jnp.asarray([100, 250], jnp.int32)
-    decode_end = jnp.int32(Pb + 37)
-
-    out = decode_attention(
-        q, k, v, prompt_len, decode_end, Pb, block_k=128, interpret=True
-    )
-    ref = decode_oracle(q, k, v, prompt_len, decode_end, Pb)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
-
-
-def test_decode_attention_skipped_blocks_are_ignored():
-    """Garbage in masked regions (padded prompt tail, future decode slots)
-    must not change the output."""
-    B, hq, hkv, S, D, Pb = 1, 4, 2, 512, 128, 256
-    rng = jax.random.PRNGKey(9)
-    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D))
-    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, hkv, S, D))
-    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, hkv, S, D))
-    prompt_len = jnp.asarray([90], jnp.int32)
-    decode_end = jnp.int32(Pb + 10)
-
-    out_a = decode_attention(q, k, v, prompt_len, decode_end, Pb, block_k=128, interpret=True)
-    k2 = k.at[:, :, 90:256].set(55.0).at[:, :, Pb + 11 :].set(-44.0)
-    v2 = v.at[:, :, 90:256].set(-55.0).at[:, :, Pb + 11 :].set(44.0)
-    out_b = decode_attention(q, k2, v2, prompt_len, decode_end, Pb, block_k=128, interpret=True)
-    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
-
-
-def test_decode_attention_bf16():
-    B, hq, hkv, S, D, Pb = 1, 16, 8, 256, 128, 128
-    rng = jax.random.PRNGKey(11)
-    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D)).astype(jnp.bfloat16)
-    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, hkv, S, D)).astype(jnp.bfloat16)
-    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, hkv, S, D)).astype(jnp.bfloat16)
-    prompt_len = jnp.asarray([64], jnp.int32)
-    decode_end = jnp.int32(140)
-
-    out = decode_attention(q, k, v, prompt_len, decode_end, Pb, block_k=128, interpret=True)
-    assert out.dtype == jnp.bfloat16
-    ref = decode_oracle(
-        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
-        prompt_len, decode_end, Pb,
-    )
-    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref), atol=3e-2)
-
-
 # -- decode attention v2 (HBM DMA, block skip, fused self-term) --------------
 
-from qwen3_asr_tpu.ops.pallas.decode_attention_hbm import decode_attention_hbm
 
 
 def hbm_oracle(q, kall, vall, k_new, v_new, layer, plen, dend, Pb, scale=None):
@@ -160,46 +90,6 @@ def hbm_oracle(q, kall, vall, k_new, v_new, layer, plen, dend, Pb, scale=None):
     mask = mask.at[:, S].set(True)  # fresh row always attendable
     out = sdpa(q[:, :, None, :], k, v, mask=mask[:, None, None, :], scale=scale)
     return out[:, :, 0, :]
-
-
-@pytest.mark.parametrize("hq,hkv", [(4, 2), (16, 8)])
-def test_decode_attention_hbm_matches_oracle(hq, hkv):
-    L, B, S, D, Pb = 3, 2, 512, 128, 256
-    rng = jax.random.PRNGKey(0)
-    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D), jnp.float32)
-    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D), jnp.float32)
-    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D), jnp.float32)
-    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D), jnp.float32)
-    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D), jnp.float32)
-    plen = jnp.asarray([100, 250], jnp.int32)
-    layer = jnp.int32(1)
-    dend = jnp.int32(Pb + 37)
-
-    out = decode_attention_hbm(
-        q, kall, vall, k_new, v_new, layer, plen, dend, Pb,
-        block_k=128, interpret=True,
-    )
-    ref = hbm_oracle(q, kall, vall, k_new, v_new, 1, plen, dend, Pb)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
-
-
-def test_decode_attention_hbm_first_step():
-    """dend == Pb: no prior decode slots, only prompt + self."""
-    L, B, hq, hkv, S, D, Pb = 2, 1, 4, 2, 256, 128, 128
-    rng = jax.random.PRNGKey(5)
-    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D))
-    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D))
-    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D))
-    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D))
-    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D))
-    plen = jnp.asarray([90], jnp.int32)
-
-    out = decode_attention_hbm(
-        q, kall, vall, k_new, v_new, jnp.int32(0), plen, jnp.int32(Pb), Pb,
-        block_k=128, interpret=True,
-    )
-    ref = hbm_oracle(q, kall, vall, k_new, v_new, 0, plen, jnp.int32(Pb), Pb)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
 def test_decode_attention_hbm2_matches_oracle():
@@ -291,3 +181,89 @@ def test_decode_attention_hbm3_batch1():
         0, plen, dend, Pb,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+def _bf16_oracle(q, kall, vall, k_new, v_new, layer, plen, dend, Pb):
+    return hbm_oracle(
+        q.astype(jnp.bfloat16).astype(jnp.float32),
+        kall.astype(jnp.bfloat16).astype(jnp.float32),
+        vall.astype(jnp.bfloat16).astype(jnp.float32),
+        k_new.astype(jnp.bfloat16).astype(jnp.float32),
+        v_new.astype(jnp.bfloat16).astype(jnp.float32),
+        layer, plen, dend, Pb,
+    )
+
+
+def test_decode_attention_hbm4_matches_oracle():
+    """v5 dual-granularity kernel: S deliberately NOT a multiple of the
+    prompt block (the bench shape 512+128 that forced v4 down to 256-row
+    blocks)."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import decode_attention_hbm4
+
+    L, B, hq, hkv, S, D, Pb = 3, 3, 16, 8, 640, 128, 512
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D), jnp.float32)
+    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D), jnp.float32)
+    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D), jnp.float32)
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D), jnp.float32)
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D), jnp.float32)
+    plen = jnp.asarray([100, 412, 37], jnp.int32)
+    for dend_off in (0, 1, 37, 128):
+        dend = jnp.int32(Pb + dend_off)
+        out = decode_attention_hbm4(
+            q, kall, vall, k_new, v_new, jnp.int32(1), plen, dend, Pb,
+            interpret=True,
+        )
+        ref = _bf16_oracle(q, kall, vall, k_new, v_new, 1, plen, dend, Pb)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-3,
+            err_msg=f"dend_off={dend_off}",
+        )
+
+
+def test_decode_attention_hbm4_batch1_and_small_blocks():
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import decode_attention_hbm4
+
+    L, B, hq, hkv, S, D, Pb = 2, 1, 4, 2, 384, 128, 256
+    rng = jax.random.PRNGKey(7)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D))
+    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D))
+    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D))
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D))
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D))
+    plen = jnp.asarray([90], jnp.int32)
+    out = decode_attention_hbm4(
+        q, kall, vall, k_new, v_new, jnp.int32(0), plen, jnp.int32(Pb), Pb,
+        block_p=128, interpret=True,
+    )
+    ref = _bf16_oracle(q, kall, vall, k_new, v_new, 0, plen, jnp.int32(Pb), Pb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+def test_decode_attention_hbm4_masked_garbage_immunity():
+    """Garbage in dead regions (prompt padding tail, beyond-dend decode
+    slots) must not leak into the output — covers the dual-granularity
+    slicing and stale-buffer handling."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import decode_attention_hbm4
+
+    L, B, hq, hkv, S, D, Pb = 2, 2, 4, 2, 640, 128, 512
+    rng = jax.random.PRNGKey(9)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D))
+    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D))
+    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D))
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D))
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D))
+    plen = jnp.asarray([90, 412], jnp.int32)
+    dend = jnp.int32(Pb + 10)
+
+    out_a = decode_attention_hbm4(
+        q, kall, vall, k_new, v_new, jnp.int32(1), plen, dend, Pb, interpret=True
+    )
+    k2 = kall.at[:, 0, :, 90:Pb].set(55.0).at[:, :, :, Pb + 10 :].set(-44.0)
+    v2 = vall.at[:, 0, :, 90:Pb].set(-55.0).at[:, :, :, Pb + 10 :].set(44.0)
+    k2 = k2.at[:, 1, :, 412:Pb].set(33.0)
+    v2 = v2.at[:, 1, :, 412:Pb].set(-33.0)
+    out_b = decode_attention_hbm4(
+        q, k2, v2, k_new, v_new, jnp.int32(1), plen, dend, Pb, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
