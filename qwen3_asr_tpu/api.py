@@ -304,6 +304,18 @@ class Qwen3ASR:
 
         batch = [samples_list[i] for i in live]
         durations = [len(s) / SAMPLE_RATE for s in batch]
+        # Long-form guard: the batch path has no chunked fallback, so a clip
+        # beyond the largest frame bucket would otherwise surface as an
+        # opaque "prompt length exceeds bucket" from the planner.
+        max_frames = self._runtime.frame_buckets[-1]
+        max_seconds = max_frames * HOP_LENGTH / SAMPLE_RATE
+        too_long = [d for d in durations if d * SAMPLE_RATE // HOP_LENGTH > max_frames]
+        if too_long:
+            raise ValueError(
+                f"clip of {max(too_long):.0f}s exceeds the largest frame "
+                f"bucket ({max_seconds:.0f}s); use transcribe() for "
+                "long-form audio (it chunks at low-energy boundaries)"
+            )
         budgets = [
             max_tokens if max_tokens is not None else max(256, int(d * 50))
             for d in durations

@@ -239,6 +239,12 @@ class RuntimeConfig:
     # weight indices avoid the scan's traced-index weight slicing (which
     # copies every weight each step); costs a much longer compile.
     unroll_decode_layers: bool = False
+    # Static size of the repetition-penalty gather window compiled into the
+    # decode program.  ``repetition_context_size`` above this is clamped
+    # (with a logged warning); the reference honors arbitrary sizes
+    # (generate.py:289-315) but its window is a Python list — a compiled
+    # loop needs a static bound.  Raise it if you pass larger contexts.
+    rep_window: int = 128
     # Batched prefill is dispatched in sub-groups of this many sequences so
     # the host->device audio transfer of group g+1 overlaps the device
     # compute of group g (the dev tunnel moves ~40 MB/s; overlapping hides

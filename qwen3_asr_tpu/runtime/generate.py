@@ -29,8 +29,9 @@ from ..models.decoder import (
 from ..ops.sampling import RECENT_PAD_ID, sample_logits
 from ..tokenizer import EOS_TOKEN_IDS, PROMPT_PREFIX
 
-#: Static size of the repetition-penalty gather window.  The dynamic
-#: ``repetition_context_size`` (reference default 100) is clamped to this.
+#: Default static size of the repetition-penalty gather window; override
+#: via ``RuntimeConfig.rep_window``.  The dynamic ``repetition_context_size``
+#: (reference default 100) is clamped to the window with a logged warning.
 REP_WINDOW = 128
 
 _AUDIO_OFFSET = len(PROMPT_PREFIX)  # audio features start at slot 9
@@ -130,7 +131,8 @@ class Generator:
             return jnp.any(tok[..., None] == eos[None, :], axis=-1)
 
         rng = jax.random.PRNGKey(seed)
-        rep_ctx = jnp.minimum(jnp.asarray(repetition_context, jnp.int32), REP_WINDOW)
+        rep_window = self.runtime.rep_window
+        rep_ctx = jnp.minimum(jnp.asarray(repetition_context, jnp.int32), rep_window)
 
         def one_sample(key, logits, recent, penalty):
             if mode == "greedy":
@@ -166,9 +168,9 @@ class Generator:
         cur = first
 
         def recent_window(tokens, counts):
-            # Last REP_WINDOW generated ids, sentinel outside the active
-            # repetition_context slice.  (B, REP_WINDOW)
-            idx = counts[:, None] - REP_WINDOW + jnp.arange(REP_WINDOW)[None, :]
+            # Last rep_window generated ids, sentinel outside the active
+            # repetition_context slice.  (B, rep_window)
+            idx = counts[:, None] - rep_window + jnp.arange(rep_window)[None, :]
             in_ctx = (idx >= 0) & (idx >= (counts - rep_ctx)[:, None])
             vals = jnp.take_along_axis(
                 tokens, jnp.clip(idx, 0, token_bucket - 1), axis=1
@@ -348,6 +350,19 @@ class Generator:
         seed: int = 0,
     ) -> list[list[int]]:
         """Run the compiled decode loop and fetch per-sequence token lists."""
+        from ..utils.telemetry import logger
+
+        if repetition_context_size > self.runtime.rep_window and repetition_penalty != 1.0:
+            logger.warning(
+                "repetition_context_size=%d clamped to the compiled window "
+                "(RuntimeConfig.rep_window=%d); raise rep_window to honor it",
+                repetition_context_size, self.runtime.rep_window,
+            )
+        if temperature != 0.0 and top_k > 1024:
+            logger.warning(
+                "top_k=%d exceeds the compiled TOP_K_SUBSET=1024 and is "
+                "effectively clamped (ops/sampling.py)", top_k,
+            )
         tokens, counts, _ = self._decode(
             self.params,
             kv,
@@ -367,6 +382,24 @@ class Generator:
         )
         tokens_host = np.asarray(tokens)
         counts_host = np.asarray(counts)
-        return [
+        out = [
             tokens_host[b, : counts_host[b]].tolist() for b in range(len(prompt_lens))
         ]
+        # Budget-exhaustion check: a sequence that used every slot without
+        # emitting EOS was silently truncated (possible for token-dense
+        # audio when max_tokens was clamped by max_decode_slots).
+        for b, toks in enumerate(out):
+            budget = min(max_tokens[b], token_bucket)
+            if (
+                len(toks) >= budget
+                and toks
+                and toks[-1] not in self._eos_ids
+                and max_tokens[b] > token_bucket
+            ):
+                logger.warning(
+                    "sequence %d exhausted its %d-token decode budget without "
+                    "EOS (requested max_tokens=%d was clamped by "
+                    "max_decode_slots=%d); transcript may be truncated",
+                    b, budget, max_tokens[b], self.runtime.max_decode_slots,
+                )
+        return out

@@ -66,7 +66,13 @@ def asr_loss(
     is_audio = (slot >= _AUDIO_OFFSET) & (slot < _AUDIO_OFFSET + batch.n_audio[:, None])
     embeds = jnp.where(is_audio[:, :, None], injected, embeds)
 
-    hidden, _ = decoder_forward(dec_params, cfg.text_decoder, embeds, slot)
+    # attn_impl="causal" explicitly: the "auto" route selects the Pallas
+    # flash kernel on TPU whenever the prompt bucket is a multiple of 256
+    # (which the runtime's bucketing guarantees), and pallas_call has no
+    # VJP — value_and_grad over the step would fail on real TPU training.
+    hidden, _ = decoder_forward(
+        dec_params, cfg.text_decoder, embeds, slot, attn_impl="causal"
+    )
     logits = decoder_logits(dec_params, cfg.text_decoder, hidden)
 
     logp = jax.nn.log_softmax(logits, axis=-1)

@@ -218,3 +218,11 @@ def test_grouped_prefill_matches_single_program():
     r1 = m1.transcribe_batch(clips, max_tokens=6)
     r2 = m2.transcribe_batch(clips, max_tokens=6)
     assert [r.text for r in r1] == [r.text for r in r2]
+
+
+def test_transcribe_batch_rejects_long_form_clearly(model):
+    """A clip beyond the largest frame bucket gets a clear error pointing
+    at transcribe() instead of an opaque planner failure."""
+    clip = sine(33.0)  # > RT's largest bucket (3200 frames = 32 s)
+    with pytest.raises(ValueError, match="transcribe\\(\\) for\\s+long-form|long-form"):
+        model.transcribe_batch([clip], max_tokens=4)

@@ -172,3 +172,29 @@ def test_unrolled_decode_matches_scan(gen):
     a = gen.generate(feats, 4, ids, max_tokens=8)
     b = gen2.generate(feats, 4, ids, max_tokens=8)
     assert a == b
+
+
+def test_clamp_warnings_logged(caplog):
+    """repetition_context_size and top_k clamps must be surfaced, and a
+    budget exhaustion without EOS must warn about truncation."""
+    import logging
+
+    from qwen3_asr_tpu.config import RuntimeConfig
+    from qwen3_asr_tpu.models.decoder import init_decoder_params
+    from qwen3_asr_tpu.runtime.generate import Generator
+    from tests.test_decoder import TINY
+
+    params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rt = RuntimeConfig(token_buckets=(16,), max_decode_slots=16)
+    gen = Generator(params, TINY, rt)
+    feats = jnp.zeros((1, 8, TINY.hidden_size), jnp.float32)
+    prompt = list(range(12))
+    with caplog.at_level(logging.WARNING, logger="qwen3_asr_tpu"):
+        gen.generate(
+            feats, 8, prompt, max_tokens=500, temperature=0.7,
+            top_k=5000, repetition_penalty=1.3, repetition_context_size=999,
+        )
+    text = caplog.text
+    assert "repetition_context_size" in text
+    assert "top_k" in text
+    assert "exhausted" in text  # random tiny model never emits EOS id
