@@ -450,7 +450,8 @@ class Qwen3ASR:
             audio_token_bucket = bucket // self._config.audio_encoder.chunk_frames * \
                 self._config.audio_encoder.tokens_per_chunk
             prompt_bucket, token_bucket, cache_len = gen.plan(
-                audio_token_bucket, max(prompt_lens), max(max_tokens_list)
+                audio_token_bucket, max(prompt_lens), max(max_tokens_list),
+                batch=B,
             )
             ids = gen.pack_prompts(prompts, prompt_bucket)
 
@@ -520,6 +521,103 @@ class Qwen3ASR:
         stats.n_generated_tokens = sum(len(t) for t in token_lists)
         logger.debug("transcribe stats (batch=%d): %s", B, stats.as_dict())
         return token_lists, stats
+
+    # -- continuous-batching engine hooks ------------------------------
+
+    def make_engine(
+        self,
+        n_slots: int = 8,
+        max_duration: float = 30.0,
+        max_new_tokens: int = 512,
+        chunk_steps: int = 32,
+        paged: bool = False,
+        page_size: int = 256,
+        kv_pool_gb: float | None = None,
+    ):
+        """Build a :class:`~qwen3_asr_tpu.runtime.engine.DecodeEngine`
+        sized for clips up to ``max_duration`` seconds and transcripts up
+        to ``max_new_tokens`` tokens (both rounded up to compile buckets).
+
+        ``paged=True`` backs the engine with a page-pool KV cache sized by
+        ``kv_pool_gb`` (default: the runtime's ``kv_cache_budget_gb``) —
+        slots then share memory proportional to their ACTUAL prompt and
+        transcript lengths, so short clips can run beside long ones
+        without paying the worst-case slot.
+        """
+        from .runtime.engine import DecodeEngine
+
+        gen = self._generator
+        bucket = self._mel.bucket_for(int(max_duration * SAMPLE_RATE))
+        atb = bucket // self._config.audio_encoder.chunk_frames * \
+            self._config.audio_encoder.tokens_per_chunk
+        prompt_bucket, token_bucket, _ = gen.plan(atb, atb + 20, max_new_tokens)
+        token_bucket = max(128, token_bucket)
+        n_pages = None
+        if paged:
+            tc = self._config.text_decoder
+            page_bytes = (
+                tc.num_hidden_layers * tc.num_key_value_heads
+                * page_size * tc.head_dim * 2 * 2
+            )
+            budget_gb = (
+                kv_pool_gb
+                if kv_pool_gb is not None
+                else self._runtime.kv_cache_budget_gb
+            )
+            n_pages = max(4, int(budget_gb * 2**30) // page_bytes)
+            # No point holding more pages than full slots could ever use.
+            full = 1 + n_slots * (
+                -(-prompt_bucket // page_size) - (-token_bucket // page_size)
+            )
+            n_pages = min(n_pages, full)
+        return DecodeEngine(
+            gen, prompt_bucket, token_bucket,
+            n_slots=n_slots, chunk_steps=chunk_steps,
+            paged=paged, page_size=page_size, n_pages=n_pages,
+        )
+
+    def prefill_group(self, samples_list, lang_names):
+        """Prefill an admission group for the continuous engine.
+
+        Returns ``(kv, first_logits, prompts)`` where ``kv`` covers ONLY
+        the prompt region (cache length = the group's prompt bucket) — the
+        engine copies it into its persistent cache and owns the decode
+        region.  ``lang_names`` are resolved full names (or None for
+        detect mode), one per clip.
+        """
+        gen = self._generator
+        if all(s.dtype == np.int16 for s in samples_list):
+            transport = samples_list
+        else:
+            transport = [
+                s.astype(np.float32) / 32768.0 if s.dtype == np.int16 else s
+                for s in samples_list
+            ]
+        bucket = max(self._mel.bucket_for(len(s)) for s in samples_list)
+        n_valid = [len(s) // HOP_LENGTH for s in samples_list]
+        n_audio = [self._n_audio_tokens(v) for v in n_valid]
+        prompts = [
+            self._tokenizer.build_prompt(n, lang)
+            for n, lang in zip(n_audio, lang_names)
+        ]
+        prompt_lens = [len(p) for p in prompts]
+        atb = bucket // self._config.audio_encoder.chunk_frames * \
+            self._config.audio_encoder.tokens_per_chunk
+        pb_g = gen.plan(atb, max(prompt_lens), 1)[0]
+        ids = gen.pack_prompts(prompts, pb_g)
+        padded = host_pad_batch(transport, bucket, N_FFT, HOP_LENGTH)
+        kv, first_logits = self._fused_prefill(
+            self._encoder_params,
+            self._decoder_params,
+            jax.device_put(padded),
+            jax.device_put(np.asarray(n_valid, np.int32)),
+            jax.device_put(ids),
+            jax.device_put(np.asarray(n_audio, np.int32)),
+            jax.device_put(np.asarray(prompt_lens, np.int32)),
+            bucket,
+            pb_g,
+        )
+        return kv, first_logits, prompts
 
     def _n_audio_tokens(self, n_valid_frames: int) -> int:
         """Host-side audio-token count (mirror of valid_token_count)."""

@@ -165,6 +165,46 @@ def embed_tokens(params: DecoderParams, ids: jax.Array) -> jax.Array:
     return emb[ids]
 
 
+def _project_qkv(h, lp, cfg: TextDecoderConfig, pos_b):
+    """ln1 -> fused-or-split QKV -> per-head QK RMSNorm -> RoPE.
+
+    Returns (q (B, nq, T, D), k (B, nkv, T, D), v (B, nkv, T, D)).
+    """
+    B, T, _ = h.shape
+    nq, nkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    x = rms_norm(h, lp["ln1"], eps)
+    if "wqkv" in lp:
+        fused = qlinear(x, lp["wqkv"])
+        q, k, v = jnp.split(fused, [nq * D, (nq + nkv) * D], axis=-1)
+        q = q.reshape(B, T, nq, D)
+        k = k.reshape(B, T, nkv, D)
+        v = v.reshape(B, T, nkv, D)
+    else:
+        q = qlinear(x, lp["wq"]).reshape(B, T, nq, D)
+        k = qlinear(x, lp["wk"]).reshape(B, T, nkv, D)
+        v = qlinear(x, lp["wv"]).reshape(B, T, nkv, D)
+
+    # Per-head QK RMSNorm before RoPE (Qwen3 signature).
+    q = rms_norm(q, lp["q_norm"], eps).transpose(0, 2, 1, 3)
+    k = rms_norm(k, lp["k_norm"], eps).transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
+    q = rope_rotate(q, pos_b, cfg.rope_theta)
+    k = rope_rotate(k, pos_b, cfg.rope_theta)
+    return q, k, v
+
+
+def _mlp_block(h, lp, eps):
+    """Pre-norm SwiGLU MLP with residual."""
+    x = rms_norm(h, lp["ln2"], eps)
+    if "wgu" in lp:
+        gate, up = jnp.split(qlinear(x, lp["wgu"]), 2, axis=-1)
+    else:
+        gate, up = qlinear(x, lp["wg"]), qlinear(x, lp["wu"])
+    return h + qlinear(jax.nn.silu(gate) * up, lp["wd"])
+
+
 def decoder_forward(
     params: DecoderParams,
     cfg: TextDecoderConfig,
@@ -254,9 +294,10 @@ def decoder_forward(
 
     if attn_mask is None and decode_ctx is not None:
         plen, dend, pbucket = decode_ctx
+        dend_b = jnp.broadcast_to(jnp.asarray(dend, jnp.int32), (B,))
         slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
         attn_mask = (slot_ids < plen[:, None, None, None]) | (
-            (slot_ids >= pbucket) & (slot_ids <= dend)
+            (slot_ids >= pbucket) & (slot_ids <= dend_b[:, None, None, None])
         )
     if attn_mask is None:
         # Causal-by-position mask over cache slots: (B, 1, T, S).
@@ -289,8 +330,10 @@ def decoder_forward(
     # dot product, so attention runs over the PRE-STEP cache (read-only,
     # closed over — no per-layer traced-index writes, which lower to
     # expensive scatters) and the step's 28 new K/V rows are written by ONE
-    # dynamic_update_slice after the scan.
-    decode_split = decode_ctx is not None and T == 1 and uniform_slot
+    # post-scan batched write.  Per-sequence write slots / decode ends
+    # (continuous batching: sequences at heterogeneous depths) take the
+    # same path — only the post-scan writer and the mask differ.
+    decode_split = decode_ctx is not None and T == 1
     want_hbm = DECODE_KERNEL_MODE in ("3", "4", "5", "auto")
     use_hbm_kernel = (
         decode_split
@@ -299,44 +342,26 @@ def decoder_forward(
         and S % 128 == 0
         and D % 128 == 0
     )
+    if use_hbm_kernel and not uniform_write and B > 1:
+        # Heterogeneous depths need the per-sequence-aware v5 kernel.
+        _pb = decode_ctx[2]
+        use_hbm_kernel = _pb % 128 == 0 and (S - _pb) % 128 == 0
 
     def qkv(h, lp):
-        x = rms_norm(h, lp["ln1"], eps)
-        if "wqkv" in lp:
-            fused = qlinear(x, lp["wqkv"])
-            q, k, v = jnp.split(fused, [nq * D, (nq + nkv) * D], axis=-1)
-            q = q.reshape(B, T, nq, D)
-            k = k.reshape(B, T, nkv, D)
-            v = v.reshape(B, T, nkv, D)
-        else:
-            q = qlinear(x, lp["wq"]).reshape(B, T, nq, D)
-            k = qlinear(x, lp["wk"]).reshape(B, T, nkv, D)
-            v = qlinear(x, lp["wv"]).reshape(B, T, nkv, D)
-
-        # Per-head QK RMSNorm before RoPE (Qwen3 signature).
-        q = rms_norm(q, lp["q_norm"], eps).transpose(0, 2, 1, 3)
-        k = rms_norm(k, lp["k_norm"], eps).transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-
-        q = rope_rotate(q, pos_b, cfg.rope_theta)
-        k = rope_rotate(k, pos_b, cfg.rope_theta)
-        return q, k, v
+        return _project_qkv(h, lp, cfg, pos_b)
 
     def mlp(h, lp):
-        x = rms_norm(h, lp["ln2"], eps)
-        if "wgu" in lp:
-            gate, up = jnp.split(qlinear(x, lp["wgu"]), 2, axis=-1)
-        else:
-            gate, up = qlinear(x, lp["wg"]), qlinear(x, lp["wu"])
-        return h + qlinear(jax.nn.silu(gate) * up, lp["wd"])
+        return _mlp_block(h, lp, eps)
 
     if decode_split:
         plen, dend, pbucket = decode_ctx
+        dend_b = jnp.broadcast_to(jnp.asarray(dend, jnp.int32), (B,))
         group = nq // nkv
-        # Old-cache validity: strictly before the current slot.
+        # Old-cache validity: strictly before each sequence's current slot.
         slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, S), 4)
         cache_mask = (slot_ids < plen[:, None, None, None, None]) | (
-            (slot_ids >= pbucket) & (slot_ids < dend)
+            (slot_ids >= pbucket)
+            & (slot_ids < dend_b[:, None, None, None, None])
         )
         neg = float(jnp.finfo(jnp.float32).min) / 2
 
@@ -346,11 +371,12 @@ def decoder_forward(
             q, k_new, v_new = qkv(h, lp)
 
             if use_hbm_kernel:
-                if DECODE_KERNEL_MODE == "3":
+                per_seq = not uniform_slot
+                if not per_seq and DECODE_KERNEL_MODE == "3":
                     from ..ops.pallas.decode_attention_hbm2 import (
                         decode_attention_hbm2 as hbm_attn,
                     )
-                elif DECODE_KERNEL_MODE == "4":
+                elif not per_seq and DECODE_KERNEL_MODE == "4":
                     from ..ops.pallas.decode_attention_hbm3 import (
                         decode_attention_hbm3 as hbm_attn,
                     )
@@ -363,7 +389,7 @@ def decoder_forward(
 
                     attn = decode_attention_hbm4(
                         q[:, :, 0, :], keys_all, values_all, k_new, v_new,
-                        layer, plen, dend, pbucket, scale=scale,
+                        layer, plen, dend_b, pbucket, scale=scale,
                     )[:, :, None, :]
                 else:
                     if hbm_attn is None:
@@ -433,17 +459,21 @@ def decoder_forward(
                 layer_fn, (hidden, jnp.int32(0)), params["layers"]
             )
         # One write for all layers: rows (L, B, nkv, 1, D) at the shared
-        # slot.  On TPU this goes through a Pallas kernel with aliased
-        # buffers — a plain dynamic_update_slice inside the while body
-        # makes XLA copy the ENTIRE cache every step (the cache is read by
-        # attention earlier in the same iteration, defeating its aliasing
-        # analysis; xprof measured ~4 ms/step at batch 32).
+        # (or per-sequence) slot.  On TPU this goes through a Pallas kernel
+        # with aliased buffers — a plain dynamic_update_slice inside the
+        # while body makes XLA copy the ENTIRE cache every step (the cache
+        # is read by attention earlier in the same iteration, defeating its
+        # aliasing analysis; xprof measured ~4 ms/step at batch 32).
         if jax.default_backend() == "tpu":
-            from ..ops.pallas.kv_write import kv_write_rows
+            from ..ops.pallas.kv_write import kv_write_rows, kv_write_rows_batch
 
-            new_keys = kv_write_rows(keys_all, k_rows, write_slots[0])
-            new_values = kv_write_rows(values_all, v_rows, write_slots[0])
-        else:
+            if uniform_slot:
+                new_keys = kv_write_rows(keys_all, k_rows, write_slots[0])
+                new_values = kv_write_rows(values_all, v_rows, write_slots[0])
+            else:
+                new_keys = kv_write_rows_batch(keys_all, k_rows, write_slots)
+                new_values = kv_write_rows_batch(values_all, v_rows, write_slots)
+        elif uniform_slot:
             new_keys = jax.lax.dynamic_update_slice(
                 keys_all, k_rows.astype(keys_all.dtype),
                 (0, 0, 0, write_slots[0], 0),
@@ -451,6 +481,14 @@ def decoder_forward(
             new_values = jax.lax.dynamic_update_slice(
                 values_all, v_rows.astype(values_all.dtype),
                 (0, 0, 0, write_slots[0], 0),
+            )
+        else:
+            b_idx = jnp.arange(B)
+            new_keys = keys_all.at[:, b_idx, :, write_slots, :].set(
+                jnp.moveaxis(k_rows[:, :, :, 0, :], 1, 0).astype(keys_all.dtype)
+            )
+            new_values = values_all.at[:, b_idx, :, write_slots, :].set(
+                jnp.moveaxis(v_rows[:, :, :, 0, :], 1, 0).astype(values_all.dtype)
             )
         return hidden, (new_keys, new_values)
 
@@ -516,6 +554,121 @@ def decoder_forward(
         (hidden, keys_all, values_all, jnp.int32(0)),
         params["layers"],
     )
+    return hidden, (new_keys, new_values)
+
+
+def decoder_paged_step(
+    params: DecoderParams,
+    cfg: TextDecoderConfig,
+    hidden: jax.Array,          # (B, 1, H) current-token embeddings
+    positions: jax.Array,       # (B, 1) absolute RoPE positions
+    kv_pages: tuple[jax.Array, jax.Array],  # (L, n_pages, Hkv, PS, D) each
+    page_table: jax.Array,      # (B, max_pages) physical page ids
+    prompt_len: jax.Array,      # (B,) valid prompt rows
+    decode_count: jax.Array,    # (B,) generated rows already in cache
+    write_pages: jax.Array,     # (B,) physical page for this step's row
+    write_offsets: jax.Array,   # (B,) row offset inside that page
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """One decode step over a PAGED KV cache (split-attention form).
+
+    Mirrors the contiguous split-decode path of :func:`decoder_forward`:
+    attention runs over the read-only pre-step pages (per-sequence page
+    tables resolve the physical blocks) with the fresh token's self-term
+    fused, and the step's 28 new K/V rows land post-scan via the paged
+    aliased row writer.  Addressing is compact — prompt pages then decode
+    pages — so no prompt_bucket arithmetic exists; positions are RoPE-only.
+
+    The paged cache is the memory half of continuous batching (north star,
+    BASELINE.json config 5): a 30 s clip next to a 15-minute clip holds
+    2 pages, not the 47-page worst-case slot.
+    """
+    keys_all, values_all = kv_pages
+    B, T, H = hidden.shape
+    assert T == 1, "paged step is a single-token decode"
+    nq, nkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    scale = D ** -0.5
+    PS = keys_all.shape[3]
+    maxp = page_table.shape[1]
+    pos_b = positions[:, None, :]
+    on_tpu = jax.default_backend() == "tpu"
+    group = nq // nkv
+    neg = float(jnp.finfo(jnp.float32).min) / 2
+
+    if not on_tpu:
+        # Compact validity mask over the gathered page view (CPU fallback /
+        # tests): prompt rows < plen, then decode rows < decode_count
+        # starting at the first decode page boundary.
+        pp = (prompt_len + PS - 1) // PS
+        cols = jnp.arange(maxp * PS)[None, :]
+        dstart = (pp * PS)[:, None]
+        flat_mask = (cols < prompt_len[:, None]) | (
+            (cols >= dstart) & (cols < dstart + decode_count[:, None])
+        )
+        cache_mask = flat_mask[:, None, None, None, :]   # (B,1,1,1,maxp*PS)
+        table_c = jnp.clip(page_table, 0, keys_all.shape[1] - 1)
+
+    def layer_fn(carry, lp):
+        h, layer = carry
+        q, k_new, v_new = _project_qkv(h, lp, cfg, pos_b)
+
+        if on_tpu:
+            from ..ops.pallas.decode_attention_paged import (
+                decode_attention_paged,
+            )
+
+            attn = decode_attention_paged(
+                q[:, :, 0, :], keys_all, values_all, k_new, v_new,
+                layer, page_table, prompt_len, decode_count, scale=scale,
+            )[:, :, None, :]
+        else:
+            kl = jax.lax.dynamic_index_in_dim(keys_all, layer, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(values_all, layer, 0, keepdims=False)
+            # (B, maxp, Hkv, PS, D) -> (B, Hkv, maxp*PS, D) compact view.
+            kc = jnp.moveaxis(kl[table_c], 2, 1).reshape(B, nkv, maxp * PS, D)
+            vc = jnp.moveaxis(vl[table_c], 2, 1).reshape(B, nkv, maxp * PS, D)
+            qg = q.reshape(B, nkv, group, 1, D)
+            logits = jnp.einsum(
+                "bkgqd,bkld->bkgql", qg, kc,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            logits = jnp.where(cache_mask, logits, neg)
+            self_logit = jnp.sum(
+                qg.astype(jnp.float32) * k_new.astype(jnp.float32)[:, :, None],
+                axis=-1, keepdims=True,
+            ) * scale
+            all_logits = jnp.concatenate([logits, self_logit], axis=-1)
+            w = jax.nn.softmax(all_logits, axis=-1)
+            Sc = maxp * PS
+            out = jnp.einsum(
+                "bkgql,bkld->bkgqd", w[..., :Sc].astype(vc.dtype), vc,
+                preferred_element_type=jnp.float32,
+            ) + w[..., Sc:].astype(jnp.float32) * v_new.astype(jnp.float32)[:, :, None]
+            attn = out.reshape(B, nq, 1, D).astype(h.dtype)
+
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, nq * D)
+        h = h + qlinear(attn, lp["wo"])
+        h = _mlp_block(h, lp, eps)
+        return (h, layer + 1), (k_new, v_new)
+
+    (hidden, _), (k_rows, v_rows) = jax.lax.scan(
+        layer_fn, (hidden, jnp.int32(0)), params["layers"]
+    )
+
+    if on_tpu:
+        from ..ops.pallas.kv_write import kv_write_rows_paged
+
+        new_keys = kv_write_rows_paged(keys_all, k_rows, write_pages, write_offsets)
+        new_values = kv_write_rows_paged(values_all, v_rows, write_pages, write_offsets)
+    else:
+        b_idx = jnp.arange(B)
+        pages_c = jnp.clip(write_pages, 0, keys_all.shape[1] - 1)
+        new_keys = keys_all.at[:, pages_c, :, write_offsets, :].set(
+            jnp.moveaxis(k_rows[:, :, :, 0, :], 1, 0).astype(keys_all.dtype)
+        )
+        new_values = values_all.at[:, pages_c, :, write_offsets, :].set(
+            jnp.moveaxis(v_rows[:, :, :, 0, :], 1, 0).astype(values_all.dtype)
+        )
     return hidden, (new_keys, new_values)
 
 

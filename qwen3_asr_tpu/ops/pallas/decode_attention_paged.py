@@ -1,19 +1,32 @@
-"""Flash-decode attention v5: dual-granularity pipelined (batch, block) stream.
+"""Paged flash-decode attention: page-table-indirected KV block stream.
 
-v4 (decode_attention_hbm3) tiles the whole cache with ONE block size that
-must divide both S and the prompt bucket, so a 512+256 cache forces 256-row
-blocks and every step reads the full cache even when only ~60% of the rows
-are valid.  Here the prompt region is tiled with the largest block that
-divides the prompt bucket (up to 512 rows — fewer, bigger DMAs) and the
-decode region with 128-row blocks (so early decode steps read at most 127
-wasted rows instead of block_k-1), cutting HBM traffic by the
-invalid-to-valid ratio.  Decode blocks are processed on a statically
-sliced sub-buffer, so stale rows beyond the DMA are never read.
+The contiguous engines (v3-v5) size every sequence's cache region to the
+worst-case bucket, so a mixed workload (30 s clips next to 15-minute
+clips) pays the LONGEST clip's memory for every slot.  Here the cache is a
+pool of fixed ``page_size``-row pages ``(L, n_pages, Hkv, page_size, D)``
+and each sequence owns only the pages its prompt + generated tokens
+actually occupy, via a per-sequence page table:
 
-Same math as v4: two-interval mask over the stacked (L, B, Hkv, S, D)
-cache, online softmax in f32, bf16 MXU inputs, fused fresh-token
-self-term; per-core software-pipelined (batch element, block) walk with
-_NBUF-1 DMAs always in flight.
+    table[seq, 0 : pp]        physical pages of the prompt (pp = ceil(plen/PS))
+    table[seq, pp : pp + dp]  physical pages of the decode region, grown
+                              lazily as the sequence generates
+
+Same compute structure as v5 (decode_attention_hbm4): per-core
+software-pipelined (batch element, block) walk, ``_NBUF - 1`` DMAs in
+flight, online softmax in f32 over bf16 MXU inputs, fused fresh-token
+self-term.  The only difference is addressing: block ``i`` of sequence
+``b`` DMAs from ``cache[layer, table[b, page_of(i)], :, off_in_page, :]``
+instead of a contiguous offset — scalar-prefetched page tables drive the
+DMA descriptors, so indirection costs nothing on the data path.
+
+Masking is *compact*: prompt block rows are valid while ``col < plen``;
+decode block rows while ``row < decode_count`` (= generated tokens whose
+K/V are in the cache).  Absolute slot arithmetic (prompt_bucket) does not
+exist here — position information lives entirely in RoPE.
+
+No reference counterpart (the reference's KV cache is a Python list of
+concatenated arrays, decoder.py:54-64); this is the paged-KV design the
+blueprint's north star names (BASELINE.json config 5).
 """
 
 from __future__ import annotations
@@ -32,21 +45,22 @@ _BLOCK_D = 128
 
 
 def _kernel(
-    layer_ref, prompt_len_ref, decode_end_ref, count_ref,
+    layer_ref, table_ref, prompt_len_ref, dcount_ref, count_ref,
     q_ref,            # (1, BH, Hkv, QPAD, D) VMEM, f32 pre-scaled
-    kall_ref,         # (L, B, Hkv, S, D) HBM
+    kall_ref,         # (L, n_pages, Hkv, PS, D) HBM
     vall_ref,
     knew_ref,         # (1, BH, Hkv, 1, D) VMEM
     vnew_ref,
     o_ref,            # (1, BH, Hkv, QPAD, D) VMEM (f32)
-    k_buf, v_buf,     # (NBUF, Hkv, BP, D)
+    k_buf, v_buf,     # (NBUF, Hkv, PS, D)
     k_sems, v_sems,
-    *, block_p: int, prompt_bucket: int, per_core: int, b_pad: int,
+    *, page_size: int, max_pages: int, per_core: int, b_pad: int,
 ):
     core = pl.program_id(0)
     layer = layer_ref[0]
     my_count = count_ref[core]           # live batch elements on this core
     base = core * per_core
+    blocks_per_page = page_size // _BLOCK_D
 
     def plen_of(bl):
         # Clamp: pipeline lookahead walks (bl, i) past the last live batch
@@ -54,75 +68,73 @@ def _kernel(
         # read itself must stay in bounds.
         return prompt_len_ref[jnp.minimum(base + bl, b_pad - 1)]
 
-    def dend_of(bl):
-        # Per-sequence decode end: sequences in a continuous batch sit at
-        # heterogeneous decode depths (the engine admits mid-stream).
-        return decode_end_ref[jnp.minimum(base + bl, b_pad - 1)]
+    def dcount_of(bl):
+        return dcount_ref[jnp.minimum(base + bl, b_pad - 1)]
 
     def n_prompt(bl):
-        return pl.cdiv(plen_of(bl), block_p)
+        return pl.cdiv(plen_of(bl), page_size)
 
     def n_blocks(bl):
-        return n_prompt(bl) + pl.cdiv(dend_of(bl) - prompt_bucket, _BLOCK_D)
+        return n_prompt(bl) + pl.cdiv(dcount_of(bl), _BLOCK_D)
+
+    def page_of(bl, p_idx):
+        flat = jnp.minimum(base + bl, b_pad - 1) * max_pages + jnp.minimum(
+            p_idx, max_pages - 1
+        )
+        return table_ref[flat]
 
     def coords(bl, i):
-        """(is_prompt, row_offset) of block i of batch element bl."""
+        """(is_prompt, physical page, in-page row offset) of block i."""
         np_b = n_prompt(bl)
         is_p = i < np_b
-        off = jnp.where(
-            is_p, i * block_p, prompt_bucket + (i - np_b) * _BLOCK_D
-        )
-        # Both branches are multiples of _BLOCK_D; the `where` hides that
-        # from Mosaic's divisibility analysis, so restate it.
-        return is_p, pl.multiple_of(off, _BLOCK_D)
+        j = i - np_b                       # decode block index (if !is_p)
+        p_idx = jnp.where(is_p, i, np_b + j // blocks_per_page)
+        off = jnp.where(is_p, 0, (j % blocks_per_page) * _BLOCK_D)
+        return is_p, page_of(bl, p_idx), pl.multiple_of(off, _BLOCK_D)
 
     def start(bl, i, slot):
-        is_p, off = coords(bl, i)
+        is_p, page, off = coords(bl, i)
 
         @pl.when(is_p)
         def _():
             pltpu.make_async_copy(
-                kall_ref.at[layer, base + bl, :, pl.ds(off, block_p), :],
-                k_buf.at[slot], k_sems.at[slot],
+                kall_ref.at[layer, page], k_buf.at[slot], k_sems.at[slot]
             ).start()
             pltpu.make_async_copy(
-                vall_ref.at[layer, base + bl, :, pl.ds(off, block_p), :],
-                v_buf.at[slot], v_sems.at[slot],
+                vall_ref.at[layer, page], v_buf.at[slot], v_sems.at[slot]
             ).start()
 
         @pl.when(jnp.logical_not(is_p))
         def _():
             pltpu.make_async_copy(
-                kall_ref.at[layer, base + bl, :, pl.ds(off, _BLOCK_D), :],
+                kall_ref.at[layer, page, :, pl.ds(off, _BLOCK_D), :],
                 k_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], k_sems.at[slot],
             ).start()
             pltpu.make_async_copy(
-                vall_ref.at[layer, base + bl, :, pl.ds(off, _BLOCK_D), :],
+                vall_ref.at[layer, page, :, pl.ds(off, _BLOCK_D), :],
                 v_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], v_sems.at[slot],
             ).start()
 
     def wait(bl, i, slot):
-        is_p, off = coords(bl, i)
+        is_p, page, off = coords(bl, i)
 
         @pl.when(is_p)
         def _():
             pltpu.make_async_copy(
-                kall_ref.at[layer, base + bl, :, pl.ds(off, block_p), :],
-                k_buf.at[slot], k_sems.at[slot],
+                kall_ref.at[layer, page], k_buf.at[slot], k_sems.at[slot]
             ).wait()
             pltpu.make_async_copy(
-                vall_ref.at[layer, base + bl, :, pl.ds(off, block_p), :],
-                v_buf.at[slot], v_sems.at[slot],
+                vall_ref.at[layer, page], v_buf.at[slot], v_sems.at[slot]
             ).wait()
 
         @pl.when(jnp.logical_not(is_p))
         def _():
             pltpu.make_async_copy(
-                kall_ref.at[layer, base + bl, :, pl.ds(off, _BLOCK_D), :],
+                kall_ref.at[layer, page, :, pl.ds(off, _BLOCK_D), :],
                 k_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], k_sems.at[slot],
             ).wait()
             pltpu.make_async_copy(
-                vall_ref.at[layer, base + bl, :, pl.ds(off, _BLOCK_D), :],
+                vall_ref.at[layer, page, :, pl.ds(off, _BLOCK_D), :],
                 v_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], v_sems.at[slot],
             ).wait()
 
@@ -135,31 +147,36 @@ def _kernel(
     def _warm():
         def w(n, c):
             bl, i = c
+
             @pl.when(bl < my_count)
             def _():
                 start(bl, i, n)
+
             return next_coords(bl, i)
+
         jax.lax.fori_loop(0, _NBUF - 1, w, (0, 0))
 
     def b_loop(state):
         bl, slot = state
         plen = plen_of(bl)
-        dend = dend_of(bl)
+        dcount = dcount_of(bl)
+        np_b = n_prompt(bl)
         total_b = n_blocks(bl)
         q = q_ref[0, bl].astype(jnp.bfloat16)             # (Hkv, QPAD, D)
         hkv, _, d = q.shape
 
-        def tile_update(carry, k, v, off, width):
-            """Online-softmax update over one (Hkv, width, D) tile."""
+        def tile_update(carry, k, v, row_base, limit, width):
+            """Online-softmax update over one (Hkv, width, D) tile whose
+            rows are compact indices [row_base, row_base+width) valid
+            while < limit."""
             m_prev, l_prev, acc = carry
             s = jax.lax.dot_general(
                 q, k.astype(jnp.bfloat16),
                 (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )                                              # (Hkv, QPAD, width)
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + off
-            valid = (cols < plen) | ((cols >= prompt_bucket) & (cols < dend))
-            s = jnp.where(valid, s, _MASK_VALUE)
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + row_base
+            s = jnp.where(rows < limit, s, _MASK_VALUE)
 
             m_tile = jnp.max(s, axis=2, keepdims=True)
             m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_tile, m_prev.shape))
@@ -189,18 +206,21 @@ def _kernel(
                 start(nb, ni, jax.lax.rem(slot + _NBUF - 1, _NBUF))
 
             wait(bl, i, slot)
-            is_p, off = coords(bl, i)
+            is_p = i < np_b
+            j = i - np_b
 
             def on_prompt(c):
-                return tile_update(c, k_buf[slot], v_buf[slot], off, block_p)
+                return tile_update(
+                    c, k_buf[slot], v_buf[slot],
+                    i * page_size, plen, page_size,
+                )
 
             def on_decode(c):
                 return tile_update(
                     c,
                     k_buf[slot, :, : _BLOCK_D, :],
                     v_buf[slot, :, : _BLOCK_D, :],
-                    off,
-                    _BLOCK_D,
+                    j * _BLOCK_D, dcount, _BLOCK_D,
                 )
 
             m, l, acc = jax.lax.cond(
@@ -238,42 +258,33 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("prompt_bucket", "scale", "block_p", "interpret"),
+    static_argnames=("scale", "interpret"),
 )
-def decode_attention_hbm4(
+def decode_attention_paged(
     q: jax.Array,            # (B, Hq, D)
-    kall: jax.Array,         # (L, B, Hkv, S, D)
+    kall: jax.Array,         # (L, n_pages, Hkv, page_size, D)
     vall: jax.Array,
     k_new: jax.Array,        # (B, Hkv, 1, D)
     v_new: jax.Array,
     layer: jax.Array,
-    prompt_len: jax.Array,   # (B,)
-    decode_end: jax.Array,   # scalar or (B,) — per-sequence decode depth
-    prompt_bucket: int,
+    page_table: jax.Array,   # (B, max_pages) int32 physical page ids
+    prompt_len: jax.Array,   # (B,) valid prompt rows
+    decode_count: jax.Array, # (B,) valid decode rows already in cache
     scale: float | None = None,
-    block_p: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Dual-granularity flash-decode over the stacked KV cache.
+    """Paged flash-decode over a page-pool KV cache.
 
-    Requires ``prompt_bucket % block_p == 0`` and a decode region
-    (``S - prompt_bucket``) that is a multiple of 128.
+    ``page_size`` (from ``kall.shape[3]``) must be a multiple of 128.
     """
     B, hq, D = q.shape
-    hkv, S = kall.shape[2], kall.shape[3]
+    hkv, page_size = kall.shape[2], kall.shape[3]
+    max_pages = page_table.shape[1]
     group = hq // hkv
     if scale is None:
         scale = D ** -0.5
-    if block_p is None:
-        block_p = next(
-            bp for bp in (512, 256, 128) if prompt_bucket % bp == 0
-        )
-    if prompt_bucket % block_p:
-        raise ValueError(f"prompt_bucket={prompt_bucket} not tileable by {block_p}")
-    if (S - prompt_bucket) % _BLOCK_D:
-        raise ValueError(
-            f"decode region {S - prompt_bucket} not a multiple of {_BLOCK_D}"
-        )
+    if page_size % _BLOCK_D:
+        raise ValueError(f"page_size={page_size} not a multiple of {_BLOCK_D}")
 
     cores = 2 if B > 1 else 1
     per_core = -(-B // cores)
@@ -293,23 +304,22 @@ def decode_attention_hbm4(
     vnew_p = jnp.pad(v_new, ((0, b_pad - B), (0, 0), (0, 0), (0, 0))).reshape(
         cores, per_core, hkv, 1, D
     )
-    # Every live lane must own >= 1 block: the software pipeline's
-    # producer walk (next_coords) always emits pair (bl, 0), so a lane
-    # with zero blocks (plen == 0 and no decode rows — an idle slot in a
-    # continuous batch) would desync DMA starts from waits and crash the
-    # device.  Clamping plen to 1 makes such a lane read one (masked-
-    # irrelevant, finite) row; its output is discarded by the caller.
+    # Clamp plen >= 1: a zero-block lane (idle slot) would desync the
+    # DMA pipeline's producer walk from its consumer — see the identical
+    # note in decode_attention_hbm4.  The one masked-in row resolves
+    # through the (clipped) page table to a finite value; the caller
+    # discards idle lanes' outputs.
     plen_p = jnp.pad(
         jnp.maximum(prompt_len.astype(jnp.int32), 1), (0, b_pad - B)
     )
-    dend_p = jnp.pad(
-        jnp.broadcast_to(jnp.asarray(decode_end, jnp.int32), (B,)),
-        (0, b_pad - B),
-        constant_values=prompt_bucket,  # padding lanes: zero decode blocks
-    )
+    dcount_p = jnp.pad(decode_count.astype(jnp.int32), (0, b_pad - B))
+    table_p = jnp.pad(
+        jnp.clip(page_table.astype(jnp.int32), 0, kall.shape[1] - 1),
+        ((0, b_pad - B), (0, 0)),
+    ).reshape(-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(cores,),
         in_specs=[
             pl.BlockSpec(
@@ -328,8 +338,8 @@ def decode_attention_hbm4(
             (1, per_core, hkv, _QPAD, D), lambda c, *_: (c, 0, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((_NBUF, hkv, block_p, D), kall.dtype),
-            pltpu.VMEM((_NBUF, hkv, block_p, D), vall.dtype),
+            pltpu.VMEM((_NBUF, hkv, page_size, D), kall.dtype),
+            pltpu.VMEM((_NBUF, hkv, page_size, D), vall.dtype),
             pltpu.SemaphoreType.DMA((_NBUF,)),
             pltpu.SemaphoreType.DMA((_NBUF,)),
         ],
@@ -337,8 +347,8 @@ def decode_attention_hbm4(
     out = pl.pallas_call(
         functools.partial(
             _kernel,
-            block_p=block_p,
-            prompt_bucket=prompt_bucket,
+            page_size=page_size,
+            max_pages=max_pages,
             per_core=per_core,
             b_pad=b_pad,
         ),
@@ -352,8 +362,9 @@ def decode_attention_hbm4(
         interpret=interpret,
     )(
         layer.reshape(1).astype(jnp.int32),
+        table_p,
         plen_p,
-        dend_p,
+        dcount_p,
         counts,
         qg,
         kall,

@@ -45,6 +45,129 @@ def _kernel(slot_ref, rows_ref, cache_ref, out_ref, buf, sem):
     store.wait()
 
 
+def _kernel_batch(slots_ref, rows_ref, cache_ref, out_ref, buf, sem):
+    # Per-sequence slots: grid is (L, B); each cell read-modify-writes the
+    # 8-row tile containing that sequence's slot.  Tiles are per-(layer, b)
+    # along S only, so no cross-sequence interference; the decode region
+    # starts at a 256-aligned bucket boundary so the tile never crosses
+    # into the prompt.
+    layer = pl.program_id(0)
+    b = pl.program_id(1)
+    slot = slots_ref[b]
+    aligned = (slot // 8) * 8
+    offset = slot - aligned
+
+    tile_src = out_ref.at[layer, b, :, pl.ds(aligned, 8), :]
+    fetch = pltpu.make_async_copy(tile_src, buf, sem)
+    fetch.start()
+    fetch.wait()
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, buf.shape, 1)  # (H,8,D)
+    buf[...] = jnp.where(row_ids == offset, rows_ref[0, 0], buf[...])
+
+    store = pltpu.make_async_copy(buf, tile_src, sem)
+    store.start()
+    store.wait()
+
+
+@jax.jit
+def kv_write_rows_batch(
+    cache: jax.Array,   # (L, B, Hkv, S, D) — aliased, updated in place
+    rows: jax.Array,    # (L, B, Hkv, 1, D)
+    slots: jax.Array,   # (B,) int32, per-sequence write slot
+) -> jax.Array:
+    """Per-sequence variant of :func:`kv_write_rows` for heterogeneous
+    decode depths (continuous batching: sequences admitted mid-stream write
+    their fresh K/V row at ``prompt_bucket + count - 1``, which differs per
+    sequence)."""
+    L, B, H, S, D = cache.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, B),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, H, 1, D), lambda l, b, *_: (l, b, 0, 0, 0)
+            ),                                       # this (layer, b) row
+            pl.BlockSpec(memory_space=pltpu.ANY),    # cache stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((H, 8, D), cache.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _kernel_batch,
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={2: 0},  # flat input 2 (prefetch, rows, cache)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(slots.astype(jnp.int32), rows.astype(cache.dtype), cache)
+
+
+def _kernel_paged(pages_ref, offs_ref, rows_ref, cache_ref, out_ref, buf, sem):
+    # Paged cache (L, n_pages, H, PS, D): grid (L, B); each cell
+    # read-modify-writes the 8-row tile of sequence b's current page.
+    layer = pl.program_id(0)
+    b = pl.program_id(1)
+    page = pages_ref[b]
+    off = offs_ref[b]
+    aligned = (off // 8) * 8
+    in_tile = off - aligned
+
+    tile_src = out_ref.at[layer, page, :, pl.ds(aligned, 8), :]
+    fetch = pltpu.make_async_copy(tile_src, buf, sem)
+    fetch.start()
+    fetch.wait()
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, buf.shape, 1)  # (H,8,D)
+    buf[...] = jnp.where(row_ids == in_tile, rows_ref[0, 0], buf[...])
+
+    store = pltpu.make_async_copy(buf, tile_src, sem)
+    store.start()
+    store.wait()
+
+
+@jax.jit
+def kv_write_rows_paged(
+    cache: jax.Array,   # (L, n_pages, Hkv, PS, D) — aliased, updated in place
+    rows: jax.Array,    # (L, B, Hkv, 1, D)
+    pages: jax.Array,   # (B,) int32 physical page per sequence
+    offsets: jax.Array, # (B,) int32 row offset inside the page
+) -> jax.Array:
+    """Write each sequence's fresh K/V row into its page-table-resolved
+    (page, offset) — the paged engine's decode-step writer."""
+    L, n_pages, H, PS, D = cache.shape
+    B = rows.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L, B),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, H, 1, D), lambda l, b, *_: (l, b, 0, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((H, 8, D), cache.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _kernel_paged,
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={3: 0},  # (pages, offs, rows, cache)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        jnp.clip(pages.astype(jnp.int32), 0, n_pages - 1),
+        offsets.astype(jnp.int32),
+        rows.astype(cache.dtype),
+        cache,
+    )
+
+
 @jax.jit
 def kv_write_rows(
     cache: jax.Array,   # (L, B, Hkv, S, D) — aliased, updated in place

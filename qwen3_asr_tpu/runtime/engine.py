@@ -1,0 +1,591 @@
+"""Slot-based continuous-batching decode engine.
+
+The reference serializes every request behind one lock (model.py:145,
+239-250); round-1's server batched at admission only — a running decode
+blocked the queue (head-of-line blocking).  This engine keeps ONE
+persistent KV cache of ``n_slots`` sequence slots on device and interleaves
+three operations at **step-chunk boundaries**:
+
+  * ``admit``  — prefill new clips and write their prompt K/V into free
+    slots *while other slots are mid-decode*;
+  * ``step``   — run up to ``chunk_steps`` decode iterations for every
+    live slot in ONE compiled ``lax.while_loop`` (sequences sit at
+    heterogeneous decode depths: per-sequence RoPE positions, per-sequence
+    KV write slots, per-sequence attention intervals — all supported
+    natively by the v5 flash-decode kernel's per-sequence ``decode_end``);
+  * ``retire`` — harvest finished sequences and free their slots without
+    stopping the batch.
+
+TPU-first design: the device programs are fully static-shaped (``n_slots``
+is the compiled batch), control state lives in tiny host arrays uploaded
+per chunk (a few hundred bytes), and the cache + token buffers are donated
+through every call so nothing is ever copied.  Chunked host control costs
+one dispatch per ``chunk_steps`` decode steps and is what makes mid-decode
+admission possible at all — a single monolithic while_loop (the
+``Generator`` fast path, still used by ``transcribe_batch``) cannot accept
+new work until it drains.
+
+No reference counterpart (single device, batch-1: encoder.py:249-250);
+blueprint: BASELINE.json north-star config 5.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TextDecoderConfig
+from ..models.decoder import (
+    decoder_forward,
+    decoder_logits,
+    embed_tokens,
+    init_kv_cache,
+)
+from ..ops.sampling import RECENT_PAD_ID, sample_logits
+from ..tokenizer import EOS_TOKEN_IDS
+
+
+@dataclass
+class SlotRequest:
+    """One admitted clip's bookkeeping (host side)."""
+
+    samples: np.ndarray
+    prompt: list[int]
+    max_new: int
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    repetition_penalty: float = 1.2
+    repetition_context_size: int = 100
+    seed: int = 0
+    meta: Any = None  # opaque caller payload (e.g. a Future)
+
+
+@dataclass
+class EngineStats:
+    """Continuous-batching counters."""
+
+    admitted: int = 0
+    retired: int = 0
+    chunks: int = 0
+    steps: int = 0
+    mid_decode_admissions: int = 0
+    occupancy_sum: float = 0.0
+
+    @property
+    def mean_occupancy(self) -> float:
+        return self.occupancy_sum / self.chunks if self.chunks else 0.0
+
+
+class DecodeEngine:
+    """Persistent multi-slot decode engine over one decoder parameter set.
+
+    Parameters
+    ----------
+    generator:
+        The model's :class:`~qwen3_asr_tpu.runtime.generate.Generator`
+        (provides params, config, planning).
+    prompt_bucket / token_bucket:
+        Static cache geometry: prompt region rows per slot and decode
+        region rows per slot.  ``prompt_bucket`` must be a multiple of 256
+        (flash-prefill tiling) and the decode region a multiple of 128
+        (v5 kernel block granularity).
+    n_slots:
+        Compiled batch width — the maximum number of concurrently decoding
+        sequences.
+    chunk_steps:
+        Decode steps per compiled chunk; admission/retirement happen at
+        chunk boundaries, so this bounds added queueing latency at
+        ``chunk_steps * per-step-time``.
+    """
+
+    def __init__(
+        self,
+        generator,
+        prompt_bucket: int,
+        token_bucket: int,
+        n_slots: int = 8,
+        chunk_steps: int = 32,
+        paged: bool = False,
+        page_size: int = 256,
+        n_pages: int | None = None,
+    ) -> None:
+        if prompt_bucket % 256:
+            raise ValueError("prompt_bucket must be a multiple of 256")
+        if token_bucket % 128:
+            raise ValueError("token_bucket must be a multiple of 128")
+        self.gen = generator
+        self.cfg: TextDecoderConfig = generator.cfg
+        self.prompt_bucket = prompt_bucket
+        self.token_bucket = token_bucket
+        self.cache_len = prompt_bucket + token_bucket
+        self.n_slots = n_slots
+        self.chunk_steps = chunk_steps
+        self.stats = EngineStats()
+        self._eos_ids = generator._eos_ids
+
+        dtype = jnp.result_type(generator.params["final_norm"])
+        self.paged = paged
+        if paged:
+            # Page-pool cache: each slot owns only the pages its prompt +
+            # generated tokens occupy.  ``n_pages`` bounds total KV memory
+            # independently of the worst-case slot size — mixed workloads
+            # oversubscribe.  Physical page 0 is a reserved trash page
+            # (inactive lanes' writes land there; no table entry points
+            # to it).
+            if page_size % 128:
+                raise ValueError("page_size must be a multiple of 128")
+            self.page_size = page_size
+            self.max_pages = (
+                -(-prompt_bucket // page_size) - (-token_bucket // page_size)
+            )
+            if n_pages is None:
+                n_pages = 1 + n_slots * self.max_pages
+            self.n_pages = n_pages
+            L = self.cfg.num_hidden_layers
+            shape = (
+                L, n_pages, self.cfg.num_key_value_heads,
+                page_size, self.cfg.head_dim,
+            )
+            self._keys = jnp.zeros(shape, dtype)
+            self._values = jnp.zeros(shape, dtype)
+            self._page_table = np.zeros((n_slots, self.max_pages), np.int32)
+            self._free_pages: list[int] = list(range(n_pages - 1, 0, -1))
+            self._pp = np.zeros(n_slots, np.int32)        # prompt pages
+            self._dp_alloc = np.zeros(n_slots, np.int32)  # decode pages
+            self._paused = np.zeros(n_slots, bool)        # out-of-pages
+        else:
+            self._keys, self._values = init_kv_cache(
+                self.cfg, n_slots, self.cache_len, dtype
+            )
+        self._tokens = jnp.zeros((n_slots, token_bucket), jnp.int32)
+
+        # Host-side control state (uploaded per chunk; a few hundred bytes).
+        n = n_slots
+        self._live = np.zeros(n, bool)
+        self._done = np.ones(n, bool)
+        self._counts = np.ones(n, np.int32)
+        self._prompt_len = np.zeros(n, np.int32)
+        self._max_new = np.ones(n, np.int32)
+        self._cur = np.zeros(n, np.int32)
+        self._rngs = np.zeros((n, 2), np.uint32)
+        self._temp = np.zeros(n, np.float32)
+        self._top_k = np.zeros(n, np.int32)
+        self._top_p = np.ones(n, np.float32)
+        self._rep_pen = np.ones(n, np.float32)
+        self._rep_ctx = np.zeros(n, np.int32)
+        self._meta: list[Optional[SlotRequest]] = [None] * n
+
+        donate_steps = tuple(range(1, 8))  # keys..rngs
+        self._step_chunk_jit = jax.jit(
+            self._step_chunk_paged_impl if paged else self._step_chunk_impl,
+            static_argnames=("k_steps",),
+            donate_argnums=donate_steps,
+        )
+        self._admit_jit = jax.jit(
+            self._admit_paged_impl if paged else self._admit_impl,
+            donate_argnums=(0, 1, 2),
+        )
+        self._first_jit = jax.jit(self._first_impl)
+
+    # -- device programs ---------------------------------------------------
+
+    def _step_chunk_impl(
+        self, params, keys, values, tokens, counts, done, cur, rngs,
+        live, prompt_len, max_new, temp, top_k, top_p, rep_pen, rep_ctx,
+        k_steps,
+    ):
+        """Up to ``k_steps`` decode iterations over all live slots."""
+        cfg = self.cfg
+        B = self.n_slots
+        pbucket = self.prompt_bucket
+        token_bucket = self.token_bucket
+        eos = jnp.asarray(self._eos_ids)
+        rep_window = self.gen.runtime.rep_window
+        rep_ctx_c = jnp.minimum(rep_ctx, rep_window)
+
+        def is_eos(tok):
+            return jnp.any(tok[..., None] == eos[None, :], axis=-1)
+
+        def recent_window(tokens, counts):
+            idx = counts[:, None] - rep_window + jnp.arange(rep_window)[None, :]
+            in_ctx = (idx >= 0) & (idx >= (counts - rep_ctx_c)[:, None])
+            vals = jnp.take_along_axis(
+                tokens, jnp.clip(idx, 0, token_bucket - 1), axis=1
+            )
+            return jnp.where(
+                in_ctx & (rep_ctx_c[:, None] > 0), vals, RECENT_PAD_ID
+            )
+
+        def cond(state):
+            _, _, _, _, done, _, _, step = state
+            return jnp.any(live & ~done) & (step < k_steps)
+
+        def body(state):
+            keys, values, tokens, counts, done, cur, rngs, step = state
+            # Per-sequence geometry: each slot is at its own decode depth.
+            pos = prompt_len + counts - 1
+            write_slots = pbucket + jnp.maximum(counts - 1, 0)
+            embeds = embed_tokens(params, cur)[:, None, :]
+            hidden, (keys, values) = decoder_forward(
+                params, cfg, embeds, pos[:, None], (keys, values),
+                write_slots=write_slots,
+                uniform_write=False,
+                decode_ctx=(prompt_len, write_slots, pbucket),
+            )
+            logits = decoder_logits(params, cfg, hidden)[:, 0]
+
+            split = jax.vmap(jax.random.split)(rngs)
+            use, rngs = split[:, 0], split[:, 1]
+            nxt = jax.vmap(sample_logits)(
+                use, logits, temp, top_k, top_p, rep_pen,
+                recent_window(tokens, counts),
+            )
+
+            active = live & ~done
+            slot = jnp.clip(counts, 0, token_bucket - 1)
+            keep = jnp.take_along_axis(tokens, slot[:, None], axis=1)[:, 0]
+            tokens = tokens.at[jnp.arange(B), slot].set(
+                jnp.where(active, nxt, keep)
+            )
+            counts = counts + active
+            done = done | ~live | (active & (is_eos(nxt) | (counts >= max_new)))
+            cur = jnp.where(active & ~done, nxt, cur)
+            return keys, values, tokens, counts, done, cur, rngs, step + 1
+
+        keys, values, tokens, counts, done, cur, rngs, _ = jax.lax.while_loop(
+            cond, body,
+            (keys, values, tokens, counts, done, cur, rngs, jnp.int32(0)),
+        )
+        return keys, values, tokens, counts, done, cur, rngs
+
+    def _admit_impl(self, keys, values, tokens, kg, vg, slots, first_tokens):
+        """Write a prefill group's prompt K/V + first token into its slots."""
+        pb_g = kg.shape[3]
+        keys = keys.at[:, slots, :, :pb_g, :].set(kg.astype(keys.dtype))
+        values = values.at[:, slots, :, :pb_g, :].set(vg.astype(values.dtype))
+        tokens = tokens.at[slots, :].set(0)
+        tokens = tokens.at[slots, 0].set(first_tokens)
+        return keys, values, tokens
+
+    def _first_impl(self, logits, rngs, temp, top_k, top_p):
+        """First token per admitted sequence — NO repetition penalty
+        (reference passes recent_tokens=None, generate.py:278-285)."""
+        bg = logits.shape[0]
+        no_recent = jnp.full((bg, 1), RECENT_PAD_ID, jnp.int32)
+        split = jax.vmap(jax.random.split)(rngs)
+        use, nxt = split[:, 0], split[:, 1]
+        toks = jax.vmap(
+            lambda k, l, t, tk, tp, r: sample_logits(k, l, t, tk, tp, 1.0, r)
+        )(use, logits, temp, top_k, top_p, no_recent)
+        return toks, nxt
+
+    # -- paged device programs ---------------------------------------------
+
+    def _step_chunk_paged_impl(
+        self, params, keys, values, tokens, counts, done, cur, rngs,
+        table, live, prompt_len, max_new, temp, top_k, top_p, rep_pen,
+        rep_ctx, k_steps,
+    ):
+        """Paged variant: KV rows resolve through the per-slot page table.
+
+        ``table`` is chunk-invariant (the host pre-allocates decode pages
+        covering this chunk's steps before dispatch; slots that could not
+        get pages are excluded from ``live``)."""
+        from ..models.decoder import decoder_paged_step
+
+        cfg = self.cfg
+        B = self.n_slots
+        PS = self.page_size
+        maxp = self.max_pages
+        token_bucket = self.token_bucket
+        eos = jnp.asarray(self._eos_ids)
+        rep_window = self.gen.runtime.rep_window
+        rep_ctx_c = jnp.minimum(rep_ctx, rep_window)
+        pp = (prompt_len + PS - 1) // PS
+
+        def is_eos(tok):
+            return jnp.any(tok[..., None] == eos[None, :], axis=-1)
+
+        def recent_window(tokens, counts):
+            idx = counts[:, None] - rep_window + jnp.arange(rep_window)[None, :]
+            in_ctx = (idx >= 0) & (idx >= (counts - rep_ctx_c)[:, None])
+            vals = jnp.take_along_axis(
+                tokens, jnp.clip(idx, 0, token_bucket - 1), axis=1
+            )
+            return jnp.where(
+                in_ctx & (rep_ctx_c[:, None] > 0), vals, RECENT_PAD_ID
+            )
+
+        def cond(state):
+            _, _, _, _, done, _, _, step = state
+            return jnp.any(live & ~done) & (step < k_steps)
+
+        def body(state):
+            keys, values, tokens, counts, done, cur, rngs, step = state
+            pos = prompt_len + counts - 1
+            wrow = jnp.maximum(counts - 1, 0)   # decode row being written
+            idx = jnp.clip(pp + wrow // PS, 0, maxp - 1)
+            page = table[jnp.arange(B), idx]
+            off = wrow % PS
+            embeds = embed_tokens(params, cur)[:, None, :]
+            hidden, (keys, values) = decoder_paged_step(
+                params, cfg, embeds, pos[:, None], (keys, values),
+                table, prompt_len, wrow, page, off,
+            )
+            logits = decoder_logits(params, cfg, hidden)[:, 0]
+
+            split = jax.vmap(jax.random.split)(rngs)
+            use, rngs = split[:, 0], split[:, 1]
+            nxt = jax.vmap(sample_logits)(
+                use, logits, temp, top_k, top_p, rep_pen,
+                recent_window(tokens, counts),
+            )
+
+            active = live & ~done
+            slot = jnp.clip(counts, 0, token_bucket - 1)
+            keep = jnp.take_along_axis(tokens, slot[:, None], axis=1)[:, 0]
+            tokens = tokens.at[jnp.arange(B), slot].set(
+                jnp.where(active, nxt, keep)
+            )
+            counts = counts + active
+            done = done | ~live | (active & (is_eos(nxt) | (counts >= max_new)))
+            cur = jnp.where(active & ~done, nxt, cur)
+            return keys, values, tokens, counts, done, cur, rngs, step + 1
+
+        keys, values, tokens, counts, done, cur, rngs, _ = jax.lax.while_loop(
+            cond, body,
+            (keys, values, tokens, counts, done, cur, rngs, jnp.int32(0)),
+        )
+        return keys, values, tokens, counts, done, cur, rngs
+
+    def _admit_paged_impl(
+        self, keys, values, tokens, kg, vg, dst_pages, slots, first_tokens
+    ):
+        """Scatter a prefill group's prompt rows into allocated pages.
+
+        ``dst_pages`` is ``(B_g * Pb_g/PS,)``: each sequence's prompt pages
+        in order, padded with the trash page (0) for pages beyond its
+        prompt length — right-padded prefill garbage never claims memory.
+        """
+        L, Bg, H, pb_g, D = kg.shape
+        PS = self.page_size
+        npg = pb_g // PS
+        src_k = kg.reshape(L, Bg, H, npg, PS, D).transpose(
+            0, 1, 3, 2, 4, 5
+        ).reshape(L, Bg * npg, H, PS, D)
+        src_v = vg.reshape(L, Bg, H, npg, PS, D).transpose(
+            0, 1, 3, 2, 4, 5
+        ).reshape(L, Bg * npg, H, PS, D)
+        keys = keys.at[:, dst_pages].set(src_k.astype(keys.dtype))
+        values = values.at[:, dst_pages].set(src_v.astype(values.dtype))
+        tokens = tokens.at[slots, :].set(0)
+        tokens = tokens.at[slots, 0].set(first_tokens)
+        return keys, values, tokens
+
+    # -- host control ------------------------------------------------------
+
+    def free_slots(self) -> list[int]:
+        return [i for i in range(self.n_slots) if not self._live[i]]
+
+    def n_active(self) -> int:
+        return int((self._live & ~self._done).sum())
+
+    def admit(
+        self, kv_group, first_logits, slots: list[int], reqs: list[SlotRequest]
+    ) -> list[SlotRequest]:
+        """Place a prefilled group into ``slots`` (one entry per request).
+
+        ``kv_group`` is the prefill's ``(keys, values)`` with cache length
+        <= ``prompt_bucket``; ``first_logits`` the last-prompt-position
+        logits ``(B_g, vocab)``.  Returns requests that could NOT be
+        admitted (paged mode only: page pool exhausted) — the caller
+        should retry them after retirements free pages.
+        """
+        rejected: list[SlotRequest] = []
+        pages_per_req: list[list[int]] = []
+        if self.paged:
+            ps = self.page_size
+            admitted_idx = []
+            for j, r in enumerate(reqs):
+                pp = -(-len(r.prompt) // ps)
+                if pp <= len(self._free_pages):
+                    pages_per_req.append(
+                        [self._free_pages.pop() for _ in range(pp)]
+                    )
+                    admitted_idx.append(j)
+                else:
+                    rejected.append(r)
+            if not admitted_idx:
+                return rejected
+            if len(admitted_idx) < len(reqs):
+                sel = jnp.asarray(admitted_idx)
+                kv_group = (
+                    jnp.take(kv_group[0], sel, axis=1),
+                    jnp.take(kv_group[1], sel, axis=1),
+                )
+                first_logits = jnp.take(first_logits, sel, axis=0)
+                reqs = [reqs[j] for j in admitted_idx]
+        if self.n_active() > 0:
+            self.stats.mid_decode_admissions += len(reqs)
+        bg = len(reqs)
+        slots_np = np.asarray(slots[:bg], np.int32)
+        rngs = np.stack(
+            [np.asarray(jax.random.PRNGKey(r.seed), np.uint32) for r in reqs]
+        )
+        temp = np.asarray([r.temperature for r in reqs], np.float32)
+        top_k = np.asarray([r.top_k for r in reqs], np.int32)
+        top_p = np.asarray([r.top_p for r in reqs], np.float32)
+
+        first, rngs_next = self._first_jit(
+            first_logits, jax.device_put(rngs), temp, top_k, top_p
+        )
+        first_np = np.asarray(first)
+        if self.paged:
+            ps = self.page_size
+            npg = kv_group[0].shape[3] // ps
+            dst = np.zeros(bg * npg, np.int32)  # unused entries -> trash page
+            for i, pages in enumerate(pages_per_req):
+                dst[i * npg : i * npg + len(pages)] = pages
+                s = slots_np[i]
+                self._page_table[s, :] = 0
+                self._page_table[s, : len(pages)] = pages
+                self._pp[s] = len(pages)
+                self._dp_alloc[s] = 0
+                self._paused[s] = False
+            self._keys, self._values, self._tokens = self._admit_jit(
+                self._keys, self._values, self._tokens,
+                kv_group[0], kv_group[1], jax.device_put(dst), slots_np, first,
+            )
+        else:
+            self._keys, self._values, self._tokens = self._admit_jit(
+                self._keys, self._values, self._tokens,
+                kv_group[0], kv_group[1], slots_np, first,
+            )
+        rngs_next_np = np.asarray(rngs_next)
+
+        for j, (s, r) in enumerate(zip(slots_np, reqs)):
+            budget = min(r.max_new, self.token_bucket)
+            self._live[s] = True
+            self._counts[s] = 1
+            self._prompt_len[s] = len(r.prompt)
+            self._max_new[s] = budget
+            self._cur[s] = first_np[j]
+            self._rngs[s] = rngs_next_np[j]
+            self._temp[s] = r.temperature
+            self._top_k[s] = r.top_k
+            self._top_p[s] = r.top_p
+            self._rep_pen[s] = r.repetition_penalty
+            self._rep_ctx[s] = r.repetition_context_size
+            self._meta[s] = r
+            self._done[s] = bool(
+                first_np[j] in self._eos_ids or budget <= 1
+            )
+        self.stats.admitted += bg
+        return rejected
+
+    def _ensure_decode_pages(self, k: int) -> np.ndarray:
+        """Lazily grow each live slot's decode pages to cover this chunk.
+
+        Returns the runnable mask.  A slot that cannot get enough pages is
+        PAUSED (keeps its state; resumes when retirements free pages).  If
+        nothing can run and nothing is retirable, the deepest sequence is
+        force-finished (truncated, logged) so the pool always drains.
+        """
+        from ..utils.telemetry import logger
+
+        ps = self.page_size
+        max_dp = -(-self.token_bucket // ps)
+        want = np.nonzero(self._live & ~self._done)[0]
+        for s in want:
+            rows = int(min(self._counts[s] + k - 1, self._max_new[s] - 1))
+            dp_need = min(-(-max(rows, 1) // ps), max_dp)
+            while self._dp_alloc[s] < dp_need and self._free_pages:
+                page = self._free_pages.pop()
+                self._page_table[s, self._pp[s] + self._dp_alloc[s]] = page
+                self._dp_alloc[s] += 1
+            self._paused[s] = self._dp_alloc[s] < dp_need
+        runnable = self._live & ~self._done & ~self._paused
+        if not runnable.any() and len(want) and not (
+            self._live & self._done
+        ).any():
+            deepest = want[np.argmax(self._counts[want])]
+            logger.warning(
+                "page pool exhausted with no retirable work: force-"
+                "finishing slot %d at %d tokens (transcript truncated); "
+                "grow n_pages=%d", deepest, self._counts[deepest], self.n_pages,
+            )
+            self._done[deepest] = True
+        return self._live & ~self._done & ~self._paused
+
+    def step(self, k_steps: int | None = None) -> None:
+        """Run one compiled decode chunk over every live slot."""
+        k = k_steps or self.chunk_steps
+        if self.paged:
+            runnable = self._ensure_decode_pages(k)
+            if not runnable.any():
+                return
+            extra = (
+                jax.device_put(self._page_table),
+                jax.device_put(runnable),
+            )
+        else:
+            extra = (jax.device_put(self._live),)
+        out = self._step_chunk_jit(
+            self.gen.params,
+            self._keys, self._values, self._tokens,
+            jax.device_put(self._counts), jax.device_put(self._done),
+            jax.device_put(self._cur), jax.device_put(self._rngs),
+            *extra, jax.device_put(self._prompt_len),
+            jax.device_put(self._max_new), jax.device_put(self._temp),
+            jax.device_put(self._top_k), jax.device_put(self._top_p),
+            jax.device_put(self._rep_pen), jax.device_put(self._rep_ctx),
+            k_steps=k,
+        )
+        self._keys, self._values, self._tokens = out[0], out[1], out[2]
+        counts_before = self._counts.copy()
+        # np.array (not asarray): device fetches are read-only views and
+        # this state is mutated host-side at admission/retirement.
+        self._counts = np.array(out[3])
+        self._done = np.array(out[4])
+        self._cur = np.array(out[5])
+        self._rngs = np.array(out[6])
+        self.stats.chunks += 1
+        self.stats.steps += int((self._counts - counts_before).max(initial=0))
+        self.stats.occupancy_sum += self.n_active() + int(
+            (self._live & self._done).sum()
+        )
+
+    def retire(self) -> list[tuple[SlotRequest, list[int]]]:
+        """Harvest finished sequences; free their slots; return token lists."""
+        finished = np.nonzero(self._live & self._done)[0]
+        if len(finished) == 0:
+            return []
+        rows = np.asarray(self._tokens[jnp.asarray(finished)])
+        out = []
+        for row, s in zip(rows, finished):
+            req = self._meta[s]
+            toks = row[: self._counts[s]].tolist()
+            out.append((req, toks))
+            self._live[s] = False
+            self._done[s] = True
+            self._counts[s] = 1
+            self._prompt_len[s] = 0
+            self._cur[s] = 0
+            self._meta[s] = None
+            if self.paged:
+                n_owned = int(self._pp[s] + self._dp_alloc[s])
+                self._free_pages.extend(
+                    int(p) for p in self._page_table[s, :n_owned] if p != 0
+                )
+                self._page_table[s, :] = 0
+                self._pp[s] = 0
+                self._dp_alloc[s] = 0
+                self._paused[s] = False
+        self.stats.retired += len(out)
+        return out

@@ -308,24 +308,47 @@ class Generator:
     # -- planning / decode helpers (shared with the fused API pipeline) ----
 
     def plan(
-        self, audio_token_bucket: int, max_prompt_len: int, max_new_tokens: int
+        self,
+        audio_token_bucket: int,
+        max_prompt_len: int,
+        max_new_tokens: int,
+        batch: int = 1,
     ) -> tuple[int, int, int]:
         """(prompt_bucket, token_bucket, cache_len) for the given shapes.
 
         The prompt bucket is rounded to a multiple of 256 so prefill can
         use the Pallas flash kernel's tiling (the padded tail is causally
         masked either way).
+
+        The decode region is capped **memory-aware**: the flat
+        ``max_decode_slots`` floor is RAISED whenever the KV budget
+        (``kv_cache_budget_gb``) allows more slots at this batch size, so
+        a token-dense single 20-minute chunk can emit its full
+        ``50 * seconds`` reference budget (model.py:311 — ~60k tokens →
+        a 32k-slot region fits one chip alongside the prompt) instead of
+        being silently truncated at 4096.  Sequences that still exhaust
+        the region get the logged warning in :meth:`decode`.
         """
         prompt_bucket = -(-(audio_token_bucket + 32) // 256) * 256
         if max_prompt_len > prompt_bucket:
             raise ValueError(
                 f"prompt length {max_prompt_len} exceeds bucket {prompt_bucket}"
             )
-        token_bucket = self.runtime.pick_bucket(
-            min(max_new_tokens, self.runtime.max_decode_slots),
-            self.runtime.token_buckets,
+        cfg = self.cfg
+        row_bytes = (
+            cfg.num_hidden_layers * cfg.num_key_value_heads
+            * cfg.head_dim * 2 * 2
         )
-        token_bucket = min(token_bucket, self.runtime.max_decode_slots)
+        budget = int(self.runtime.kv_cache_budget_gb * 2**30)
+        allowed_mem = budget // (row_bytes * max(batch, 1)) - prompt_bucket
+        cap = max(self.runtime.max_decode_slots, allowed_mem)
+        want = min(max_new_tokens, cap)
+        token_bucket = self.runtime.pick_bucket(want, self.runtime.token_buckets)
+        if token_bucket > cap:
+            # Bucket rounding must not blow past the memory allowance:
+            # take the largest bucket that fits instead.
+            fitting = [b for b in self.runtime.token_buckets if b <= cap]
+            token_bucket = max(fitting) if fitting else self.runtime.token_buckets[0]
         return prompt_bucket, token_bucket, prompt_bucket + token_bucket
 
     @staticmethod

@@ -1,3 +1,11 @@
-from .server import ServerStats, TranscriptionServer
+from .server import (
+    ContinuousTranscriptionServer,
+    ServerStats,
+    TranscriptionServer,
+)
 
-__all__ = ["TranscriptionServer", "ServerStats"]
+__all__ = [
+    "TranscriptionServer",
+    "ContinuousTranscriptionServer",
+    "ServerStats",
+]

@@ -57,16 +57,36 @@ class _Request:
 
 @dataclass
 class ServerStats:
-    """Aggregate serving counters (in-process observability)."""
+    """Aggregate serving counters (in-process observability).
+
+    Mutations go through :meth:`bump` — counters are updated from both the
+    submitting threads and the worker, so unsynchronized ``+=`` would lose
+    increments under contention.
+    """
 
     requests: int = 0
     batches: int = 0
     failures: int = 0
     batch_sizes: list[int] = field(default_factory=list)
 
+    def __post_init__(self) -> None:
+        self._lock = threading.Lock()
+
+    def bump(self, field_name: str, by: int = 1) -> None:
+        with self._lock:
+            setattr(self, field_name, getattr(self, field_name) + by)
+
+    def record_batch(self, size: int) -> None:
+        with self._lock:
+            self.batches += 1
+            self.batch_sizes.append(size)
+
     @property
     def mean_batch_size(self) -> float:
-        return sum(self.batch_sizes) / len(self.batch_sizes) if self.batch_sizes else 0.0
+        with self._lock:
+            if not self.batch_sizes:
+                return 0.0
+            return sum(self.batch_sizes) / len(self.batch_sizes)
 
 
 class TranscriptionServer:
@@ -95,7 +115,7 @@ class TranscriptionServer:
             raise RuntimeError("server is closed")
         fut: Future = Future()
         self._queue.put(_Request(audio, options, fut))
-        self.stats.requests += 1
+        self.stats.bump("requests")
         return fut
 
     def transcribe(self, audio, **options):
@@ -152,8 +172,7 @@ class TranscriptionServer:
             batch = self._collect_batch()
             if batch is None:
                 return
-            self.stats.batches += 1
-            self.stats.batch_sizes.append(len(batch))
+            self.stats.record_batch(len(batch))
             options = batch[0].options
             try:
                 results = self._model.transcribe_batch(
@@ -169,5 +188,239 @@ class TranscriptionServer:
                             self._model.transcribe(req.audio, **req.options)
                         )
                     except Exception as exc:  # noqa: BLE001
-                        self.stats.failures += 1
+                        self.stats.bump("failures")
                         req.future.set_exception(exc)
+
+
+class ContinuousTranscriptionServer:
+    """In-flight continuous batching: requests join a RUNNING decode.
+
+    :class:`TranscriptionServer` batches at admission only — once a batch's
+    decode loop launches, later requests wait for it to drain (head-of-line
+    blocking).  This server drives a persistent
+    :class:`~qwen3_asr_tpu.runtime.engine.DecodeEngine`: the worker
+    alternates short compiled decode chunks with admission and retirement,
+    so a request submitted mid-decode starts after at most ``chunk_steps``
+    decode steps and finished sequences free their slots without stopping
+    the batch (BASELINE.json north-star config 5; no reference
+    counterpart — model.py:145 serializes everything).
+
+    Clips longer than ``max_duration`` are rejected with a clear error
+    (use ``model.transcribe`` — its chunked path handles long-form).
+    """
+
+    def __init__(
+        self,
+        model,
+        n_slots: int = 8,
+        max_duration: float = 30.0,
+        max_new_tokens: int = 512,
+        chunk_steps: int = 32,
+        admit_batch: int = 0,
+        paged: bool = False,
+        page_size: int = 256,
+        kv_pool_gb: float | None = None,
+    ) -> None:
+        self._model = model
+        self._engine = model.make_engine(
+            n_slots=n_slots,
+            max_duration=max_duration,
+            max_new_tokens=max_new_tokens,
+            chunk_steps=chunk_steps,
+            paged=paged,
+            page_size=page_size,
+            kv_pool_gb=kv_pool_gb,
+        )
+        self._max_duration = max_duration
+        self._admit_batch = admit_batch or n_slots
+        self._queue: queue.Queue[_Request | None] = queue.Queue()
+        self.stats = ServerStats()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    @property
+    def engine_stats(self):
+        return self._engine.stats
+
+    # -- client API --------------------------------------------------------
+
+    def submit(self, audio, **options) -> Future:
+        if self._closed:
+            raise RuntimeError("server is closed")
+        fut: Future = Future()
+        self._queue.put(_Request(audio, options, fut))
+        self.stats.bump("requests")
+        return fut
+
+    def transcribe(self, audio, **options):
+        return self.submit(audio, **options).result()
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(None)
+        self._worker.join(timeout=60)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- worker ------------------------------------------------------------
+
+    def _drain_new(self, block: bool) -> list[_Request] | None:
+        """Pending requests up to the free-slot count.  ``None`` = shutdown."""
+        free = len(self._engine.free_slots())
+        out: list[_Request] = []
+        want = min(free, self._admit_batch)
+        while len(out) < want:
+            try:
+                req = self._queue.get(block=block and not out, timeout=None)
+            except queue.Empty:
+                break
+            if req is None:
+                self._queue.put(None)
+                return out or None
+            out.append(req)
+            block = False
+        return out
+
+    def _admit(self, reqs: list[_Request]) -> list[_Request]:
+        """Admit up to the engine's capacity; returns DEFERRED requests
+        (paged mode: page pool exhausted) to retry after retirements."""
+        from ..api import TranscriptionResult
+        from ..audio.io import SAMPLE_RATE, load_audio
+        from ..runtime.engine import SlotRequest
+
+        ready: list[tuple[_Request, "object", str, float]] = []
+        for req in reqs:
+            try:
+                if isinstance(req.audio, (str,)) or hasattr(req.audio, "__fspath__"):
+                    samples = load_audio(req.audio)
+                else:
+                    from ..api import _validate_samples
+
+                    samples = _validate_samples(req.audio)
+                duration = len(samples) / SAMPLE_RATE
+                if len(samples) == 0:
+                    req.future.set_result(
+                        TranscriptionResult(text="", language="Unknown", duration=0.0)
+                    )
+                    continue
+                if duration > self._max_duration:
+                    raise ValueError(
+                        f"clip of {duration:.0f}s exceeds this server's "
+                        f"max_duration={self._max_duration:.0f}s; use "
+                        "model.transcribe() for long-form audio"
+                    )
+                lang = self._model._resolve_language(req.options.get("language"))
+                ready.append((req, samples, lang, duration))
+            except Exception as exc:  # noqa: BLE001
+                self.stats.bump("failures")
+                req.future.set_exception(exc)
+        if not ready:
+            return []
+        try:
+            kv, first_logits, prompts = self._model.prefill_group(
+                [r[1] for r in ready], [r[2] for r in ready]
+            )
+            slot_reqs = []
+            for (req, samples, lang, duration), prompt in zip(ready, prompts):
+                opts = req.options
+                budget = opts.get("max_tokens") or max(256, int(duration * 50))
+                slot_reqs.append(
+                    SlotRequest(
+                        samples=samples,
+                        prompt=prompt,
+                        max_new=budget,
+                        temperature=opts.get("temperature", 0.0),
+                        top_k=opts.get("top_k", 0),
+                        top_p=opts.get("top_p", 1.0),
+                        repetition_penalty=opts.get("repetition_penalty", 1.2),
+                        repetition_context_size=opts.get(
+                            "repetition_context_size", 100
+                        ),
+                        seed=opts.get("seed", 0),
+                        meta=(req.future, lang, duration),
+                    )
+                )
+            by_slotreq = {id(sr): r[0] for sr, r in zip(slot_reqs, ready)}
+            rejected = self._engine.admit(
+                kv, first_logits, self._engine.free_slots(), slot_reqs
+            )
+            admitted = len(slot_reqs) - len(rejected or [])
+            if admitted:
+                self.stats.record_batch(admitted)
+            return [by_slotreq[id(sr)] for sr in (rejected or [])]
+        except Exception as exc:  # noqa: BLE001
+            for req, *_ in ready:
+                self.stats.bump("failures")
+                req.future.set_exception(exc)
+        return []
+
+    def _retire(self) -> int:
+        from ..api import TranscriptionResult
+
+        retired = 0
+        for slot_req, toks in self._engine.retire():
+            retired += 1
+            future, lang, duration = slot_req.meta
+            try:
+                text, out_lang = self._model._finalize_output(toks, lang)
+                future.set_result(
+                    TranscriptionResult(
+                        text=text, language=out_lang, duration=duration
+                    )
+                )
+            except Exception as exc:  # noqa: BLE001
+                self.stats.bump("failures")
+                future.set_exception(exc)
+        return retired
+
+    def _run(self) -> None:
+        deferred: list[_Request] = []
+        retry_deferred = True
+        while True:
+            idle = self._engine.n_active() == 0 and not deferred
+            reqs = self._drain_new(block=idle)
+            if reqs is None:
+                # Shutdown: drain in-flight work before exiting.
+                while self._engine.n_active() > 0 or deferred:
+                    if deferred:
+                        deferred = self._admit(deferred)
+                    self._engine.step()
+                    if self._retire():
+                        retry_deferred = True
+                    if self._engine.n_active() == 0 and deferred:
+                        self._fail_deferred(deferred)
+                        deferred = []
+                return
+            todo = (deferred if retry_deferred else []) + (reqs or [])
+            if todo:
+                if retry_deferred:
+                    deferred = []
+                still = self._admit(todo)
+                if still and self._engine.n_active() == 0:
+                    # Engine is empty yet admission failed: the request can
+                    # never fit this pool — fail it rather than spin.
+                    self._fail_deferred(still)
+                    still = []
+                deferred.extend(still)
+                retry_deferred = not deferred
+            if self._engine.n_active() > 0:
+                self._engine.step()
+                if self._retire():
+                    retry_deferred = True
+
+    def _fail_deferred(self, reqs: list[_Request]) -> None:
+        for req in reqs:
+            self.stats.bump("failures")
+            req.future.set_exception(
+                RuntimeError(
+                    "request cannot be admitted: its prompt alone exceeds "
+                    "the engine's KV page pool; raise kv_pool_gb"
+                )
+            )

@@ -1,0 +1,264 @@
+"""Continuous-batching engine + server tests (CPU, tiny model).
+
+The key behavioral contracts (VERDICT round-1 item 3 / BASELINE.json
+north-star config 5):
+  * engine output is identical to the monolithic Generator decode path;
+  * a request submitted MID-DECODE is admitted at the next chunk boundary
+    and completes without waiting for the running batch to drain;
+  * finished sequences retire and free slots without stopping the batch.
+
+The tiny random model never emits a real EOS id (vocab 512 < the EOS ids),
+so every sequence runs to its token budget — decode length is exactly
+``max_tokens``, which makes completion-order assertions deterministic.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from qwen3_asr_tpu.api import Qwen3ASR, TranscriptionResult
+from qwen3_asr_tpu.config import RuntimeConfig
+from qwen3_asr_tpu.serving.server import ContinuousTranscriptionServer
+from tests.test_api import TINY_CFG, StubTokenizer, sine
+
+RT_ENGINE = RuntimeConfig(
+    frame_buckets=(800, 1600, 3200), token_buckets=(128, 256)
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(), runtime=RT_ENGINE, dtype=jnp.float32
+    )
+
+
+def test_engine_matches_direct(model):
+    """Greedy engine output == the monolithic decode path's output."""
+    clips = [sine(1.0, 440.0), sine(2.0, 330.0), sine(0.5, 550.0)]
+    direct = [model.transcribe(c, max_tokens=6) for c in clips]
+
+    engine = model.make_engine(n_slots=4, max_duration=8.0, max_new_tokens=128)
+    from qwen3_asr_tpu.runtime.engine import SlotRequest
+
+    kv, logits, prompts = model.prefill_group(
+        clips, ["English"] * len(clips)
+    )
+    reqs = [
+        SlotRequest(samples=c, prompt=p, max_new=6, meta=i)
+        for i, (c, p) in enumerate(zip(clips, prompts))
+    ]
+    engine.admit(kv, logits, engine.free_slots(), reqs)
+    results = {}
+    for _ in range(50):
+        if engine.n_active() == 0 and not results:
+            pass
+        engine.step()
+        for req, toks in engine.retire():
+            results[req.meta] = toks
+        if len(results) == len(clips):
+            break
+    assert len(results) == len(clips)
+    for i, r in enumerate(direct):
+        text = model._finalize_output(results[i], "English")[0]
+        assert text == r.text, f"clip {i}: engine != direct"
+
+
+def test_engine_heterogeneous_depths(model):
+    """Sequences admitted at different times decode correctly together."""
+    from qwen3_asr_tpu.runtime.engine import SlotRequest
+
+    clip_a, clip_b = sine(1.0, 440.0), sine(1.5, 260.0)
+    direct_a = model.transcribe(clip_a, max_tokens=12)
+    direct_b = model.transcribe(clip_b, max_tokens=5)
+
+    engine = model.make_engine(
+        n_slots=4, max_duration=8.0, max_new_tokens=128, chunk_steps=4
+    )
+    kv, logits, prompts = model.prefill_group([clip_a], ["English"])
+    engine.admit(
+        kv, logits, engine.free_slots(),
+        [SlotRequest(samples=clip_a, prompt=prompts[0], max_new=12, meta="a")],
+    )
+    engine.step()  # a is now 4+1 tokens deep
+    assert engine.n_active() == 1
+
+    kv, logits, prompts = model.prefill_group([clip_b], ["English"])
+    engine.admit(
+        kv, logits, engine.free_slots(),
+        [SlotRequest(samples=clip_b, prompt=prompts[0], max_new=5, meta="b")],
+    )
+    assert engine.stats.mid_decode_admissions == 1
+
+    results = {}
+    for _ in range(20):
+        engine.step()
+        for req, toks in engine.retire():
+            results[req.meta] = toks
+        if len(results) == 2:
+            break
+    assert model._finalize_output(results["a"], "English")[0] == direct_a.text
+    assert model._finalize_output(results["b"], "English")[0] == direct_b.text
+
+
+def test_continuous_server_mid_decode_admission(model):
+    """A short request submitted mid-decode finishes BEFORE the long
+    running request — the round-1 server would block it until the batch
+    drained."""
+    long_clip, short_clip = sine(2.0, 440.0), sine(0.5, 330.0)
+    direct_short = model.transcribe(short_clip, max_tokens=4)
+
+    with ContinuousTranscriptionServer(
+        model, n_slots=4, max_duration=8.0, max_new_tokens=128, chunk_steps=4
+    ) as srv:
+        f_long = srv.submit(long_clip, max_tokens=100)
+        # Wait until the long request is actually decoding.
+        deadline = time.time() + 60
+        while srv.engine_stats.admitted < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        f_short = srv.submit(short_clip, max_tokens=4)
+        short_res = f_short.result(timeout=120)
+        assert not f_long.done(), (
+            "short request should complete while the long decode is running"
+        )
+        long_res = f_long.result(timeout=120)
+
+    assert short_res.text == direct_short.text
+    assert long_res.text
+    assert srv.engine_stats.mid_decode_admissions >= 1
+
+
+def test_continuous_server_matches_direct(model):
+    clips = [sine(0.7, 300.0 + 40 * i) for i in range(5)]
+    direct = [model.transcribe(c, max_tokens=5) for c in clips]
+    with ContinuousTranscriptionServer(
+        model, n_slots=2, max_duration=8.0, max_new_tokens=128, chunk_steps=8
+    ) as srv:
+        futs = [srv.submit(c, max_tokens=5) for c in clips]
+        results = [f.result(timeout=300) for f in futs]
+    assert [r.text for r in results] == [d.text for d in direct]
+    # 5 requests through 2 slots: retirement must have freed slots.
+    assert srv.engine_stats.retired == 5
+
+
+def test_continuous_server_rejects_long_clip(model):
+    with ContinuousTranscriptionServer(
+        model, n_slots=2, max_duration=4.0, max_new_tokens=128
+    ) as srv:
+        fut = srv.submit(sine(6.0), max_tokens=4)
+        with pytest.raises(ValueError, match="max_duration"):
+            fut.result(timeout=60)
+
+
+def test_continuous_server_empty_clip(model):
+    with ContinuousTranscriptionServer(
+        model, n_slots=2, max_duration=4.0, max_new_tokens=128
+    ) as srv:
+        res = srv.submit(np.zeros(0, np.float32)).result(timeout=60)
+    assert res == TranscriptionResult(text="", language="Unknown", duration=0.0)
+
+
+# -- paged KV cache mode ------------------------------------------------------
+
+
+def test_paged_engine_matches_direct(model):
+    """Paged-cache greedy output == the monolithic decode path's output."""
+    from qwen3_asr_tpu.runtime.engine import SlotRequest
+
+    clips = [sine(1.0, 440.0), sine(2.0, 330.0), sine(0.5, 550.0)]
+    direct = [model.transcribe(c, max_tokens=6) for c in clips]
+
+    engine = model.make_engine(
+        n_slots=4, max_duration=8.0, max_new_tokens=128, paged=True
+    )
+    assert engine.paged
+    kv, logits, prompts = model.prefill_group(clips, ["English"] * len(clips))
+    reqs = [
+        SlotRequest(samples=c, prompt=p, max_new=6, meta=i)
+        for i, (c, p) in enumerate(zip(clips, prompts))
+    ]
+    rejected = engine.admit(kv, logits, engine.free_slots(), reqs)
+    assert rejected == []
+    results = {}
+    for _ in range(50):
+        engine.step()
+        for req, toks in engine.retire():
+            results[req.meta] = toks
+        if len(results) == len(clips):
+            break
+    for i, r in enumerate(direct):
+        text = model._finalize_output(results[i], "English")[0]
+        assert text == r.text, f"clip {i}: paged engine != direct"
+    # All pages must return to the pool after retirement.
+    assert len(engine._free_pages) == engine.n_pages - 1
+
+
+def test_paged_engine_oversubscribed_pool(model):
+    """A pool too small for all slots at once: requests pause/defer but
+    every one completes correctly (pages recycle through retirement)."""
+    from qwen3_asr_tpu.runtime.engine import DecodeEngine, SlotRequest
+
+    clips = [sine(1.0, 300.0 + 30 * i) for i in range(4)]
+    direct = [model.transcribe(c, max_tokens=6) for c in clips]
+
+    gen = model._generator
+    # 3 pages + trash: each request needs 1 prompt page (prompt ~130 ids
+    # with 256-row pages) + 1 decode page -> at most one seq fully
+    # resident; admissions must defer.
+    engine = DecodeEngine(
+        gen, prompt_bucket=256, token_bucket=128, n_slots=4,
+        chunk_steps=8, paged=True, page_size=256, n_pages=4,
+    )
+    pending = list(range(len(clips)))
+    results = {}
+    deferred: list[SlotRequest] = []
+    for _ in range(200):
+        if pending or deferred:
+            reqs = deferred
+            deferred = []
+            if pending:
+                i = pending.pop(0)
+                kv, logits, prompts = model.prefill_group(
+                    [clips[i]], ["English"]
+                )
+                reqs = reqs + [
+                    SlotRequest(
+                        samples=clips[i], prompt=prompts[0], max_new=6, meta=i
+                    )
+                ]
+            if reqs:
+                kv2, lg2, pr2 = model.prefill_group(
+                    [r.samples for r in reqs], ["English"] * len(reqs)
+                )
+                deferred = engine.admit(kv2, lg2, engine.free_slots(), reqs)
+        engine.step()
+        for req, toks in engine.retire():
+            results[req.meta] = toks
+        if len(results) == len(clips) and not pending and not deferred:
+            break
+    assert len(results) == len(clips)
+    for i, r in enumerate(direct):
+        text = model._finalize_output(results[i], "English")[0]
+        assert text == r.text, f"clip {i}: oversubscribed paged != direct"
+
+
+def test_paged_continuous_server_mid_decode(model):
+    direct_short = model.transcribe(sine(0.5, 330.0), max_tokens=4)
+    with ContinuousTranscriptionServer(
+        model, n_slots=4, max_duration=8.0, max_new_tokens=128,
+        chunk_steps=4, paged=True,
+    ) as srv:
+        f_long = srv.submit(sine(2.0, 440.0), max_tokens=100)
+        deadline = time.time() + 60
+        while srv.engine_stats.admitted < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        f_short = srv.submit(sine(0.5, 330.0), max_tokens=4)
+        short_res = f_short.result(timeout=120)
+        assert not f_long.done()
+        long_res = f_long.result(timeout=120)
+    assert short_res.text == direct_short.text
+    assert long_res.text

@@ -267,3 +267,115 @@ def test_decode_attention_hbm4_masked_garbage_immunity():
         q, k2, v2, k_new, v_new, jnp.int32(1), plen, dend, Pb, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+
+
+# -- paged decode attention ---------------------------------------------------
+
+
+def paged_oracle(q, kall, vall, k_new, v_new, layer, table, plen, dcount, scale=None):
+    """Gather each sequence's pages into compact order and run masked sdpa."""
+    B = q.shape[0]
+    PS = kall.shape[3]
+    maxp = table.shape[1]
+    pp = (plen + PS - 1) // PS
+    k_pages = kall[layer][jnp.clip(table, 0, kall.shape[1] - 1)]  # (B,maxp,H,PS,D)
+    v_pages = vall[layer][jnp.clip(table, 0, vall.shape[1] - 1)]
+    k = jnp.moveaxis(k_pages, 2, 1).reshape(B, kall.shape[2], maxp * PS, -1)
+    v = jnp.moveaxis(v_pages, 2, 1).reshape(B, vall.shape[2], maxp * PS, -1)
+    k = jnp.concatenate([k, k_new], axis=2)
+    v = jnp.concatenate([v, v_new], axis=2)
+    cols = jnp.arange(maxp * PS + 1)[None, :]
+    dstart = (pp * PS)[:, None]
+    mask = (cols < plen[:, None]) | (
+        (cols >= dstart) & (cols < dstart + dcount[:, None])
+    )
+    mask = mask.at[:, maxp * PS].set(True)  # fresh row always attendable
+    out = sdpa(q[:, :, None, :], k, v, mask=mask[:, None, None, :], scale=scale)
+    return out[:, :, 0, :]
+
+
+def test_decode_attention_paged_matches_oracle():
+    """Paged kernel vs compact-gather oracle: shuffled physical pages,
+    heterogeneous prompt lengths AND decode depths."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_paged import (
+        decode_attention_paged,
+    )
+
+    L, B, hq, hkv, D, PS = 2, 3, 16, 8, 128, 256
+    n_pages, maxp = 16, 4
+    rng = jax.random.PRNGKey(3)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D), jnp.float32)
+    kall = jax.random.normal(
+        jax.random.fold_in(rng, 1), (L, n_pages, hkv, PS, D), jnp.float32
+    )
+    vall = jax.random.normal(
+        jax.random.fold_in(rng, 2), (L, n_pages, hkv, PS, D), jnp.float32
+    )
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D), jnp.float32)
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D), jnp.float32)
+    # Deliberately non-contiguous, interleaved page assignments.
+    table = jnp.asarray(
+        [[7, 2, 11, 0], [5, 9, 1, 14], [3, 0, 0, 0]], jnp.int32
+    )
+    plen = jnp.asarray([300, 256, 120], jnp.int32)   # 2, 1, 1 prompt pages
+    dcount = jnp.asarray([37, 300, 0], jnp.int32)    # hetero decode depths
+
+    out = decode_attention_paged(
+        q, kall, vall, k_new, v_new, jnp.int32(1), table, plen, dcount,
+        interpret=True,
+    )
+    ref = paged_oracle(
+        q.astype(jnp.bfloat16).astype(jnp.float32),
+        kall.astype(jnp.bfloat16).astype(jnp.float32),
+        vall.astype(jnp.bfloat16).astype(jnp.float32),
+        k_new.astype(jnp.bfloat16).astype(jnp.float32),
+        v_new.astype(jnp.bfloat16).astype(jnp.float32),
+        1, table, plen, dcount,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+def test_decode_attention_paged_garbage_immunity():
+    """Values in unreferenced pages / masked rows must not affect output."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_paged import (
+        decode_attention_paged,
+    )
+
+    L, B, hq, hkv, D, PS = 1, 2, 4, 2, 128, 256
+    n_pages, maxp = 8, 3
+    rng = jax.random.PRNGKey(11)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D), jnp.float32)
+    kall = jax.random.normal(
+        jax.random.fold_in(rng, 1), (L, n_pages, hkv, PS, D), jnp.float32
+    )
+    vall = jax.random.normal(
+        jax.random.fold_in(rng, 2), (L, n_pages, hkv, PS, D), jnp.float32
+    )
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D), jnp.float32)
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D), jnp.float32)
+    table = jnp.asarray([[4, 6, 0], [1, 2, 5]], jnp.int32)
+    plen = jnp.asarray([200, 256], jnp.int32)
+    dcount = jnp.asarray([100, 40], jnp.int32)
+
+    out_a = decode_attention_paged(
+        q, kall, vall, k_new, v_new, jnp.int32(0), table, plen, dcount,
+        interpret=True,
+    )
+    # Poison: unreferenced pages everywhere, masked prompt tail of seq 0
+    # (page 4 rows >= 200), masked decode tail of seq 1 (page 5 rows >= 40).
+    poison = jnp.full_like(kall, 1e4)
+    keep = jnp.zeros((n_pages,), bool).at[jnp.asarray([4, 6, 1, 2, 5])].set(True)
+    k2 = jnp.where(keep[None, :, None, None, None], kall, poison)
+    v2 = jnp.where(keep[None, :, None, None, None], vall, poison)
+    rows = jnp.arange(PS)
+    k2 = k2.at[:, 4, :, :, :].set(
+        jnp.where((rows >= 200)[None, :, None], 1e4, k2[:, 4])
+    )
+    k2 = k2.at[:, 5, :, :, :].set(
+        jnp.where((rows >= 40)[None, :, None], -1e4, k2[:, 5])
+    )
+    out_b = decode_attention_paged(
+        q, k2, v2, k_new, v_new, jnp.int32(0), table, plen, dcount,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)

@@ -62,3 +62,109 @@ def test_decode_kernels_on_tpu():
                block_k=128).astype(jnp.float32)
         )
         assert np.max(np.abs(out - ref)) < 0.05, fn.__name__
+
+
+def test_hbm4_idle_lane_on_tpu():
+    """Regression: a live lane with ZERO blocks (plen=0, no decode rows —
+    an idle continuous-batch slot) desynced the DMA pipeline's producer
+    walk from its consumer and crashed the device.  The wrapper now clamps
+    plen >= 1; real lanes' outputs must be unaffected."""
+    from qwen3_asr_tpu.ops.attention import sdpa
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import decode_attention_hbm4
+
+    L, B, hq, hkv, S, D, Pb = 2, 4, 16, 8, 640, 128, 512
+    rng = np.random.default_rng(2)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.bfloat16)
+    q, kall, vall = mk(B, hq, D), mk(L, B, hkv, S, D), mk(L, B, hkv, S, D)
+    k_new, v_new = mk(B, hkv, 1, D), mk(B, hkv, 1, D)
+    plen = jnp.asarray([100, 410, 0, 0], jnp.int32)     # lanes 2-3 idle
+    dend = jnp.asarray([Pb + 37, Pb, Pb, Pb], jnp.int32)  # hetero depths
+
+    out = np.asarray(
+        decode_attention_hbm4(
+            q, kall, vall, k_new, v_new, jnp.int32(1), plen, dend, Pb
+        ).astype(jnp.float32)
+    )
+    # Oracle for the two real lanes only.
+    k = jnp.concatenate([kall[1], k_new], axis=2).astype(jnp.float32)
+    v = jnp.concatenate([vall[1], v_new], axis=2).astype(jnp.float32)
+    slots = jnp.arange(S + 1)
+    mask = (slots[None, :] < plen[:, None]) | (
+        (slots[None, :] >= Pb) & (slots[None, :] < dend[:, None])
+    )
+    mask = mask.at[:, S].set(True)
+    ref = np.asarray(
+        sdpa(q[:, :, None, :].astype(jnp.float32), k, v, mask=mask[:, None, None, :])
+    )[:, :, 0, :]
+    assert np.max(np.abs(out[:2] - ref[:2])) < 0.05
+    assert np.isfinite(out).all()
+
+
+def test_paged_kernel_on_tpu():
+    """Paged flash-decode vs compact-gather oracle on real hardware,
+    including an idle lane (plen=0)."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_paged import (
+        decode_attention_paged,
+    )
+    from tests.test_pallas import paged_oracle
+
+    L, B, hq, hkv, D, PS = 2, 3, 16, 8, 128, 256
+    n_pages, maxp = 16, 4
+    rng = np.random.default_rng(3)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    q = mk(B, hq, D)
+    kall, vall = mk(L, n_pages, hkv, PS, D), mk(L, n_pages, hkv, PS, D)
+    k_new, v_new = mk(B, hkv, 1, D), mk(B, hkv, 1, D)
+    table = jnp.asarray([[7, 2, 11, 0], [5, 9, 1, 14], [0, 0, 0, 0]], jnp.int32)
+    plen = jnp.asarray([300, 256, 0], jnp.int32)
+    dcount = jnp.asarray([37, 300, 0], jnp.int32)
+
+    out = np.asarray(
+        decode_attention_paged(
+            q, kall, vall, k_new, v_new, jnp.int32(1), table, plen, dcount
+        )
+    )
+    ref = np.asarray(paged_oracle(
+        q.astype(jnp.bfloat16).astype(jnp.float32),
+        kall.astype(jnp.bfloat16).astype(jnp.float32),
+        vall.astype(jnp.bfloat16).astype(jnp.float32),
+        k_new.astype(jnp.bfloat16).astype(jnp.float32),
+        v_new.astype(jnp.bfloat16).astype(jnp.float32),
+        1, table, plen, dcount,
+    ))
+    assert np.max(np.abs(out[:2] - ref[:2])) < 0.05
+    assert np.isfinite(out).all()
+
+
+def test_kv_write_rows_batch_and_paged_on_tpu():
+    from qwen3_asr_tpu.ops.pallas.kv_write import (
+        kv_write_rows_batch,
+        kv_write_rows_paged,
+    )
+
+    L, B, H, S, D = 3, 4, 8, 640, 128
+    rng = np.random.default_rng(4)
+    cache = jnp.asarray(rng.standard_normal((L, B, H, S, D)), jnp.bfloat16)
+    rows = jnp.asarray(rng.standard_normal((L, B, H, 1, D)), jnp.bfloat16)
+    slots = jnp.asarray([512, 513, 520, 639], jnp.int32)
+    out = kv_write_rows_batch(cache, rows, slots)
+    expected = cache
+    for b, s in enumerate(np.asarray(slots)):
+        expected = expected.at[:, b, :, s : s + 1, :].set(rows[:, b])
+    assert np.array_equal(
+        np.asarray(out, np.float32), np.asarray(expected, np.float32)
+    )
+
+    P, PS = 6, 256
+    pcache = jnp.asarray(rng.standard_normal((L, P, H, PS, D)), jnp.bfloat16)
+    pages = jnp.asarray([1, 3, 5, 2], jnp.int32)
+    offs = jnp.asarray([0, 7, 255, 128], jnp.int32)
+    pout = kv_write_rows_paged(pcache, rows, pages, offs)
+    pexp = pcache
+    for b in range(B):
+        pexp = pexp.at[
+            :, int(pages[b]), :, int(offs[b]) : int(offs[b]) + 1, :
+        ].set(rows[:, b])
+    assert np.array_equal(
+        np.asarray(pout, np.float32), np.asarray(pexp, np.float32)
+    )
