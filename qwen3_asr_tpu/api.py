@@ -336,26 +336,49 @@ class Qwen3ASR:
         self,
         durations: tuple[float, ...] = (0.5,),
         batch_sizes: tuple[int, ...] = (1,),
-        max_tokens: int = 2,
+        max_tokens: int | tuple[int, ...] = 2,
+        deployment: dict | None = None,
     ) -> None:
         """AOT-compile shape buckets ahead of serving.
 
         The default warms the smallest bucket (the reference's semantics:
-        one short silent clip, model.py:252-259).  Pass the durations and
-        batch sizes your deployment will see to pre-pay every compile:
+        one short silent clip, model.py:252-259).  Pass the durations,
+        batch sizes and token budgets your deployment will see to pre-pay
+        every compile — either directly or as one ``deployment`` dict:
 
-            model.warm_up(durations=(10.0, 30.0), batch_sizes=(1, 8))
+            model.warm_up(deployment={
+                "durations": (10.0, 30.0),
+                "batch_sizes": (1, 8, 48),
+                "max_tokens": (128, 1024),
+            })
 
-        ``max_tokens`` selects which decode-token bucket gets compiled
-        (buckets: RuntimeConfig.token_buckets); with real weights silence
-        hits EOS almost immediately, so warming a large bucket is cheap.
+        Every (duration-bucket, batch, token-bucket) cell compiles its
+        mel->encoder->prefill program and decode loop; progress is logged
+        per cell so slow first compiles are visible.  With real weights
+        silence hits EOS almost immediately, so warming large token
+        buckets is cheap (the compile happens regardless of how many
+        steps actually run).
         """
-        for b in batch_sizes:
-            for d in durations:
-                clips = [
-                    np.zeros(max(1, int(d * SAMPLE_RATE)), dtype=np.float32)
-                ] * b
-                self.transcribe_batch(clips, max_tokens=max_tokens)
+        if deployment is not None:
+            durations = tuple(deployment.get("durations", durations))
+            batch_sizes = tuple(deployment.get("batch_sizes", batch_sizes))
+            max_tokens = deployment.get("max_tokens", max_tokens)
+        budgets = (
+            (max_tokens,) if isinstance(max_tokens, int) else tuple(max_tokens)
+        )
+        cells = [
+            (b, d, m) for b in batch_sizes for d in durations for m in budgets
+        ]
+        for i, (b, d, m) in enumerate(cells):
+            logger.info(
+                "warm_up %d/%d: batch=%d duration=%.1fs max_tokens=%d",
+                i + 1, len(cells), b, d, m,
+            )
+            clips = [
+                np.zeros(max(1, int(d * SAMPLE_RATE)), dtype=np.float32)
+            ] * b
+            self.transcribe_batch(clips, max_tokens=m)
+        logger.info("warm_up complete: %d program shapes compiled", len(cells))
 
     def close(self) -> None:
         """Release parameters and device buffers."""

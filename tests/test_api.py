@@ -226,3 +226,16 @@ def test_transcribe_batch_rejects_long_form_clearly(model):
     clip = sine(33.0)  # > RT's largest bucket (3200 frames = 32 s)
     with pytest.raises(ValueError, match="transcribe\\(\\) for\\s+long-form|long-form"):
         model.transcribe_batch([clip], max_tokens=4)
+
+
+def test_warm_up_deployment_grid(model, caplog):
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="qwen3_asr_tpu"):
+        model.warm_up(deployment={
+            "durations": (0.5, 1.0),
+            "batch_sizes": (1, 2),
+            "max_tokens": (2,),
+        })
+    assert "warm_up 4/4" in caplog.text
+    assert "warm_up complete: 4 program shapes" in caplog.text
