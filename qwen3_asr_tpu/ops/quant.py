@@ -106,11 +106,19 @@ def quantized_matmul(
     return out[:M]
 
 
+#: Quantized-matmul lowering: "pallas" (tiled dequant-in-matmul kernel) or
+#: "xla" (inline int8->bf16 convert + scale; XLA fuses the convert into the
+#: dot's operand read, so no bf16 weight copy lands in HBM and there are
+#: ZERO extra kernel launches inside the decode loop).
+QLINEAR_IMPL = __import__("os").environ.get("QWEN3_ASR_QLINEAR", "xla")
+
+
 def qlinear(x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
     """``x @ w`` for plain or quantized weights, any leading batch dims.
 
-    On TPU quantized weights route through the Pallas kernel; elsewhere
-    they dequantize inline (XLA fuses the multiply into the matmul operand
+    On TPU quantized weights route through the Pallas kernel or the
+    XLA-fused inline dequant (QWEN3_ASR_QLINEAR); elsewhere they
+    dequantize inline (XLA fuses the multiply into the matmul operand
     read on CPU, and tests stay fast).
     """
     if not is_quantized(w):
@@ -123,6 +131,7 @@ def qlinear(x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
     N = w["q"].shape[1]
     if (
         jax.default_backend() == "tpu"
+        and QLINEAR_IMPL == "pallas"
         and K % 128 == 0
         and N % 128 == 0
     ):
