@@ -101,9 +101,11 @@ def main() -> int:
                 paged=args.paged,
             )
         with srv:
-            # Warm: compile every program shape used by the measured run.
+            # Warm: run the EXACT workload once so every program shape
+            # (admission group sizes, batch widths, token buckets) is
+            # compiled before the measured pass.
             run_workload(
-                srv, long_c, shorts[:2], args.long_budget, args.short_budget
+                srv, long_c, shorts, args.long_budget, args.short_budget
             )
             wall, short_lat = run_workload(
                 srv, long_c, shorts, args.long_budget, args.short_budget
