@@ -46,7 +46,11 @@ from ..models.decoder import (
     embed_tokens,
     init_kv_cache,
 )
-from ..ops.sampling import RECENT_PAD_ID, sample_logits
+from ..ops.sampling import (
+    RECENT_PAD_ID,
+    apply_repetition_penalty,
+    sample_logits,
+)
 from ..tokenizer import EOS_TOKEN_IDS
 
 
@@ -165,7 +169,17 @@ class DecodeEngine:
             )
         self._tokens = jnp.zeros((n_slots, token_bucket), jnp.int32)
 
-        # Host-side control state (uploaded per chunk; a few hundred bytes).
+        # Control state lives in TWO places:
+        #   * device arrays (``*_d``) — the truth the compiled chunk reads;
+        #     dynamic state (counts/done/cur/rngs) is donated through every
+        #     chunk and admission, per-slot parameters are re-uploaded only
+        #     when an admission/retirement/page event dirties them;
+        #   * numpy mirrors — what the host scheduler reads (free_slots,
+        #     n_active, retire, page planning), refreshed from ONE packed
+        #     (2, B) status fetch per chunk.
+        # Steady state is therefore 1 dispatch + 1 small fetch per chunk —
+        # this matters because each transfer is a round-trip on tunneled
+        # deployments and the round-1 design paid ~18 of them per chunk.
         n = n_slots
         self._live = np.zeros(n, bool)
         self._done = np.ones(n, bool)
@@ -173,7 +187,6 @@ class DecodeEngine:
         self._prompt_len = np.zeros(n, np.int32)
         self._max_new = np.ones(n, np.int32)
         self._cur = np.zeros(n, np.int32)
-        self._rngs = np.zeros((n, 2), np.uint32)
         self._temp = np.zeros(n, np.float32)
         self._top_k = np.zeros(n, np.int32)
         self._top_p = np.ones(n, np.float32)
@@ -181,15 +194,22 @@ class DecodeEngine:
         self._rep_ctx = np.zeros(n, np.int32)
         self._meta: list[Optional[SlotRequest]] = [None] * n
 
+        self._counts_d = jnp.ones(n, jnp.int32)
+        self._done_d = jnp.ones(n, bool)
+        self._cur_d = jnp.zeros(n, jnp.int32)
+        self._rngs_d = jnp.zeros((n, 2), jnp.uint32)
+        self._ctl_d: tuple = ()
+        self._ctl_dirty = True
+
         donate_steps = tuple(range(1, 8))  # keys..rngs
         self._step_chunk_jit = jax.jit(
             self._step_chunk_paged_impl if paged else self._step_chunk_impl,
-            static_argnames=("k_steps",),
+            static_argnames=("k_steps", "greedy"),
             donate_argnums=donate_steps,
         )
         self._admit_jit = jax.jit(
             self._admit_paged_impl if paged else self._admit_impl,
-            donate_argnums=(0, 1, 2),
+            donate_argnums=(0, 1, 2, 3, 4, 5, 6),
         )
         self._first_jit = jax.jit(self._first_impl)
 
@@ -198,7 +218,7 @@ class DecodeEngine:
     def _step_chunk_impl(
         self, params, keys, values, tokens, counts, done, cur, rngs,
         live, prompt_len, max_new, temp, top_k, top_p, rep_pen, rep_ctx,
-        k_steps,
+        k_steps, greedy,
     ):
         """Up to ``k_steps`` decode iterations over all live slots."""
         cfg = self.cfg
@@ -240,12 +260,25 @@ class DecodeEngine:
             )
             logits = decoder_logits(params, cfg, hidden)[:, 0]
 
-            split = jax.vmap(jax.random.split)(rngs)
-            use, rngs = split[:, 0], split[:, 1]
-            nxt = jax.vmap(sample_logits)(
-                use, logits, temp, top_k, top_p, rep_pen,
-                recent_window(tokens, counts),
-            )
+            if greedy:
+                # All-greedy chunk (static): penalty + argmax only.  Under
+                # vmap, lax.cond runs BOTH branches, so the mixed program
+                # pays top_k(152k)+logsumexp even when every slot is
+                # temperature 0 — the common ASR case gets its own program
+                # (mirrors the Generator's greedy/sample split).
+                pen = jax.vmap(apply_repetition_penalty)(
+                    logits.astype(jnp.float32),
+                    recent_window(tokens, counts),
+                    rep_pen,
+                )
+                nxt = jnp.argmax(pen, axis=-1).astype(jnp.int32)
+            else:
+                split = jax.vmap(jax.random.split)(rngs)
+                use, rngs = split[:, 0], split[:, 1]
+                nxt = jax.vmap(sample_logits)(
+                    use, logits, temp, top_k, top_p, rep_pen,
+                    recent_window(tokens, counts),
+                )
 
             active = live & ~done
             slot = jnp.clip(counts, 0, token_bucket - 1)
@@ -262,16 +295,24 @@ class DecodeEngine:
             cond, body,
             (keys, values, tokens, counts, done, cur, rngs, jnp.int32(0)),
         )
-        return keys, values, tokens, counts, done, cur, rngs
+        status = jnp.stack([counts, done.astype(jnp.int32)])
+        return keys, values, tokens, counts, done, cur, rngs, status
 
-    def _admit_impl(self, keys, values, tokens, kg, vg, slots, first_tokens):
+    def _admit_impl(
+        self, keys, values, tokens, counts, done, cur, rngs,
+        kg, vg, slots, first_tokens, rngs_new, done_new,
+    ):
         """Write a prefill group's prompt K/V + first token into its slots."""
         pb_g = kg.shape[3]
         keys = keys.at[:, slots, :, :pb_g, :].set(kg.astype(keys.dtype))
         values = values.at[:, slots, :, :pb_g, :].set(vg.astype(values.dtype))
         tokens = tokens.at[slots, :].set(0)
         tokens = tokens.at[slots, 0].set(first_tokens)
-        return keys, values, tokens
+        counts = counts.at[slots].set(1)
+        done = done.at[slots].set(done_new)
+        cur = cur.at[slots].set(first_tokens)
+        rngs = rngs.at[slots].set(rngs_new)
+        return keys, values, tokens, counts, done, cur, rngs
 
     def _first_impl(self, logits, rngs, temp, top_k, top_p):
         """First token per admitted sequence — NO repetition penalty
@@ -290,7 +331,7 @@ class DecodeEngine:
     def _step_chunk_paged_impl(
         self, params, keys, values, tokens, counts, done, cur, rngs,
         table, live, prompt_len, max_new, temp, top_k, top_p, rep_pen,
-        rep_ctx, k_steps,
+        rep_ctx, k_steps, greedy,
     ):
         """Paged variant: KV rows resolve through the per-slot page table.
 
@@ -340,12 +381,25 @@ class DecodeEngine:
             )
             logits = decoder_logits(params, cfg, hidden)[:, 0]
 
-            split = jax.vmap(jax.random.split)(rngs)
-            use, rngs = split[:, 0], split[:, 1]
-            nxt = jax.vmap(sample_logits)(
-                use, logits, temp, top_k, top_p, rep_pen,
-                recent_window(tokens, counts),
-            )
+            if greedy:
+                # All-greedy chunk (static): penalty + argmax only.  Under
+                # vmap, lax.cond runs BOTH branches, so the mixed program
+                # pays top_k(152k)+logsumexp even when every slot is
+                # temperature 0 — the common ASR case gets its own program
+                # (mirrors the Generator's greedy/sample split).
+                pen = jax.vmap(apply_repetition_penalty)(
+                    logits.astype(jnp.float32),
+                    recent_window(tokens, counts),
+                    rep_pen,
+                )
+                nxt = jnp.argmax(pen, axis=-1).astype(jnp.int32)
+            else:
+                split = jax.vmap(jax.random.split)(rngs)
+                use, rngs = split[:, 0], split[:, 1]
+                nxt = jax.vmap(sample_logits)(
+                    use, logits, temp, top_k, top_p, rep_pen,
+                    recent_window(tokens, counts),
+                )
 
             active = live & ~done
             slot = jnp.clip(counts, 0, token_bucket - 1)
@@ -362,10 +416,12 @@ class DecodeEngine:
             cond, body,
             (keys, values, tokens, counts, done, cur, rngs, jnp.int32(0)),
         )
-        return keys, values, tokens, counts, done, cur, rngs
+        status = jnp.stack([counts, done.astype(jnp.int32)])
+        return keys, values, tokens, counts, done, cur, rngs, status
 
     def _admit_paged_impl(
-        self, keys, values, tokens, kg, vg, dst_pages, slots, first_tokens
+        self, keys, values, tokens, counts, done, cur, rngs,
+        kg, vg, dst_pages, slots, first_tokens, rngs_new, done_new,
     ):
         """Scatter a prefill group's prompt rows into allocated pages.
 
@@ -386,7 +442,11 @@ class DecodeEngine:
         values = values.at[:, dst_pages].set(src_v.astype(values.dtype))
         tokens = tokens.at[slots, :].set(0)
         tokens = tokens.at[slots, 0].set(first_tokens)
-        return keys, values, tokens
+        counts = counts.at[slots].set(1)
+        done = done.at[slots].set(done_new)
+        cur = cur.at[slots].set(first_tokens)
+        rngs = rngs.at[slots].set(rngs_new)
+        return keys, values, tokens, counts, done, cur, rngs
 
     # -- host control ------------------------------------------------------
 
@@ -446,6 +506,16 @@ class DecodeEngine:
             first_logits, jax.device_put(rngs), temp, top_k, top_p
         )
         first_np = np.asarray(first)
+        budgets = np.asarray(
+            [min(r.max_new, self.token_bucket) for r in reqs], np.int32
+        )
+        done_new = np.array(
+            [
+                bool(first_np[j] in self._eos_ids or budgets[j] <= 1)
+                for j in range(bg)
+            ]
+        )
+        dyn = (self._counts_d, self._done_d, self._cur_d, self._rngs_d)
         if self.paged:
             ps = self.page_size
             npg = kv_group[0].shape[3] // ps
@@ -458,34 +528,36 @@ class DecodeEngine:
                 self._pp[s] = len(pages)
                 self._dp_alloc[s] = 0
                 self._paused[s] = False
-            self._keys, self._values, self._tokens = self._admit_jit(
-                self._keys, self._values, self._tokens,
-                kv_group[0], kv_group[1], jax.device_put(dst), slots_np, first,
+            out = self._admit_jit(
+                self._keys, self._values, self._tokens, *dyn,
+                kv_group[0], kv_group[1], jax.device_put(dst), slots_np,
+                first, rngs_next, done_new,
             )
         else:
-            self._keys, self._values, self._tokens = self._admit_jit(
-                self._keys, self._values, self._tokens,
-                kv_group[0], kv_group[1], slots_np, first,
+            out = self._admit_jit(
+                self._keys, self._values, self._tokens, *dyn,
+                kv_group[0], kv_group[1], slots_np,
+                first, rngs_next, done_new,
             )
-        rngs_next_np = np.asarray(rngs_next)
+        (
+            self._keys, self._values, self._tokens,
+            self._counts_d, self._done_d, self._cur_d, self._rngs_d,
+        ) = out
 
         for j, (s, r) in enumerate(zip(slots_np, reqs)):
-            budget = min(r.max_new, self.token_bucket)
             self._live[s] = True
             self._counts[s] = 1
             self._prompt_len[s] = len(r.prompt)
-            self._max_new[s] = budget
+            self._max_new[s] = int(budgets[j])
             self._cur[s] = first_np[j]
-            self._rngs[s] = rngs_next_np[j]
             self._temp[s] = r.temperature
             self._top_k[s] = r.top_k
             self._top_p[s] = r.top_p
             self._rep_pen[s] = r.repetition_penalty
             self._rep_ctx[s] = r.repetition_context_size
             self._meta[s] = r
-            self._done[s] = bool(
-                first_np[j] in self._eos_ids or budget <= 1
-            )
+            self._done[s] = bool(done_new[j])
+        self._ctl_dirty = True
         self.stats.admitted += bg
         return rejected
 
@@ -509,7 +581,11 @@ class DecodeEngine:
                 page = self._free_pages.pop()
                 self._page_table[s, self._pp[s] + self._dp_alloc[s]] = page
                 self._dp_alloc[s] += 1
-            self._paused[s] = self._dp_alloc[s] < dp_need
+                self._ctl_dirty = True
+            paused = self._dp_alloc[s] < dp_need
+            if paused != self._paused[s]:
+                self._ctl_dirty = True
+            self._paused[s] = paused
         runnable = self._live & ~self._done & ~self._paused
         if not runnable.any() and len(want) and not (
             self._live & self._done
@@ -521,40 +597,59 @@ class DecodeEngine:
                 "grow n_pages=%d", deepest, self._counts[deepest], self.n_pages,
             )
             self._done[deepest] = True
+            self._ctl_dirty = True
         return self._live & ~self._done & ~self._paused
 
+    def _refresh_ctl(self) -> None:
+        """Re-upload the per-slot parameter block (admission/retirement/page
+        events only — NOT per chunk)."""
+        # Fold host ``done`` into the mask: it is a superset of device
+        # ``done`` (force-finished slots are marked done host-side only).
+        mask = self._live & ~self._done
+        if self.paged:
+            mask &= ~self._paused
+        small = (
+            mask, self._prompt_len, self._max_new, self._temp,
+            self._top_k, self._top_p, self._rep_pen, self._rep_ctx,
+        )
+        if self.paged:
+            self._ctl_d = (
+                jax.device_put(self._page_table),
+                *map(jax.device_put, small),
+            )
+        else:
+            self._ctl_d = tuple(map(jax.device_put, small))
+        self._ctl_dirty = False
+
     def step(self, k_steps: int | None = None) -> None:
-        """Run one compiled decode chunk over every live slot."""
+        """Run one compiled decode chunk over every live slot.
+
+        Steady state is ONE dispatch plus ONE packed (2, n_slots) status
+        fetch; all other state stays resident on the device."""
         k = k_steps or self.chunk_steps
         if self.paged:
             runnable = self._ensure_decode_pages(k)
             if not runnable.any():
                 return
-            extra = (
-                jax.device_put(self._page_table),
-                jax.device_put(runnable),
-            )
-        else:
-            extra = (jax.device_put(self._live),)
+        if self._ctl_dirty:
+            self._refresh_ctl()
         out = self._step_chunk_jit(
             self.gen.params,
             self._keys, self._values, self._tokens,
-            jax.device_put(self._counts), jax.device_put(self._done),
-            jax.device_put(self._cur), jax.device_put(self._rngs),
-            *extra, jax.device_put(self._prompt_len),
-            jax.device_put(self._max_new), jax.device_put(self._temp),
-            jax.device_put(self._top_k), jax.device_put(self._top_p),
-            jax.device_put(self._rep_pen), jax.device_put(self._rep_ctx),
+            self._counts_d, self._done_d, self._cur_d, self._rngs_d,
+            *self._ctl_d,
             k_steps=k,
+            greedy=bool((self._temp[self._live & ~self._done] == 0).all()),
         )
-        self._keys, self._values, self._tokens = out[0], out[1], out[2]
-        counts_before = self._counts.copy()
-        # np.array (not asarray): device fetches are read-only views and
-        # this state is mutated host-side at admission/retirement.
-        self._counts = np.array(out[3])
-        self._done = np.array(out[4])
-        self._cur = np.array(out[5])
-        self._rngs = np.array(out[6])
+        (
+            self._keys, self._values, self._tokens,
+            self._counts_d, self._done_d, self._cur_d, self._rngs_d,
+            status,
+        ) = out
+        counts_before = self._counts
+        st = np.asarray(status)
+        self._counts = st[0].copy()
+        self._done = st[1].astype(bool)
         self.stats.chunks += 1
         self.stats.steps += int((self._counts - counts_before).max(initial=0))
         self.stats.occupancy_sum += self.n_active() + int(
@@ -587,5 +682,6 @@ class DecodeEngine:
                 self._pp[s] = 0
                 self._dp_alloc[s] = 0
                 self._paused[s] = False
+        self._ctl_dirty = True
         self.stats.retired += len(out)
         return out
