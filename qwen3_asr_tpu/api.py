@@ -450,6 +450,23 @@ class Qwen3ASR:
         stats = RequestStats(
             audio_seconds=sum(len(s) for s in samples_list) / SAMPLE_RATE
         )
+        # Batch-dim bucketing (RuntimeConfig.batch_bucketing): pad the
+        # batch to a bounded set of widths so servers with arrival-driven
+        # batch sizes never hit a fresh decode-program compile
+        # mid-traffic.  Padding rows are 1-token-budget silence — they
+        # finish on the first decode step, so the only cost is lane width.
+        B_pad = self._batch_bucket(B)
+        if B_pad > B:
+            pad_dtype = (
+                np.int16
+                if all(s.dtype == np.int16 for s in samples_list)
+                else np.float32
+            )
+            samples_list = list(samples_list) + [
+                np.zeros(N_FFT, pad_dtype)
+            ] * (B_pad - B)
+            max_tokens_list = list(max_tokens_list) + [1] * (B_pad - B)
+        n_real, B = B, B_pad
 
         with stage_timer(stats, "prepare"):
             # Transport dtype: when every clip is int16 PCM the batch ships
@@ -541,6 +558,7 @@ class Qwen3ASR:
                 repetition_penalty=repetition_penalty,
                 repetition_context_size=repetition_context_size, seed=seed,
             )
+        token_lists = token_lists[:n_real]
         stats.n_generated_tokens = sum(len(t) for t in token_lists)
         logger.debug("transcribe stats (batch=%d): %s", B, stats.as_dict())
         return token_lists, stats
@@ -607,21 +625,37 @@ class Qwen3ASR:
         engine copies it into its persistent cache and owns the decode
         region.  ``lang_names`` are resolved full names (or None for
         detect mode), one per clip.
+
+        The group's batch dimension is padded to a power-of-two bucket
+        before the fused prefill and sliced back after: admission-group
+        sizes depend on request ARRIVAL TIMING relative to chunk
+        boundaries, so without bucketing a production server keeps
+        hitting never-seen batch shapes and pays a full XLA compile
+        mid-traffic (measured: two stray shapes cost ~130 s of a 7 s
+        workload).
         """
         gen = self._generator
+        n_real = len(samples_list)
+        bg_pad = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
         if all(s.dtype == np.int16 for s in samples_list):
-            transport = samples_list
+            transport = list(samples_list)
+            pad_clip = np.zeros(N_FFT, np.int16)
         else:
             transport = [
                 s.astype(np.float32) / 32768.0 if s.dtype == np.int16 else s
                 for s in samples_list
             ]
+            pad_clip = np.zeros(N_FFT, np.float32)
+        transport += [pad_clip] * (bg_pad - n_real)
         bucket = max(self._mel.bucket_for(len(s)) for s in samples_list)
-        n_valid = [len(s) // HOP_LENGTH for s in samples_list]
+        n_valid = [len(s) // HOP_LENGTH for s in transport]
         n_audio = [self._n_audio_tokens(v) for v in n_valid]
         prompts = [
             self._tokenizer.build_prompt(n, lang)
             for n, lang in zip(n_audio, lang_names)
+        ] + [
+            self._tokenizer.build_prompt(n, "English")
+            for n in n_audio[n_real:]
         ]
         prompt_lens = [len(p) for p in prompts]
         atb = bucket // self._config.audio_encoder.chunk_frames * \
@@ -640,7 +674,20 @@ class Qwen3ASR:
             bucket,
             pb_g,
         )
-        return kv, first_logits, prompts
+        if bg_pad > n_real:
+            kv = (kv[0][:, :n_real], kv[1][:, :n_real])
+            first_logits = first_logits[:n_real]
+        return kv, first_logits, prompts[:n_real]
+
+    def _batch_bucket(self, B: int) -> int:
+        """Bucketed batch width: powers of two below 8, multiples of 8
+        above (so common fixed deployment sizes like 16/32/48 stay
+        exact); identity when bucketing is disabled."""
+        if not self._runtime.batch_bucketing or B % 8 == 0:
+            return B
+        if B < 8:
+            return 1 << (B - 1).bit_length()
+        return -(-B // 8) * 8
 
     def _n_audio_tokens(self, n_valid_frames: int) -> int:
         """Host-side audio-token count (mirror of valid_token_count)."""

@@ -250,6 +250,12 @@ class RuntimeConfig:
     # compute of group g (the dev tunnel moves ~40 MB/s; overlapping hides
     # most of it).  0 disables grouping (one prefill for the whole batch).
     prefill_group_size: int = 8
+    # Pad the batch dimension of transcribe_batch to a bucket (powers of
+    # two below 8, multiples of 8 above; exact multiples of 8 pass
+    # through unpadded).  Bounds the number of compiled decode-program
+    # batch widths a server with varying batch sizes can hit — without
+    # it, every never-seen width pays a full XLA compile mid-traffic.
+    batch_bucketing: bool = True
 
     def pick_bucket(self, value: int, buckets: tuple[int, ...]) -> int:
         for b in buckets:

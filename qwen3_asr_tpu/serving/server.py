@@ -220,6 +220,7 @@ class ContinuousTranscriptionServer:
         paged: bool = False,
         page_size: int = 256,
         kv_pool_gb: float | None = None,
+        warm: bool | tuple[float, ...] = False,
     ) -> None:
         self._model = model
         self._engine = model.make_engine(
@@ -236,8 +237,53 @@ class ContinuousTranscriptionServer:
         self._queue: queue.Queue[_Request | None] = queue.Queue()
         self.stats = ServerStats()
         self._closed = False
+        if warm:
+            self._warm_up(
+                warm if isinstance(warm, (tuple, list)) else (max_duration,)
+            )
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def _warm_up(self, durations: tuple[float, ...]) -> None:
+        """Pre-pay every compile the serving path can hit, BEFORE the
+        worker starts: one prefill + admit + chunk + retire cycle at each
+        power-of-two admission-group size up to ``n_slots``.  Group sizes
+        depend on request arrival timing, so without this a production
+        server hits never-seen shapes mid-traffic and stalls the whole
+        batch for the duration of an XLA compile (~tens of seconds)."""
+        import numpy as np
+
+        from ..audio.io import SAMPLE_RATE
+        from ..runtime.engine import SlotRequest
+        from ..utils.telemetry import logger
+
+        # Every group size 1..n_slots: the expensive fused-prefill program
+        # only compiles at power-of-two sizes (prefill_group buckets its
+        # batch dim), the cheap per-size admit/first-sample programs cover
+        # the rest.
+        sizes = list(range(1, self._engine.n_slots + 1))
+        cells = [(d, bg) for d in durations for bg in sizes]
+        for i, (dur, bg) in enumerate(cells):
+            logger.info(
+                "continuous-server warm_up %d/%d: %.0fs group size %d",
+                i + 1, len(cells), dur, bg,
+            )
+            clip = np.zeros(int(dur * SAMPLE_RATE), np.float32)
+            kv, first_logits, prompts = self._model.prefill_group(
+                [clip] * bg, ["English"] * bg
+            )
+            reqs = [
+                SlotRequest(
+                    samples=clip, prompt=p, max_new=2, temperature=0.0,
+                    top_k=0, top_p=1.0, repetition_penalty=1.2,
+                    repetition_context_size=100, seed=0, meta=None,
+                )
+                for p in prompts
+            ]
+            self._engine.admit(kv, first_logits, self._engine.free_slots(), reqs)
+            self._engine.step()
+            self._engine.retire()
+        logger.info("continuous-server warm_up done (%d cells)", len(cells))
 
     @property
     def engine_stats(self):

@@ -239,3 +239,17 @@ def test_warm_up_deployment_grid(model, caplog):
         })
     assert "warm_up 4/4" in caplog.text
     assert "warm_up complete: 4 program shapes" in caplog.text
+
+
+def test_transcribe_batch_bucketing_pads_and_slices(model):
+    """A batch of 3 pads to the 4-wide program but returns exactly 3
+    results, identical to the unbucketed path."""
+    clips = [sine(1.0, 440.0), sine(1.0, 330.0), sine(0.5, 550.0)]
+    res = model.transcribe_batch(clips, max_tokens=4)
+    assert len(res) == 3
+    solo = [model.transcribe(c, max_tokens=4) for c in clips]
+    assert [r.text for r in res] == [s.text for s in solo]
+    assert model._batch_bucket(3) == 4
+    assert model._batch_bucket(13) == 16
+    assert model._batch_bucket(48) == 48
+    assert model._batch_bucket(1) == 1

@@ -262,3 +262,28 @@ def test_paged_continuous_server_mid_decode(model):
         long_res = f_long.result(timeout=120)
     assert short_res.text == direct_short.text
     assert long_res.text
+
+
+def test_prefill_group_batch_bucketing(model):
+    """Group batch dims are padded to power-of-two buckets and sliced back:
+    a 3-clip group runs the same compiled prefill as a 4-clip group, and
+    padding rows never leak into the results."""
+    clips = [sine(1.0, 440.0), sine(1.0, 330.0), sine(1.0, 550.0)]
+    kv3, lg3, pr3 = model.prefill_group(clips, ["English"] * 3)
+    assert lg3.shape[0] == 3
+    assert kv3[0].shape[1] == 3
+    assert len(pr3) == 3
+    kv1, lg1, _ = model.prefill_group([clips[0]], ["English"])
+    np.testing.assert_allclose(
+        np.asarray(lg3[0]), np.asarray(lg1[0]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_continuous_server_warm(model):
+    """warm=True pre-compiles every admission-group size before serving."""
+    with ContinuousTranscriptionServer(
+        model, n_slots=2, max_duration=4.0, max_new_tokens=64,
+        chunk_steps=4, warm=True,
+    ) as srv:
+        res = srv.transcribe(sine(0.5, 440.0), max_tokens=4)
+    assert res.text
