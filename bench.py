@@ -32,7 +32,10 @@ _COMPILE_CACHE = os.environ.get(
 
 AUDIO_SECONDS = 30.0
 DECODE_TOKENS = 128
-BATCH = 48
+#: Serving batch for the headline metric.  The end-to-end sweep
+#: (tools/batch_sweep.py) shows throughput monotone to 64 and flat past
+#: it, so 64 is the sweet spot; override with QWEN3_BENCH_BATCH.
+BATCH = int(os.environ.get("QWEN3_BENCH_BATCH", "64"))
 REPEATS = 8
 
 
