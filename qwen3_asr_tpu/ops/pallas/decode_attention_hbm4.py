@@ -19,6 +19,7 @@ _NBUF-1 DMAs always in flight.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _QPAD = 8
-_NBUF = 4   # in-flight KV block buffers (prefetch depth _NBUF - 1)
+#: In-flight KV block buffers (prefetch depth _NBUF - 1).  Overridable for
+#: A/B experiments; 4 measured best (see docs/PERFORMANCE.md).
+_NBUF = int(os.environ.get("QWEN3_ASR_DECODE_NBUF", "4"))
 _BLOCK_D = 128
+#: Grid split over batch elements; 0 = auto (2 when B > 1).
+_CORES = int(os.environ.get("QWEN3_ASR_DECODE_CORES", "0"))
 
 
 def _kernel(
@@ -275,7 +280,8 @@ def decode_attention_hbm4(
             f"decode region {S - prompt_bucket} not a multiple of {_BLOCK_D}"
         )
 
-    cores = 2 if B > 1 else 1
+    cores = _CORES or (2 if B > 1 else 1)
+    cores = min(cores, B)
     per_core = -(-B // cores)
     b_pad = cores * per_core
     counts = jnp.clip(

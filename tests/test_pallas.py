@@ -379,3 +379,63 @@ def test_decode_attention_paged_garbage_immunity():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+
+def test_decode_attention_hbm5_matches_oracle():
+    """v6 lane-grouped kernel vs oracle: heterogeneous prompt lengths and
+    per-sequence decode depths inside one DMA group."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm5 import decode_attention_hbm5
+
+    L, B, hq, hkv, S, D, Pb = 3, 8, 16, 8, 640, 128, 512
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D), jnp.float32)
+    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D), jnp.float32)
+    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D), jnp.float32)
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D), jnp.float32)
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D), jnp.float32)
+    plen = jnp.asarray([100, 412, 37, 512, 1, 256, 300, 90], jnp.int32)
+    dend = jnp.asarray(
+        [512, 513, 549, 640, 512, 640, 512, 523], jnp.int32
+    )
+    out = decode_attention_hbm5(
+        q, kall, vall, k_new, v_new, jnp.int32(1), plen, dend, Pb,
+        interpret=True,
+    )
+    ref = jnp.concatenate([
+        _bf16_oracle(
+            q[b : b + 1], kall[:, b : b + 1], vall[:, b : b + 1],
+            k_new[b : b + 1], v_new[b : b + 1], 1,
+            plen[b : b + 1], dend[b], Pb,
+        )
+        for b in range(B)
+    ])
+    # atol 2e-2 (not the usual 5e-3): the plen=1 lane attends over just
+    # two softmax terms, so bf16 rounding-order differences between the
+    # kernel and the oracle are not averaged away (a wrong-row bug would
+    # show as O(1) error, which this still catches).
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_decode_attention_hbm5_small_batches():
+    """v6 group clamping: B < group, B == group, B not a multiple of the
+    group (cache pad path)."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm5 import decode_attention_hbm5
+
+    L, hq, hkv, S, D, Pb = 2, 4, 2, 384, 128, 256
+    rng = jax.random.PRNGKey(7)
+    for B in (1, 2, 4, 6):
+        q = jax.random.normal(jax.random.fold_in(rng, B), (B, hq, D))
+        kall = jax.random.normal(jax.random.fold_in(rng, 10 + B), (L, B, hkv, S, D))
+        vall = jax.random.normal(jax.random.fold_in(rng, 20 + B), (L, B, hkv, S, D))
+        k_new = jax.random.normal(jax.random.fold_in(rng, 30 + B), (B, hkv, 1, D))
+        v_new = jax.random.normal(jax.random.fold_in(rng, 40 + B), (B, hkv, 1, D))
+        plen = jnp.asarray([90, 200, 256, 1, 64, 130][:B], jnp.int32)
+        dend = jnp.int32(Pb + 64)
+        out = decode_attention_hbm5(
+            q, kall, vall, k_new, v_new, jnp.int32(0), plen, dend, Pb,
+            interpret=True,
+        )
+        ref = _bf16_oracle(q, kall, vall, k_new, v_new, 0, plen, dend, Pb)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-3, err_msg=f"B={B}"
+        )
