@@ -135,7 +135,13 @@ class Qwen3ASR:
                 shard_params,
             )
 
+            from .models.decoder import set_spmd
+
             self._mesh = make_mesh(self._runtime.dp, self._runtime.tp)
+            # Mesh execution uses the XLA attention/write paths (GSPMD
+            # shards them natively; manual Pallas kernels are opaque to
+            # the partitioner and would replicate the KV cache).
+            set_spmd(True)
             if self._runtime.quantization == "none":
                 decoder_params = shard_params(
                     decoder_params, decoder_param_sharding(decoder_params, self._mesh)

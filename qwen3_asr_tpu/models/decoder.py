@@ -54,6 +54,26 @@ PREFILL_FLASH_ENABLED = (
 )
 
 
+#: True while decoder programs are traced for a multi-device GSPMD mesh.
+#: Manual Pallas kernels are opaque to the partitioner — under SPMD they
+#: would force full operand replication (all-gathering the KV cache every
+#: step) — so mesh execution routes through the XLA attention/write paths,
+#: which GSPMD shards natively.  Set via :func:`set_spmd` by the API when
+#: it builds a mesh (process-wide; mixing sharded and unsharded models in
+#: one process keeps the conservative XLA path for both).  Lifting this
+#: with shard_map-wrapped kernels is on the roadmap.
+_SPMD = False
+
+
+def set_spmd(on: bool) -> None:
+    global _SPMD
+    _SPMD = bool(on)
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu" and not _SPMD
+
+
 def init_decoder_params(
     cfg: TextDecoderConfig,
     rng: jax.Array | None = None,
@@ -280,7 +300,7 @@ def decoder_forward(
                 PREFILL_FLASH_ENABLED
                 and T % 256 == 0
                 and cfg.head_dim % 128 == 0
-                and jax.default_backend() == "tpu"
+                and _use_pallas()
             )
             attn_impl = "flash" if flash_ok else "causal"
         else:
@@ -338,7 +358,7 @@ def decoder_forward(
     use_hbm_kernel = (
         decode_split
         and want_hbm
-        and jax.default_backend() == "tpu"
+        and _use_pallas()
         and S % 128 == 0
         and D % 128 == 0
     )
@@ -464,7 +484,7 @@ def decoder_forward(
         # while body makes XLA copy the ENTIRE cache every step (the cache
         # is read by attention earlier in the same iteration, defeating its
         # aliasing analysis; xprof measured ~4 ms/step at batch 32).
-        if jax.default_backend() == "tpu":
+        if _use_pallas():
             from ..ops.pallas.kv_write import kv_write_rows, kv_write_rows_batch
 
             if uniform_slot:
@@ -591,7 +611,7 @@ def decoder_paged_step(
     PS = keys_all.shape[3]
     maxp = page_table.shape[1]
     pos_b = positions[:, None, :]
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _use_pallas()
     group = nq // nkv
     neg = float(jnp.finfo(jnp.float32).min) / 2
 

@@ -157,3 +157,37 @@ def test_tp_inference_matches_single_device():
     r1 = m1.transcribe(clip, max_tokens=6)
     r2 = m2.transcribe(clip, max_tokens=6)
     assert r1.text == r2.text
+
+
+def test_tp_continuous_paged_serving_matches_single_device():
+    """BASELINE config 5 composition: continuous-batched serving with the
+    paged-KV engine on a tp=2 mesh == single-device output (the mesh
+    routes decode through the GSPMD-shardable XLA paths via set_spmd)."""
+    import jax.numpy as jnp
+
+    from qwen3_asr_tpu.api import Qwen3ASR
+    from qwen3_asr_tpu.config import RuntimeConfig
+    from qwen3_asr_tpu.serving.server import ContinuousTranscriptionServer
+    from tests.test_api import TINY_CFG, StubTokenizer, sine
+
+    rt1 = RuntimeConfig(frame_buckets=(800,), token_buckets=(16, 128))
+    rt2 = RuntimeConfig(
+        frame_buckets=(800,), token_buckets=(16, 128), dp=1, tp=2
+    )
+    m1 = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(), runtime=rt1, dtype=jnp.float32
+    )
+    clips = [sine(1.0, 350.0), sine(0.5, 500.0), sine(1.5, 260.0)]
+    direct = [m1.transcribe(c, max_tokens=5) for c in clips]
+
+    m2 = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(), runtime=rt2, dtype=jnp.float32
+    )
+    with ContinuousTranscriptionServer(
+        m2, n_slots=4, max_duration=8.0, max_new_tokens=128,
+        chunk_steps=4, paged=True,
+    ) as srv:
+        futs = [srv.submit(c, max_tokens=5) for c in clips]
+        results = [f.result(timeout=300) for f in futs]
+    for d, r in zip(direct, results):
+        assert d.text == r.text
