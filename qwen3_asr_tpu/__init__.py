@@ -5,7 +5,7 @@ Public surface parity with the reference package
 extensions (RuntimeConfig, mesh/sharding helpers, batched runtime).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .api import LANGUAGE_MAP, Qwen3ASR, TranscriptionResult
 from .audio.io import find_split_points, load_audio
@@ -27,7 +27,8 @@ from .models.encoder import encoder_forward, init_encoder_params
 from .models.params import load_checkpoint
 from .ops.sampling import sample_logits
 from .runtime.generate import Generator
-from .serving.server import TranscriptionServer
+from .serving.server import ContinuousTranscriptionServer, TranscriptionServer
+from .streaming import StreamingTranscriber, StreamSegment
 from .tokenizer import Tokenizer, build_detect_prompt, build_prompt, parse_output
 from .utils.telemetry import RequestStats
 
@@ -56,6 +57,9 @@ __all__ = [
     "sample_logits",
     "Generator",
     "TranscriptionServer",
+    "ContinuousTranscriptionServer",
+    "StreamingTranscriber",
+    "StreamSegment",
     "RequestStats",
     "Tokenizer",
     "build_prompt",

@@ -1,0 +1,172 @@
+"""Incremental (streaming) transcription sessions.
+
+The reference is strictly batch: one finished file/array per
+``transcribe`` call (model.py:194-250).  Its long-form path, however,
+already defines the right segmentation semantics — split at low-energy
+boundaries, transcribe each span, stitch (model.py:382-447, 454-513) —
+and those semantics stream naturally: a live session only needs to pick
+each split as soon as enough audio has arrived, rather than after the
+whole recording exists.
+
+``StreamingTranscriber`` accepts 16 kHz mono float32/int16 audio in
+arbitrary-size pieces.  Whenever the un-finalized buffer covers a full
+``segment_duration`` plus the split-search window, the boundary is
+snapped to the minimum-RMS frame (exact reference split rule,
+audio/io.py:find_split_points) and the completed segment is transcribed
+through the normal bucketed pipeline — so a session reuses the same
+compiled programs as offline calls, and the per-segment latency is the
+segment length plus one pipeline pass.
+
+TPU-first notes: segments hit the standard frame buckets (one compile,
+reused for the whole session); ``partial()`` previews are just an extra
+bucketed pass over the live tail and never perturb session state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .audio.io import SAMPLE_RATE, frame_rms
+
+
+@dataclass
+class StreamSegment:
+    """One finalized (or previewed) span of the stream."""
+
+    text: str
+    start: float          # seconds from session start
+    end: float
+    final: bool
+    language: str = "Unknown"
+
+
+class StreamingTranscriber:
+    """Incremental transcription over a live audio stream.
+
+    Parameters
+    ----------
+    model:
+        A :class:`~qwen3_asr_tpu.api.Qwen3ASR`.
+    segment_duration:
+        Target seconds per finalized segment (reference chunking uses
+        1200 s for offline long-form; live sessions want 10-60 s).
+    search_duration:
+        Half-width of the low-energy split search window around each
+        segment boundary (reference uses 5 s, model.py:469).
+    options:
+        Forwarded to ``model.transcribe`` for every segment
+        (language, temperature, max_tokens, ...).
+    """
+
+    def __init__(
+        self,
+        model,
+        segment_duration: float = 30.0,
+        search_duration: float = 5.0,
+        **options,
+    ) -> None:
+        if segment_duration <= search_duration:
+            raise ValueError(
+                "segment_duration must exceed search_duration "
+                f"({segment_duration} <= {search_duration})"
+            )
+        self._model = model
+        self._segment = int(segment_duration * SAMPLE_RATE)
+        self._search = int(search_duration * SAMPLE_RATE)
+        self._options = options
+        self._buffer = np.zeros(0, np.float32)
+        self._consumed = 0          # samples finalized so far
+        self._segments: list[StreamSegment] = []
+        self._closed = False
+
+    # -- session API -------------------------------------------------------
+
+    def feed(self, samples: np.ndarray) -> list[StreamSegment]:
+        """Append audio; returns any newly finalized segments."""
+        if self._closed:
+            raise RuntimeError("session is closed")
+        samples = np.asarray(samples)
+        if samples.dtype == np.int16:
+            samples = samples.astype(np.float32) / 32768.0
+        if samples.ndim != 1:
+            raise ValueError("streaming audio must be 1-D mono")
+        self._buffer = np.concatenate(
+            [self._buffer, samples.astype(np.float32)]
+        )
+        out: list[StreamSegment] = []
+        # Finalize while the buffer covers a boundary plus its full search
+        # window (the split choice is then identical to the offline rule —
+        # later audio cannot move it).
+        while len(self._buffer) >= self._segment + self._search:
+            split = self._next_split()
+            out.append(self._finalize(split))
+        return out
+
+    def flush(self) -> list[StreamSegment]:
+        """Finalize all remaining audio (end of stream)."""
+        if self._closed:
+            return []
+        out = []
+        while len(self._buffer) >= self._segment + self._search:
+            out.append(self._finalize(self._next_split()))
+        if len(self._buffer) > 0:
+            out.append(self._finalize(len(self._buffer)))
+        self._closed = True
+        return out
+
+    def partial(self) -> StreamSegment:
+        """Preview transcript of the un-finalized tail (state untouched)."""
+        start = self._consumed / SAMPLE_RATE
+        if len(self._buffer) == 0:
+            return StreamSegment("", start, start, final=False)
+        res = self._model.transcribe(self._buffer, **self._options)
+        return StreamSegment(
+            res.text, start, start + len(self._buffer) / SAMPLE_RATE,
+            final=False, language=res.language,
+        )
+
+    @property
+    def segments(self) -> list[StreamSegment]:
+        return list(self._segments)
+
+    @property
+    def text(self) -> str:
+        """All finalized text so far (reference stitching rule: single
+        spaces, model.py:443-447)."""
+        return " ".join(s.text for s in self._segments if s.text).strip()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if not self._closed:
+            self.flush()
+
+    # -- internals ---------------------------------------------------------
+
+    def _next_split(self) -> int:
+        """Low-energy boundary for the next segment (reference argmin-RMS
+        rule over +/- search window, model.py:497-511)."""
+        frame = 480
+        energy = frame_rms(self._buffer, frame)
+        center = self._segment // frame
+        lo = max(0, center - self._search // frame)
+        hi = min(len(energy) - 1, center + self._search // frame)
+        if lo >= hi:
+            return self._segment
+        best = int(np.argmin(energy[lo : hi + 1])) + lo
+        return max(best * frame, frame)
+
+    def _finalize(self, split: int) -> StreamSegment:
+        chunk, self._buffer = self._buffer[:split], self._buffer[split:]
+        start = self._consumed / SAMPLE_RATE
+        self._consumed += split
+        res = self._model.transcribe(chunk, **self._options)
+        seg = StreamSegment(
+            res.text, start, self._consumed / SAMPLE_RATE,
+            final=True, language=res.language,
+        )
+        self._segments.append(seg)
+        return seg
