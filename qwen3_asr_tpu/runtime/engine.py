@@ -204,7 +204,7 @@ class DecodeEngine:
         donate_steps = tuple(range(1, 8))  # keys..rngs
         self._step_chunk_jit = jax.jit(
             self._step_chunk_paged_impl if paged else self._step_chunk_impl,
-            static_argnames=("k_steps", "greedy"),
+            static_argnames=("k_steps", "greedy", "width"),
             donate_argnums=donate_steps,
         )
         self._admit_jit = jax.jit(
@@ -212,15 +212,26 @@ class DecodeEngine:
             donate_argnums=(0, 1, 2, 3, 4, 5, 6),
         )
         self._first_jit = jax.jit(self._first_impl)
+        self._move_jit = jax.jit(
+            self._move_impl, donate_argnums=(0, 1, 2, 3, 4)
+        )
+        # Compiled step widths (paged mode): powers of two up to n_slots.
+        self._widths = sorted(
+            {min(1 << i, n_slots) for i in range((n_slots - 1).bit_length() + 1)}
+        ) or [n_slots]
 
     # -- device programs ---------------------------------------------------
 
     def _step_chunk_impl(
         self, params, keys, values, tokens, counts, done, cur, rngs,
         live, prompt_len, max_new, temp, top_k, top_p, rep_pen, rep_ctx,
-        k_steps, greedy,
+        k_steps, greedy, width=None,
     ):
-        """Up to ``k_steps`` decode iterations over all live slots."""
+        """Up to ``k_steps`` decode iterations over all live slots.
+
+        ``width`` is ignored here: the flat cache carries the batch
+        dimension, so slicing it would copy gigabytes — width bucketing
+        is a paged-mode feature (the page pool has no batch dim)."""
         cfg = self.cfg
         B = self.n_slots
         pbucket = self.prompt_bucket
@@ -331,17 +342,38 @@ class DecodeEngine:
     def _step_chunk_paged_impl(
         self, params, keys, values, tokens, counts, done, cur, rngs,
         table, live, prompt_len, max_new, temp, top_k, top_p, rep_pen,
-        rep_ctx, k_steps, greedy,
+        rep_ctx, k_steps, greedy, width=None,
     ):
         """Paged variant: KV rows resolve through the per-slot page table.
 
         ``table`` is chunk-invariant (the host pre-allocates decode pages
         covering this chunk's steps before dispatch; slots that could not
-        get pages are excluded from ``live``)."""
+        get pages are excluded from ``live``).
+
+        ``width`` (static) runs the chunk over only the first ``width``
+        slots: retirement compacts live slots into a prefix, so a
+        low-occupancy engine steps at a narrower compiled width and skips
+        the idle slots' attention/logits work entirely.  The page-pool
+        cache has no batch dimension, so narrowing costs nothing; the
+        (tiny) per-slot state is sliced in and written back in place."""
         from ..models.decoder import decoder_paged_step
 
+        B = width or self.n_slots
+        f_tokens, f_counts, f_done, f_cur, f_rngs = (
+            tokens, counts, done, cur, rngs
+        )
+        if B < self.n_slots:
+            tokens, counts, done, cur, rngs = (
+                tokens[:B], counts[:B], done[:B], cur[:B], rngs[:B]
+            )
+            table, live, prompt_len, max_new = (
+                table[:B], live[:B], prompt_len[:B], max_new[:B]
+            )
+            temp, top_k, top_p, rep_pen, rep_ctx = (
+                temp[:B], top_k[:B], top_p[:B], rep_pen[:B], rep_ctx[:B]
+            )
+
         cfg = self.cfg
-        B = self.n_slots
         PS = self.page_size
         maxp = self.max_pages
         token_bucket = self.token_bucket
@@ -416,6 +448,12 @@ class DecodeEngine:
             cond, body,
             (keys, values, tokens, counts, done, cur, rngs, jnp.int32(0)),
         )
+        if B < self.n_slots:
+            tokens = f_tokens.at[:B].set(tokens)
+            counts = f_counts.at[:B].set(counts)
+            done = f_done.at[:B].set(done)
+            cur = f_cur.at[:B].set(cur)
+            rngs = f_rngs.at[:B].set(rngs)
         status = jnp.stack([counts, done.astype(jnp.int32)])
         return keys, values, tokens, counts, done, cur, rngs, status
 
@@ -447,6 +485,17 @@ class DecodeEngine:
         cur = cur.at[slots].set(first_tokens)
         rngs = rngs.at[slots].set(rngs_new)
         return keys, values, tokens, counts, done, cur, rngs
+
+    def _move_impl(self, tokens, counts, done, cur, rngs, src, dst):
+        """Copy slot ``src``'s dynamic state over slot ``dst`` (slot
+        compaction after retirement; the paged cache itself never moves —
+        only the host-side page-table row follows the slot)."""
+        tokens = tokens.at[dst].set(tokens[src])
+        counts = counts.at[dst].set(counts[src])
+        done = done.at[dst].set(done[src])
+        cur = cur.at[dst].set(cur[src])
+        rngs = rngs.at[dst].set(rngs[src])
+        return tokens, counts, done, cur, rngs
 
     # -- host control ------------------------------------------------------
 
@@ -633,6 +682,13 @@ class DecodeEngine:
                 return
         if self._ctl_dirty:
             self._refresh_ctl()
+        if self.paged and self._live.any():
+            # Retirement compacts live slots into a prefix, so the chunk
+            # can run at the narrowest compiled width covering them.
+            hi = int(np.nonzero(self._live)[0][-1]) + 1
+            width = next(w for w in self._widths if w >= hi)
+        else:
+            width = self.n_slots
         out = self._step_chunk_jit(
             self.gen.params,
             self._keys, self._values, self._tokens,
@@ -640,6 +696,7 @@ class DecodeEngine:
             *self._ctl_d,
             k_steps=k,
             greedy=bool((self._temp[self._live & ~self._done] == 0).all()),
+            width=width,
         )
         (
             self._keys, self._values, self._tokens,
@@ -683,5 +740,48 @@ class DecodeEngine:
                 self._dp_alloc[s] = 0
                 self._paused[s] = False
         self._ctl_dirty = True
+        if self.paged:
+            self._compact()
         self.stats.retired += len(out)
         return out
+
+    def _compact(self) -> None:
+        """Move the highest live slot down into each freed hole so live
+        slots always occupy a prefix — the next chunk then runs at the
+        narrowest compiled width that covers them.  Paged mode only: the
+        cache is page-indirected, so a slot move is a page-table row swap
+        plus a few small device rows, never a KV copy."""
+        while True:
+            live_idx = np.nonzero(self._live)[0]
+            if len(live_idx) == 0:
+                return
+            hi = int(live_idx[-1])
+            holes = np.nonzero(~self._live[:hi])[0]
+            if len(holes) == 0:
+                return
+            dst, src = int(holes[0]), hi
+            for a in (
+                self._live, self._done, self._counts, self._prompt_len,
+                self._max_new, self._cur, self._temp, self._top_k,
+                self._top_p, self._rep_pen, self._rep_ctx,
+                self._pp, self._dp_alloc, self._paused,
+            ):
+                a[dst] = a[src]
+            self._meta[dst] = self._meta[src]
+            self._page_table[dst, :] = self._page_table[src, :]
+            self._live[src] = False
+            self._done[src] = True
+            self._meta[src] = None
+            self._page_table[src, :] = 0
+            self._pp[src] = 0
+            self._dp_alloc[src] = 0
+            self._paused[src] = False
+            (
+                self._tokens, self._counts_d, self._done_d,
+                self._cur_d, self._rngs_d,
+            ) = self._move_jit(
+                self._tokens, self._counts_d, self._done_d,
+                self._cur_d, self._rngs_d,
+                jnp.int32(src), jnp.int32(dst),
+            )
+            self._ctl_dirty = True

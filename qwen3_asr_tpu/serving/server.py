@@ -217,7 +217,7 @@ class ContinuousTranscriptionServer:
         max_new_tokens: int = 512,
         chunk_steps: int = 32,
         admit_batch: int = 0,
-        paged: bool = False,
+        paged: bool = True,
         page_size: int = 256,
         kv_pool_gb: float | None = None,
         warm: bool | tuple[float, ...] = False,

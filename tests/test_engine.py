@@ -287,3 +287,44 @@ def test_continuous_server_warm(model):
     ) as srv:
         res = srv.transcribe(sine(0.5, 440.0), max_tokens=4)
     assert res.text
+
+
+def test_paged_compaction_and_width_bucketing(model):
+    """Retirement compacts live slots into a prefix (paged mode), and the
+    narrowed decode continues token-identically."""
+    clips = [sine(1.0, 440.0), sine(2.0, 330.0), sine(0.5, 550.0)]
+    budgets = [6, 2, 6]  # middle slot retires first (no EOS in tiny vocab)
+    direct = [
+        model.transcribe(c, max_tokens=b) for c, b in zip(clips, budgets)
+    ]
+
+    from qwen3_asr_tpu.runtime.engine import SlotRequest
+
+    engine = model.make_engine(
+        n_slots=4, max_duration=8.0, max_new_tokens=128, chunk_steps=2,
+        paged=True,
+    )
+    kv, logits, prompts = model.prefill_group(clips, ["English"] * 3)
+    reqs = [
+        SlotRequest(samples=c, prompt=p, max_new=b, meta=i)
+        for i, (c, p, b) in enumerate(zip(clips, prompts, budgets))
+    ]
+    engine.admit(kv, logits, engine.free_slots(), reqs)
+    results = {}
+    compacted = False
+    for _ in range(30):
+        engine.step()
+        for req, toks in engine.retire():
+            results[req.meta] = toks
+        if 1 in results and engine.n_active() == 2:
+            # middle slot retired while 0 and 2 still decode: live slots
+            # must form a prefix (slot 2's state moved down to slot 1)
+            assert list(engine._live) == [True, True, False, False]
+            compacted = True
+        if len(results) == 3:
+            break
+    assert compacted, "compaction never observed"
+    assert len(results) == 3
+    for i, d in enumerate(direct):
+        text = model._finalize_output(results[i], "English")[0]
+        assert text == d.text, f"clip {i} diverged after compaction"
