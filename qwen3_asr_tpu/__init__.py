@@ -27,7 +27,11 @@ from .models.encoder import encoder_forward, init_encoder_params
 from .models.params import load_checkpoint
 from .ops.sampling import sample_logits
 from .runtime.generate import Generator
-from .serving.server import ContinuousTranscriptionServer, TranscriptionServer
+from .serving.server import (
+    ContinuousTranscriptionServer,
+    ReplicatedTranscriptionServer,
+    TranscriptionServer,
+)
 from .streaming import StreamingTranscriber, StreamSegment
 from .tokenizer import Tokenizer, build_detect_prompt, build_prompt, parse_output
 from .utils.telemetry import RequestStats
@@ -58,6 +62,7 @@ __all__ = [
     "Generator",
     "TranscriptionServer",
     "ContinuousTranscriptionServer",
+    "ReplicatedTranscriptionServer",
     "StreamingTranscriber",
     "StreamSegment",
     "RequestStats",

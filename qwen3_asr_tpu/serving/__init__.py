@@ -1,5 +1,6 @@
 from .server import (
     ContinuousTranscriptionServer,
+    ReplicatedTranscriptionServer,
     ServerStats,
     TranscriptionServer,
 )
@@ -7,5 +8,6 @@ from .server import (
 __all__ = [
     "TranscriptionServer",
     "ContinuousTranscriptionServer",
+    "ReplicatedTranscriptionServer",
     "ServerStats",
 ]

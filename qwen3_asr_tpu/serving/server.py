@@ -89,6 +89,41 @@ class ServerStats:
             return sum(self.batch_sizes) / len(self.batch_sizes)
 
 
+def _collect_batch(
+    q: "queue.Queue[_Request | None]", max_batch: int, window_s: float
+) -> "list[_Request] | None":
+    """Drain up to ``max_batch`` same-key requests, waiting at most
+    ``window_s`` after the first; ``None`` = shutdown sentinel (re-posted
+    if seen mid-batch so sibling workers also stop)."""
+    first = q.get()
+    if first is None:
+        return None
+    batch = [first]
+    key = first.batch_key()
+    deferred: list[_Request] = []
+    deadline = threading.Event()
+    timer = threading.Timer(window_s, deadline.set)
+    timer.start()
+    try:
+        while len(batch) < max_batch and not deadline.is_set():
+            try:
+                req = q.get(timeout=window_s / 4)
+            except queue.Empty:
+                continue
+            if req is None:
+                q.put(None)  # re-post shutdown sentinel
+                break
+            if req.batch_key() == key:
+                batch.append(req)
+            else:
+                deferred.append(req)
+    finally:
+        timer.cancel()
+    for req in deferred:  # different options -> next batch
+        q.put(req)
+    return batch
+
+
 class TranscriptionServer:
     """Multi-stream serving wrapper around a :class:`Qwen3ASR` model."""
 
@@ -139,33 +174,7 @@ class TranscriptionServer:
     # -- worker ------------------------------------------------------------
 
     def _collect_batch(self) -> list[_Request] | None:
-        first = self._queue.get()
-        if first is None:
-            return None
-        batch = [first]
-        key = first.batch_key()
-        deferred: list[_Request] = []
-        deadline = threading.Event()
-        timer = threading.Timer(self._window_s, deadline.set)
-        timer.start()
-        try:
-            while len(batch) < self._max_batch and not deadline.is_set():
-                try:
-                    req = self._queue.get(timeout=self._window_s / 4)
-                except queue.Empty:
-                    continue
-                if req is None:
-                    self._queue.put(None)  # re-post shutdown sentinel
-                    break
-                if req.batch_key() == key:
-                    batch.append(req)
-                else:
-                    deferred.append(req)
-        finally:
-            timer.cancel()
-        for req in deferred:  # different options -> next batch
-            self._queue.put(req)
-        return batch
+        return _collect_batch(self._queue, self._max_batch, self._window_s)
 
     def _run(self) -> None:
         while True:
@@ -470,3 +479,117 @@ class ContinuousTranscriptionServer:
                     "the engine's KV page pool; raise kv_pool_gb"
                 )
             )
+
+
+class ReplicatedTranscriptionServer:
+    """dp scale-out serving: one full model replica per device.
+
+    At 1.7B the entire parameter set fits a single chip, so throughput
+    scales embarrassingly: an independent replica runs on every device
+    and R workers drain ONE shared queue — the BASELINE config-5
+    deployment shape (v5e-8).  No collectives cross replicas (ICI stays
+    free for intra-replica tp if the factory's RuntimeConfig asks for
+    it); ``jax.default_device`` pins each replica's construction and
+    every batch it serves to its own device, so host-side transfers and
+    compiled programs never touch a sibling's chip.
+
+    ``model_factory`` is called once per device (under that device's
+    default-device scope) — pass a closure over ``from_pretrained`` /
+    ``from_random``.  Work-stealing comes free from the shared queue: a
+    replica busy with a long batch simply doesn't poll while its
+    siblings keep draining.
+
+    No reference counterpart (single device, model.py:145).
+    """
+
+    def __init__(
+        self,
+        model_factory,
+        devices=None,
+        max_batch_size: int = 8,
+        batch_window_ms: float = 15.0,
+    ) -> None:
+        import jax
+
+        self._devices = list(
+            devices if devices is not None else jax.local_devices()
+        )
+        if not self._devices:
+            raise ValueError("no devices for replicas")
+        self._max_batch = max_batch_size
+        self._window_s = batch_window_ms / 1000.0
+        self._queue: queue.Queue[_Request | None] = queue.Queue()
+        self.stats = ServerStats()
+        self._closed = False
+        self._models = []
+        for d in self._devices:
+            with jax.default_device(d):
+                self._models.append(model_factory())
+        self._workers = [
+            threading.Thread(
+                target=self._run_replica, args=(m, d), daemon=True
+            )
+            for m, d in zip(self._models, self._devices)
+        ]
+        for w in self._workers:
+            w.start()
+
+    @property
+    def n_replicas(self) -> int:
+        return len(self._models)
+
+    # -- client API --------------------------------------------------------
+
+    def submit(self, audio, **options) -> Future:
+        if self._closed:
+            raise RuntimeError("server is closed")
+        fut: Future = Future()
+        self._queue.put(_Request(audio, options, fut))
+        self.stats.bump("requests")
+        return fut
+
+    def transcribe(self, audio, **options):
+        return self.submit(audio, **options).result()
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        for _ in self._workers:
+            self._queue.put(None)
+        for w in self._workers:
+            w.join(timeout=60)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- workers -----------------------------------------------------------
+
+    def _run_replica(self, model, device) -> None:
+        import jax
+
+        while True:
+            batch = _collect_batch(self._queue, self._max_batch, self._window_s)
+            if batch is None:
+                return
+            self.stats.record_batch(len(batch))
+            options = batch[0].options
+            with jax.default_device(device):
+                try:
+                    results = model.transcribe_batch(
+                        [r.audio for r in batch], **options
+                    )
+                    for req, res in zip(batch, results):
+                        req.future.set_result(res)
+                except Exception:
+                    for req in batch:
+                        try:
+                            req.future.set_result(
+                                model.transcribe(req.audio, **req.options)
+                            )
+                        except Exception as exc:  # noqa: BLE001
+                            self.stats.bump("failures")
+                            req.future.set_exception(exc)

@@ -82,3 +82,37 @@ def test_server_groups_by_length_bucket(model):
         for f in futs:
             assert isinstance(f.result(timeout=180), TranscriptionResult)
     assert srv.stats.batches >= 2  # at least one split by bucket
+
+
+def test_replicated_server_spreads_over_devices():
+    """dp scale-out: 8 virtual devices, one tiny replica each, shared
+    queue; results identical to a solo model."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_asr_tpu.api import Qwen3ASR
+    from qwen3_asr_tpu.config import RuntimeConfig
+    from qwen3_asr_tpu.serving.server import ReplicatedTranscriptionServer
+    from tests.test_api import TINY_CFG, StubTokenizer, sine
+
+    rt = RuntimeConfig(frame_buckets=(800,), token_buckets=(16,))
+
+    def factory():
+        return Qwen3ASR.from_random(
+            TINY_CFG, tokenizer=StubTokenizer(), runtime=rt, dtype=jnp.float32
+        )
+
+    solo = factory()
+    clips = [sine(0.5 + 0.1 * (i % 4), 300.0 + 20 * i) for i in range(12)]
+    expected = [solo.transcribe(c, max_tokens=4).text for c in clips]
+
+    devices = jax.devices()[:4]
+    with ReplicatedTranscriptionServer(
+        factory, devices=devices, max_batch_size=2, batch_window_ms=40.0
+    ) as srv:
+        assert srv.n_replicas == 4
+        futs = [srv.submit(c, max_tokens=4) for c in clips]
+        results = [f.result(timeout=600).text for f in futs]
+    assert results == expected
+    assert srv.stats.requests == 12
+    assert srv.stats.batches >= 2  # work actually spread across workers
