@@ -328,3 +328,20 @@ def test_paged_compaction_and_width_bucketing(model):
     for i, d in enumerate(direct):
         text = model._finalize_output(results[i], "English")[0]
         assert text == d.text, f"clip {i} diverged after compaction"
+
+
+def test_engine_with_int8_quantized_decoder():
+    """Continuous engine over int8 weights == direct quantized decode."""
+    rt = RuntimeConfig(
+        frame_buckets=(800,), token_buckets=(16, 128), quantization="int8"
+    )
+    m = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(), runtime=rt, dtype=jnp.float32
+    )
+    clip = sine(1.0, 440.0)
+    direct = m.transcribe(clip, max_tokens=5)
+    with ContinuousTranscriptionServer(
+        m, n_slots=2, max_duration=4.0, max_new_tokens=64, chunk_steps=4,
+    ) as srv:
+        res = srv.transcribe(clip, max_tokens=5)
+    assert res.text == direct.text
