@@ -420,6 +420,14 @@ class Qwen3ASR:
         if max_tokens is None:
             max_tokens = max(256, int(duration * 50))
 
+        # A clip must fit a compiled frame bucket; the effective single-pass
+        # ceiling is min(chunk_duration, largest bucket).  With the default
+        # buckets these coincide (20 min); a RuntimeConfig with a smaller
+        # bucket table would otherwise silently overflow the largest shape.
+        max_bucket_s = (
+            self._runtime.frame_buckets[-1] * HOP_LENGTH / SAMPLE_RATE
+        )
+        chunk_duration = min(chunk_duration, max_bucket_s)
         if duration > chunk_duration:
             return self._transcribe_chunked(
                 samples, duration, language, temperature, top_p, top_k,

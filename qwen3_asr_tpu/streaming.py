@@ -75,6 +75,22 @@ class StreamingTranscriber:
         self._model = model
         self._segment = int(segment_duration * SAMPLE_RATE)
         self._search = int(search_duration * SAMPLE_RATE)
+        # A segment must fit one compiled frame bucket: the split search
+        # can reach ``search`` past the boundary, so cap it at the model's
+        # largest bucket (with default buckets that is 20 min — far above
+        # any sensible live-session segment).
+        from .audio.mel import HOP_LENGTH
+
+        max_chunk = model._runtime.frame_buckets[-1] * HOP_LENGTH
+        if self._segment + self._search > max_chunk:
+            raise ValueError(
+                f"segment_duration + search_duration "
+                f"({segment_duration + search_duration:.0f}s) must fit the "
+                f"model's largest frame bucket "
+                f"({max_chunk / SAMPLE_RATE:.0f}s) so every segment runs "
+                "as one compiled pass"
+            )
+        self._max_chunk = max_chunk
         self._options = options
         self._buffer = np.zeros(0, np.float32)
         self._consumed = 0          # samples finalized so far
@@ -153,9 +169,13 @@ class StreamingTranscriber:
         energy = frame_rms(self._buffer, frame)
         center = self._segment // frame
         lo = max(0, center - self._search // frame)
-        hi = min(len(energy) - 1, center + self._search // frame)
+        hi = min(
+            len(energy) - 1,
+            center + self._search // frame,
+            self._max_chunk // frame - 1,   # segment must fit one bucket
+        )
         if lo >= hi:
-            return self._segment
+            return min(self._segment, self._max_chunk)
         best = int(np.argmin(energy[lo : hi + 1])) + lo
         return max(best * frame, frame)
 

@@ -110,3 +110,26 @@ def test_int16_feed(model):
     s.feed(audio)
     out = s.flush()
     assert len(out) == 1 and out[0].final
+
+
+def test_segment_must_fit_bucket(model):
+    """segment+search beyond the largest frame bucket is rejected up
+    front (it could otherwise produce an un-compilable chunk)."""
+    with pytest.raises(ValueError, match="largest frame bucket"):
+        StreamingTranscriber(model, segment_duration=7.5, search_duration=1.5)
+
+
+def test_split_clamped_to_bucket(model):
+    """Monotonically decreasing energy pulls the argmin to the window's
+    far edge; the resulting chunk must still fit the 8 s bucket."""
+    t = np.arange(16000 * 12) / 16000
+    audio = (
+        np.sin(2 * np.pi * 440 * t) * np.linspace(1.0, 0.01, len(t))
+    ).astype(np.float32)
+    s = StreamingTranscriber(
+        model, segment_duration=6.0, search_duration=1.5, max_tokens=4
+    )
+    s.feed(audio)
+    s.flush()
+    for seg in s.segments:
+        assert seg.end - seg.start <= 8.0 + 1e-6
