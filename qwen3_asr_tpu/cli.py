@@ -32,6 +32,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", action="store_true", help="transcribe files as one batch")
     p.add_argument("--json", action="store_true", help="emit JSON records")
     p.add_argument("--warm-up", action="store_true", help="AOT-compile before timing")
+    p.add_argument(
+        "--stream",
+        type=float,
+        metavar="SEGMENT_SECONDS",
+        default=None,
+        help="streaming mode: feed each file incrementally and print "
+        "segments as they finalize at low-energy boundaries",
+    )
     return p
 
 
@@ -67,7 +75,33 @@ def main(argv: list[str] | None = None) -> int:
         else:
             print(f"{path}: {result.text}")
 
-    if args.batch:
+    if args.stream is not None:
+        from .audio.io import SAMPLE_RATE, load_audio
+        from .streaming import StreamingTranscriber
+
+        def emit_seg(path, seg):
+            if args.json:
+                print(json.dumps({
+                    "file": str(path), "start": seg.start,
+                    "end": seg.end, "text": seg.text,
+                }))
+            else:
+                print(f"{path} [{seg.start:.1f}-{seg.end:.1f}s]: {seg.text}")
+
+        for path in args.audio:
+            audio = load_audio(path)
+            piece = 5 * SAMPLE_RATE
+            session = StreamingTranscriber(
+                model, segment_duration=args.stream, **opts
+            )
+            for i in range(0, len(audio), piece):
+                for seg in session.feed(audio[i : i + piece]):
+                    emit_seg(path, seg)
+            for seg in session.flush():
+                emit_seg(path, seg)
+            if not args.json:
+                print(f"{path}: {session.text}")
+    elif args.batch:
         for path, result in zip(
             args.audio, model.transcribe_batch(args.audio, **opts)
         ):

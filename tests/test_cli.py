@@ -27,3 +27,11 @@ def test_multiple_files_and_options():
 def test_model_required():
     with pytest.raises(SystemExit):
         build_parser().parse_args(["a.wav"])
+
+
+def test_stream_flag():
+    args = build_parser().parse_args(
+        ["a.wav", "--model", "/m", "--stream", "30"]
+    )
+    assert args.stream == 30.0
+    assert build_parser().parse_args(["a.wav", "--model", "/m"]).stream is None
