@@ -80,7 +80,14 @@ def run_workload(
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--paged", action="store_true")
+    ap.add_argument(
+        "--paged", action="store_true", default=True,
+        help="paged KV engine (default; the measured winner)",
+    )
+    ap.add_argument(
+        "--flat", dest="paged", action="store_false",
+        help="flat contiguous-cache engine (A/B comparison)",
+    )
     ap.add_argument("--n-short", type=int, default=12)
     ap.add_argument("--long-sec", type=float, default=30.0)
     ap.add_argument("--short-sec", type=float, default=30.0)
