@@ -142,8 +142,10 @@ class DecodeEngine:
             # oversubscribe.  Physical page 0 is a reserved trash page
             # (inactive lanes' writes land there; no table entry points
             # to it).
-            if page_size % 128:
-                raise ValueError("page_size must be a multiple of 128")
+            if page_size not in (128, 256):
+                # Admission groups arrive with prompt buckets that are
+                # multiples of 256; pages must tile every such group.
+                raise ValueError("page_size must be 128 or 256")
             self.page_size = page_size
             self.max_pages = (
                 -(-prompt_bucket // page_size) - (-token_bucket // page_size)
@@ -298,7 +300,10 @@ class DecodeEngine:
                 jnp.where(active, nxt, keep)
             )
             counts = counts + active
-            done = done | ~live | (active & (is_eos(nxt) | (counts >= max_new)))
+            # Only genuine completion sets done: folding ~live in would
+            # mark page-PAUSED slots (masked out of `live` for this chunk)
+            # as finished, and retire() would harvest them truncated.
+            done = done | (active & (is_eos(nxt) | (counts >= max_new)))
             cur = jnp.where(active & ~done, nxt, cur)
             return keys, values, tokens, counts, done, cur, rngs, step + 1
 
@@ -440,7 +445,10 @@ class DecodeEngine:
                 jnp.where(active, nxt, keep)
             )
             counts = counts + active
-            done = done | ~live | (active & (is_eos(nxt) | (counts >= max_new)))
+            # Only genuine completion sets done: folding ~live in would
+            # mark page-PAUSED slots (masked out of `live` for this chunk)
+            # as finished, and retire() would harvest them truncated.
+            done = done | (active & (is_eos(nxt) | (counts >= max_new)))
             cur = jnp.where(active & ~done, nxt, cur)
             return keys, values, tokens, counts, done, cur, rngs, step + 1
 
@@ -504,6 +512,10 @@ class DecodeEngine:
 
     def n_active(self) -> int:
         return int((self._live & ~self._done).sum())
+
+    def n_live(self) -> int:
+        """Slots holding a request (decoding OR finished-but-unharvested)."""
+        return int(self._live.sum())
 
     def admit(
         self, kv_group, first_logits, slots: list[int], reqs: list[SlotRequest]

@@ -31,22 +31,23 @@ class _Request:
     options: dict
     future: Future
 
-    def batch_key(self) -> tuple:
+    def batch_key(self, frame_buckets=None) -> tuple:
         """Requests batch together only with the same sampling options AND
         a comparable audio length (same mel frame bucket) — batching a 1 s
         clip with a 10-minute clip would pad the short one to the long
-        bucket and waste encoder/prefill compute."""
+        bucket and waste encoder/prefill compute.  ``frame_buckets`` is
+        the SERVING MODEL's configured bucket table (falls back to the
+        defaults) — keying by the wrong table would split/merge batches
+        across real compiled-shape boundaries."""
         try:
-            import numpy as np
-
             from ..config import DEFAULT_FRAME_BUCKETS
 
+            buckets = frame_buckets or DEFAULT_FRAME_BUCKETS
             n = len(self.audio) if not isinstance(self.audio, (str,)) else -1
             if n >= 0:
                 frames = int(n) // 160
                 bucket = next(
-                    (b for b in DEFAULT_FRAME_BUCKETS if frames <= b),
-                    DEFAULT_FRAME_BUCKETS[-1],
+                    (b for b in buckets if frames <= b), buckets[-1]
                 )
             else:
                 bucket = -1  # file paths: length unknown without decoding
@@ -67,7 +68,7 @@ class ServerStats:
     requests: int = 0
     batches: int = 0
     failures: int = 0
-    batch_sizes: list[int] = field(default_factory=list)
+    batched_requests: int = 0  # running sum (bounded; no per-batch list)
 
     def __post_init__(self) -> None:
         self._lock = threading.Lock()
@@ -79,48 +80,67 @@ class ServerStats:
     def record_batch(self, size: int) -> None:
         with self._lock:
             self.batches += 1
-            self.batch_sizes.append(size)
+            self.batched_requests += size
 
     @property
     def mean_batch_size(self) -> float:
         with self._lock:
-            if not self.batch_sizes:
+            if not self.batches:
                 return 0.0
-            return sum(self.batch_sizes) / len(self.batch_sizes)
+            return self.batched_requests / self.batches
+
+
+def _deliver(fut: Future, result=None, exc=None) -> None:
+    """Resolve a future, tolerating client-side cancellation: a caller
+    that cancelled its Future must not be able to kill the worker thread
+    (set_result/set_exception raise InvalidStateError on a CANCELLED
+    future)."""
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except Exception:  # noqa: BLE001 — cancelled/already-resolved future
+        pass
 
 
 def _collect_batch(
-    q: "queue.Queue[_Request | None]", max_batch: int, window_s: float
+    q: "queue.Queue[_Request | None]", max_batch: int, window_s: float,
+    frame_buckets=None,
 ) -> "list[_Request] | None":
     """Drain up to ``max_batch`` same-key requests, waiting at most
     ``window_s`` after the first; ``None`` = shutdown sentinel (re-posted
     if seen mid-batch so sibling workers also stop)."""
+    import time
+
     first = q.get()
     if first is None:
         return None
     batch = [first]
-    key = first.batch_key()
+    key = first.batch_key(frame_buckets)
     deferred: list[_Request] = []
-    deadline = threading.Event()
-    timer = threading.Timer(window_s, deadline.set)
-    timer.start()
-    try:
-        while len(batch) < max_batch and not deadline.is_set():
-            try:
-                req = q.get(timeout=window_s / 4)
-            except queue.Empty:
-                continue
-            if req is None:
-                q.put(None)  # re-post shutdown sentinel
-                break
-            if req.batch_key() == key:
-                batch.append(req)
-            else:
-                deferred.append(req)
-    finally:
-        timer.cancel()
+    saw_sentinel = False
+    deadline = time.monotonic() + window_s
+    while len(batch) < max_batch:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        try:
+            req = q.get(timeout=remaining)
+        except queue.Empty:
+            break
+        if req is None:
+            saw_sentinel = True
+            break
+        if req.batch_key(frame_buckets) == key:
+            batch.append(req)
+        else:
+            deferred.append(req)
     for req in deferred:  # different options -> next batch
         q.put(req)
+    if saw_sentinel:
+        # Re-post AFTER the deferred requests so they are still served.
+        q.put(None)
     return batch
 
 
@@ -174,7 +194,10 @@ class TranscriptionServer:
     # -- worker ------------------------------------------------------------
 
     def _collect_batch(self) -> list[_Request] | None:
-        return _collect_batch(self._queue, self._max_batch, self._window_s)
+        return _collect_batch(
+            self._queue, self._max_batch, self._window_s,
+            self._model._runtime.frame_buckets,
+        )
 
     def _run(self) -> None:
         while True:
@@ -188,17 +211,18 @@ class TranscriptionServer:
                     [r.audio for r in batch], **options
                 )
                 for req, res in zip(batch, results):
-                    req.future.set_result(res)
+                    _deliver(req.future, res)
             except Exception:
                 # Isolate: retry each clip alone; report per-request errors.
                 for req in batch:
                     try:
-                        req.future.set_result(
-                            self._model.transcribe(req.audio, **req.options)
+                        _deliver(
+                            req.future,
+                            self._model.transcribe(req.audio, **req.options),
                         )
                     except Exception as exc:  # noqa: BLE001
                         self.stats.bump("failures")
-                        req.future.set_exception(exc)
+                        _deliver(req.future, exc=exc)
 
 
 class ContinuousTranscriptionServer:
@@ -350,6 +374,12 @@ class ContinuousTranscriptionServer:
         from ..audio.io import SAMPLE_RATE, load_audio
         from ..runtime.engine import SlotRequest
 
+        # Never prefill more requests than there are free slots:
+        # engine.admit truncates its slot list to the group size, so an
+        # oversized group would index past the free slots and crash —
+        # failing every batched future with a spurious internal error.
+        free = len(self._engine.free_slots())
+        reqs, overflow = reqs[:free], reqs[free:]
         ready: list[tuple[_Request, "object", str, float]] = []
         for req in reqs:
             try:
@@ -361,8 +391,11 @@ class ContinuousTranscriptionServer:
                     samples = _validate_samples(req.audio)
                 duration = len(samples) / SAMPLE_RATE
                 if len(samples) == 0:
-                    req.future.set_result(
-                        TranscriptionResult(text="", language="Unknown", duration=0.0)
+                    _deliver(
+                        req.future,
+                        TranscriptionResult(
+                            text="", language="Unknown", duration=0.0
+                        ),
                     )
                     continue
                 if duration > self._max_duration:
@@ -375,9 +408,9 @@ class ContinuousTranscriptionServer:
                 ready.append((req, samples, lang, duration))
             except Exception as exc:  # noqa: BLE001
                 self.stats.bump("failures")
-                req.future.set_exception(exc)
+                _deliver(req.future, exc=exc)
         if not ready:
-            return []
+            return overflow
         try:
             kv, first_logits, prompts = self._model.prefill_group(
                 [r[1] for r in ready], [r[2] for r in ready]
@@ -409,12 +442,14 @@ class ContinuousTranscriptionServer:
             admitted = len(slot_reqs) - len(rejected or [])
             if admitted:
                 self.stats.record_batch(admitted)
-            return [by_slotreq[id(sr)] for sr in (rejected or [])]
+            return [
+                by_slotreq[id(sr)] for sr in (rejected or [])
+            ] + overflow
         except Exception as exc:  # noqa: BLE001
             for req, *_ in ready:
                 self.stats.bump("failures")
-                req.future.set_exception(exc)
-        return []
+                _deliver(req.future, exc=exc)
+        return overflow
 
     def _retire(self) -> int:
         from ..api import TranscriptionResult
@@ -425,25 +460,30 @@ class ContinuousTranscriptionServer:
             future, lang, duration = slot_req.meta
             try:
                 text, out_lang = self._model._finalize_output(toks, lang)
-                future.set_result(
+                _deliver(
+                    future,
                     TranscriptionResult(
                         text=text, language=out_lang, duration=duration
-                    )
+                    ),
                 )
             except Exception as exc:  # noqa: BLE001
                 self.stats.bump("failures")
-                future.set_exception(exc)
+                _deliver(future, exc=exc)
         return retired
 
     def _run(self) -> None:
         deferred: list[_Request] = []
         retry_deferred = True
         while True:
-            idle = self._engine.n_active() == 0 and not deferred
+            # Idle only when no slot holds a request (n_live counts
+            # finished-but-unharvested slots too — a request whose FIRST
+            # token was EOS is live&done with n_active()==0 and must be
+            # retired promptly, not when the next request happens by).
+            idle = self._engine.n_live() == 0 and not deferred
             reqs = self._drain_new(block=idle)
             if reqs is None:
                 # Shutdown: drain in-flight work before exiting.
-                while self._engine.n_active() > 0 or deferred:
+                while self._engine.n_live() > 0 or deferred:
                     if deferred:
                         deferred = self._admit(deferred)
                     self._engine.step()
@@ -465,19 +505,29 @@ class ContinuousTranscriptionServer:
                     still = []
                 deferred.extend(still)
                 retry_deferred = not deferred
+                # Requests that finished AT admission (first token EOS or
+                # budget <= 1) never enter a decode chunk: harvest now.
+                if self._retire():
+                    retry_deferred = True
             if self._engine.n_active() > 0:
                 self._engine.step()
+                if self._retire():
+                    retry_deferred = True
+            elif self._engine.n_live() > 0:
+                # Nothing decoding but finished slots await harvest
+                # (belt-and-braces: guarantees loop progress).
                 if self._retire():
                     retry_deferred = True
 
     def _fail_deferred(self, reqs: list[_Request]) -> None:
         for req in reqs:
             self.stats.bump("failures")
-            req.future.set_exception(
-                RuntimeError(
+            _deliver(
+                req.future,
+                exc=RuntimeError(
                     "request cannot be admitted: its prompt alone exceeds "
                     "the engine's KV page pool; raise kv_pool_gb"
-                )
+                ),
             )
 
 
@@ -572,7 +622,10 @@ class ReplicatedTranscriptionServer:
         import jax
 
         while True:
-            batch = _collect_batch(self._queue, self._max_batch, self._window_s)
+            batch = _collect_batch(
+                self._queue, self._max_batch, self._window_s,
+                model._runtime.frame_buckets,
+            )
             if batch is None:
                 return
             self.stats.record_batch(len(batch))
@@ -583,13 +636,14 @@ class ReplicatedTranscriptionServer:
                         [r.audio for r in batch], **options
                     )
                     for req, res in zip(batch, results):
-                        req.future.set_result(res)
+                        _deliver(req.future, res)
                 except Exception:
                     for req in batch:
                         try:
-                            req.future.set_result(
-                                model.transcribe(req.audio, **req.options)
+                            _deliver(
+                                req.future,
+                                model.transcribe(req.audio, **req.options),
                             )
                         except Exception as exc:  # noqa: BLE001
                             self.stats.bump("failures")
-                            req.future.set_exception(exc)
+                            _deliver(req.future, exc=exc)

@@ -180,10 +180,14 @@ class StreamingTranscriber:
         return max(best * frame, frame)
 
     def _finalize(self, split: int) -> StreamSegment:
-        chunk, self._buffer = self._buffer[:split], self._buffer[split:]
+        # Transcribe BEFORE mutating session state: a transient failure
+        # (device hiccup, interrupt) then leaves the buffer intact and the
+        # caller can simply retry — consuming first would silently drop
+        # the segment's audio.
         start = self._consumed / SAMPLE_RATE
+        res = self._model.transcribe(self._buffer[:split], **self._options)
+        self._buffer = self._buffer[split:]
         self._consumed += split
-        res = self._model.transcribe(chunk, **self._options)
         seg = StreamSegment(
             res.text, start, self._consumed / SAMPLE_RATE,
             final=True, language=res.language,

@@ -116,3 +116,51 @@ def test_replicated_server_spreads_over_devices():
     assert results == expected
     assert srv.stats.requests == 12
     assert srv.stats.batches >= 2  # work actually spread across workers
+
+
+def test_continuous_first_token_done_resolves_promptly(model):
+    """A request whose budget is exhausted at admission (max_tokens=1)
+    must resolve without waiting for another request to arrive."""
+    from qwen3_asr_tpu.serving.server import ContinuousTranscriptionServer
+    from tests.test_api import sine
+
+    with ContinuousTranscriptionServer(
+        model, n_slots=2, max_duration=4.0, max_new_tokens=64,
+        chunk_steps=4,
+    ) as srv:
+        res = srv.submit(sine(0.5, 440.0), max_tokens=1).result(timeout=120)
+    assert isinstance(res.text, str)
+
+
+def test_cancelled_future_does_not_kill_worker(model):
+    """A client cancelling its Future must not crash the worker thread."""
+    from qwen3_asr_tpu.serving.server import TranscriptionServer
+    from tests.test_api import sine
+
+    with TranscriptionServer(model, max_batch_size=2) as srv:
+        f1 = srv.submit(sine(0.5, 440.0), max_tokens=4)
+        f1.cancel()
+        f2 = srv.submit(sine(0.5, 330.0), max_tokens=4)
+        res = f2.result(timeout=120)
+    assert res.text is not None
+
+
+def test_engine_page_size_validated():
+    import pytest as _pytest
+
+    from qwen3_asr_tpu.api import Qwen3ASR
+    from qwen3_asr_tpu.config import RuntimeConfig
+    from tests.test_api import TINY_CFG, StubTokenizer
+
+    import jax.numpy as jnp
+
+    m = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(),
+        runtime=RuntimeConfig(frame_buckets=(800,), token_buckets=(16, 128)),
+        dtype=jnp.float32,
+    )
+    with _pytest.raises(ValueError, match="page_size"):
+        m.make_engine(
+            n_slots=2, max_duration=4.0, max_new_tokens=128, paged=True,
+            page_size=384,
+        )
