@@ -528,6 +528,12 @@ class DecodeEngine:
         admitted (paged mode only: page pool exhausted) — the caller
         should retry them after retirements free pages.
         """
+        if len(reqs) > len(slots):
+            raise ValueError(
+                f"admission group of {len(reqs)} exceeds the {len(slots)} "
+                "provided slots — cap groups at free_slots() before "
+                "prefilling (the server does this automatically)"
+            )
         rejected: list[SlotRequest] = []
         pages_per_req: list[list[int]] = []
         if self.paged:
