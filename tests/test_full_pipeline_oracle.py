@@ -86,3 +86,32 @@ def test_oracle_is_reference_shaped(model):
     # 130 frames -> 100 + 30: 13 + conv_len(30)=4 -> 17 tokens.
     assert mel.shape[1] == 130
     assert feats.shape[0] == 17
+
+
+def test_batched_and_engine_paths_match_oracle(model):
+    """Every serving-side execution path — batched monolithic decode AND
+    the continuous engine — reproduces the numpy reference oracle token
+    stream for each clip (heterogeneous lengths in one batch)."""
+    from qwen3_asr_tpu.serving.server import ContinuousTranscriptionServer
+
+    clips = [sine(0.45, 440.0), sine(1.3, 330.0), sine(0.8, 520.0)]
+    expected = [
+        model._decode_output(
+            [int(t) % 512 for t in run_oracle(model, c, max_tokens=6)]
+        )
+        for c in clips
+    ]
+
+    batched = model.transcribe_batch(
+        clips, max_tokens=6, repetition_penalty=1.0
+    )
+    assert [r.text for r in batched] == expected
+
+    with ContinuousTranscriptionServer(
+        model, n_slots=4, max_duration=4.0, max_new_tokens=64, chunk_steps=2,
+    ) as srv:
+        futs = [
+            srv.submit(c, max_tokens=6, repetition_penalty=1.0) for c in clips
+        ]
+        engine_texts = [f.result(timeout=300).text for f in futs]
+    assert engine_texts == expected
