@@ -239,12 +239,20 @@ class RuntimeConfig:
     # weight indices avoid the scan's traced-index weight slicing (which
     # copies every weight each step); costs a much longer compile.
     unroll_decode_layers: bool = False
-    # Static size of the repetition-penalty gather window compiled into the
-    # decode program.  ``repetition_context_size`` above this is clamped
-    # (with a logged warning); the reference honors arbitrary sizes
-    # (generate.py:289-315) but its window is a Python list — a compiled
-    # loop needs a static bound.  Raise it if you pass larger contexts.
+    # Default static size of the repetition-penalty gather window compiled
+    # into the decode program (covers the reference default context of 100,
+    # generate.py:26).  Requests with a larger ``repetition_context_size``
+    # select the smallest covering bucket from ``rep_window_buckets`` —
+    # one extra compile per bucket ever hit — so arbitrary context sizes
+    # up to the largest bucket are honored exactly, matching the
+    # reference's Python-list window (generate.py:289-315).  Contexts
+    # beyond the largest bucket clamp with a logged warning.
     rep_window: int = 128
+    rep_window_buckets: tuple[int, ...] = (128, 256, 512, 1024)
+    # Static candidate-pool sizes for stochastic sampling: the smallest
+    # bucket covering the request's ``top_k`` is compiled (exactness for
+    # any top_k <= the largest bucket; see ops/sampling.py TOP_K_SUBSET).
+    top_k_subset_buckets: tuple[int, ...] = (1024, 4096, 16384)
     # Batched prefill is dispatched in sub-groups of this many sequences so
     # the host->device audio transfer of group g+1 overlaps the device
     # compute of group g (the dev tunnel moves ~40 MB/s; overlapping hides
@@ -262,3 +270,23 @@ class RuntimeConfig:
             if value <= b:
                 return b
         return buckets[-1]
+
+    def pick_rep_window(self, rep_ctx: int, token_bucket: int) -> int:
+        """Static gather-window size honoring ``repetition_context_size``.
+
+        Only generated tokens enter the window (parity:
+        the reference seeds its context from the generated list,
+        generate.py:289-315), so any context >= the token budget is fully
+        covered by a ``token_bucket``-sized window.  Returns the smallest
+        covering bucket, never below the configured default; a context
+        beyond the largest bucket clamps there (caller logs).
+        """
+        want = min(max(rep_ctx, 0), token_bucket)
+        if want <= self.rep_window:
+            return self.rep_window
+        return self.pick_bucket(want, self.rep_window_buckets)
+
+    def pick_top_k_subset(self, top_k: int, vocab_size: int) -> int:
+        """Static candidate-pool size covering the request's ``top_k``."""
+        want = min(max(top_k, 0), vocab_size)
+        return self.pick_bucket(want, self.top_k_subset_buckets)

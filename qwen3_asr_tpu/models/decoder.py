@@ -393,11 +393,11 @@ def decoder_forward(
             if use_hbm_kernel:
                 per_seq = not uniform_slot
                 if not per_seq and DECODE_KERNEL_MODE == "3":
-                    from ..ops.pallas.decode_attention_hbm2 import (
+                    from ..ops.pallas.experiments.decode_attention_hbm2 import (
                         decode_attention_hbm2 as hbm_attn,
                     )
                 elif not per_seq and DECODE_KERNEL_MODE == "4":
-                    from ..ops.pallas.decode_attention_hbm3 import (
+                    from ..ops.pallas.experiments.decode_attention_hbm3 import (
                         decode_attention_hbm3 as hbm_attn,
                     )
                 else:
@@ -413,7 +413,7 @@ def decoder_forward(
                     )[:, :, None, :]
                 else:
                     if hbm_attn is None:
-                        from ..ops.pallas.decode_attention_hbm3 import (
+                        from ..ops.pallas.experiments.decode_attention_hbm3 import (
                             decode_attention_hbm3 as hbm_attn,
                         )
                     # Biggest tile that divides both S and the prompt

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import AudioEncoderConfig, conv_output_length
+from ..config import AudioEncoderConfig
 from ..ops.attention import windowed_self_attention
 from ..ops.norms import layer_norm
 

@@ -20,7 +20,6 @@ from typing import Mapping
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import ModelConfig
 

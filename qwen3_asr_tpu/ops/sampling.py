@@ -65,12 +65,45 @@ def top_p_mask(logits: jax.Array, p: jax.Array | float) -> jax.Array:
     return jnp.where(p < 1.0, masked, logits)
 
 
-#: Stochastic sampling restricts the candidate pool to this many highest
-#: logits (one ``lax.top_k`` instead of full-vocab sorts, which are
-#: pathologically slow to compile and run at a 152k vocab).  Exact for
-#: top_k <= 1024; top-p nuclei wider than 1024 tokens are truncated (their
-#: tail mass is negligible at any practical temperature).
+#: Default size of the stochastic candidate pool: sampling restricts to
+#: this many highest logits (one ``lax.top_k`` instead of full-vocab
+#: sorts, which are pathologically slow to compile and run at a 152k
+#: vocab).  Exact for top_k <= the subset; runtimes widen the subset
+#: (``k_subset`` below, bucketed by RuntimeConfig.top_k_subset_buckets)
+#: when a request asks for a larger top_k, so arbitrary top_k values up
+#: to the largest bucket are honored exactly — matching the reference
+#: sampler (generate.py:134-141).  Top-p nuclei wider than the subset
+#: are truncated (their tail mass is negligible at any practical
+#: temperature).
 TOP_K_SUBSET = 1024
+
+
+def recent_token_window(
+    tokens: jax.Array,        # (B, token_bucket) generated ids
+    counts: jax.Array,        # (B,) tokens generated so far
+    rep_ctx: jax.Array,       # (B,) or scalar live repetition_context_size
+    rep_window: int,          # static gather width (bucketed per request)
+    token_bucket: int,
+) -> jax.Array:
+    """Last ``rep_window`` generated ids per sequence, sentinel elsewhere.
+
+    Shared by the monolithic decode loop and the continuous engine so the
+    repetition-context semantics live in exactly one place.  Slots outside
+    the live ``repetition_context_size`` hold :data:`RECENT_PAD_ID`; the
+    reference walks the full Python list instead
+    (generate.py:289-315) — bucketing ``rep_window`` from the request
+    reproduces that for any context size up to the largest bucket.
+    """
+    rep_ctx_c = jnp.minimum(
+        jnp.broadcast_to(jnp.asarray(rep_ctx, jnp.int32), counts.shape),
+        rep_window,
+    )
+    idx = counts[:, None] - rep_window + jnp.arange(rep_window)[None, :]
+    in_ctx = (idx >= 0) & (idx >= (counts - rep_ctx_c)[:, None])
+    vals = jnp.take_along_axis(
+        tokens, jnp.clip(idx, 0, token_bucket - 1), axis=1
+    )
+    return jnp.where(in_ctx & (rep_ctx_c[:, None] > 0), vals, RECENT_PAD_ID)
 
 
 def sample_logits(
@@ -81,11 +114,12 @@ def sample_logits(
     top_p: jax.Array | float,
     repetition_penalty: jax.Array | float,
     recent_tokens: jax.Array,
+    k_subset: int = TOP_K_SUBSET,
 ) -> jax.Array:
     """Sample one token id (int32 scalar) from a ``(vocab,)`` logit vector.
 
-    All parameters may be traced scalars, so one compiled decode program
-    serves every sampling configuration.
+    All parameters except the static ``k_subset`` may be traced scalars,
+    so one compiled decode program serves every sampling configuration.
     """
     logits = logits.astype(jnp.float32)
     logits = apply_repetition_penalty(logits, recent_tokens, repetition_penalty)
@@ -96,7 +130,7 @@ def sample_logits(
 
     def stochastic(_):
         scaled = logits / jnp.maximum(temperature, 1e-6)
-        k_sub = min(TOP_K_SUBSET, scaled.shape[-1])
+        k_sub = min(k_subset, scaled.shape[-1])
         vals, idx = jax.lax.top_k(scaled, k_sub)       # descending
 
         # top-k: threshold at the k-th largest, keep ties (>= threshold).

@@ -31,9 +31,8 @@ blueprint: BASELINE.json north-star config 5.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Callable, Optional
+from dataclasses import dataclass
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -49,9 +48,9 @@ from ..models.decoder import (
 from ..ops.sampling import (
     RECENT_PAD_ID,
     apply_repetition_penalty,
+    recent_token_window,
     sample_logits,
 )
-from ..tokenizer import EOS_TOKEN_IDS
 
 
 @dataclass
@@ -206,14 +205,16 @@ class DecodeEngine:
         donate_steps = tuple(range(1, 8))  # keys..rngs
         self._step_chunk_jit = jax.jit(
             self._step_chunk_paged_impl if paged else self._step_chunk_impl,
-            static_argnames=("k_steps", "greedy", "width"),
+            static_argnames=("k_steps", "greedy", "width", "rep_window", "k_subset"),
             donate_argnums=donate_steps,
         )
         self._admit_jit = jax.jit(
             self._admit_paged_impl if paged else self._admit_impl,
             donate_argnums=(0, 1, 2, 3, 4, 5, 6),
         )
-        self._first_jit = jax.jit(self._first_impl)
+        self._first_jit = jax.jit(
+            self._first_impl, static_argnames=("k_subset",)
+        )
         self._move_jit = jax.jit(
             self._move_impl, donate_argnums=(0, 1, 2, 3, 4)
         )
@@ -227,7 +228,7 @@ class DecodeEngine:
     def _step_chunk_impl(
         self, params, keys, values, tokens, counts, done, cur, rngs,
         live, prompt_len, max_new, temp, top_k, top_p, rep_pen, rep_ctx,
-        k_steps, greedy, width=None,
+        k_steps, greedy, width=None, rep_window=128, k_subset=1024,
     ):
         """Up to ``k_steps`` decode iterations over all live slots.
 
@@ -239,20 +240,15 @@ class DecodeEngine:
         pbucket = self.prompt_bucket
         token_bucket = self.token_bucket
         eos = jnp.asarray(self._eos_ids)
-        rep_window = self.gen.runtime.rep_window
-        rep_ctx_c = jnp.minimum(rep_ctx, rep_window)
 
         def is_eos(tok):
             return jnp.any(tok[..., None] == eos[None, :], axis=-1)
 
         def recent_window(tokens, counts):
-            idx = counts[:, None] - rep_window + jnp.arange(rep_window)[None, :]
-            in_ctx = (idx >= 0) & (idx >= (counts - rep_ctx_c)[:, None])
-            vals = jnp.take_along_axis(
-                tokens, jnp.clip(idx, 0, token_bucket - 1), axis=1
-            )
-            return jnp.where(
-                in_ctx & (rep_ctx_c[:, None] > 0), vals, RECENT_PAD_ID
+            # Shared impl (ops/sampling.py); rep_window is a per-chunk
+            # static covering the widest live repetition_context_size.
+            return recent_token_window(
+                tokens, counts, rep_ctx, rep_window, token_bucket
             )
 
         def cond(state):
@@ -288,7 +284,11 @@ class DecodeEngine:
             else:
                 split = jax.vmap(jax.random.split)(rngs)
                 use, rngs = split[:, 0], split[:, 1]
-                nxt = jax.vmap(sample_logits)(
+                nxt = jax.vmap(
+                    lambda k, l, t, tk, tp, rp, r: sample_logits(
+                        k, l, t, tk, tp, rp, r, k_subset=k_subset
+                    )
+                )(
                     use, logits, temp, top_k, top_p, rep_pen,
                     recent_window(tokens, counts),
                 )
@@ -330,7 +330,7 @@ class DecodeEngine:
         rngs = rngs.at[slots].set(rngs_new)
         return keys, values, tokens, counts, done, cur, rngs
 
-    def _first_impl(self, logits, rngs, temp, top_k, top_p):
+    def _first_impl(self, logits, rngs, temp, top_k, top_p, k_subset=1024):
         """First token per admitted sequence — NO repetition penalty
         (reference passes recent_tokens=None, generate.py:278-285)."""
         bg = logits.shape[0]
@@ -338,7 +338,9 @@ class DecodeEngine:
         split = jax.vmap(jax.random.split)(rngs)
         use, nxt = split[:, 0], split[:, 1]
         toks = jax.vmap(
-            lambda k, l, t, tk, tp, r: sample_logits(k, l, t, tk, tp, 1.0, r)
+            lambda k, l, t, tk, tp, r: sample_logits(
+                k, l, t, tk, tp, 1.0, r, k_subset=k_subset
+            )
         )(use, logits, temp, top_k, top_p, no_recent)
         return toks, nxt
 
@@ -347,7 +349,7 @@ class DecodeEngine:
     def _step_chunk_paged_impl(
         self, params, keys, values, tokens, counts, done, cur, rngs,
         table, live, prompt_len, max_new, temp, top_k, top_p, rep_pen,
-        rep_ctx, k_steps, greedy, width=None,
+        rep_ctx, k_steps, greedy, width=None, rep_window=128, k_subset=1024,
     ):
         """Paged variant: KV rows resolve through the per-slot page table.
 
@@ -383,21 +385,16 @@ class DecodeEngine:
         maxp = self.max_pages
         token_bucket = self.token_bucket
         eos = jnp.asarray(self._eos_ids)
-        rep_window = self.gen.runtime.rep_window
-        rep_ctx_c = jnp.minimum(rep_ctx, rep_window)
         pp = (prompt_len + PS - 1) // PS
 
         def is_eos(tok):
             return jnp.any(tok[..., None] == eos[None, :], axis=-1)
 
         def recent_window(tokens, counts):
-            idx = counts[:, None] - rep_window + jnp.arange(rep_window)[None, :]
-            in_ctx = (idx >= 0) & (idx >= (counts - rep_ctx_c)[:, None])
-            vals = jnp.take_along_axis(
-                tokens, jnp.clip(idx, 0, token_bucket - 1), axis=1
-            )
-            return jnp.where(
-                in_ctx & (rep_ctx_c[:, None] > 0), vals, RECENT_PAD_ID
+            # Shared impl (ops/sampling.py); rep_window is a per-chunk
+            # static covering the widest live repetition_context_size.
+            return recent_token_window(
+                tokens, counts, rep_ctx, rep_window, token_bucket
             )
 
         def cond(state):
@@ -433,7 +430,11 @@ class DecodeEngine:
             else:
                 split = jax.vmap(jax.random.split)(rngs)
                 use, rngs = split[:, 0], split[:, 1]
-                nxt = jax.vmap(sample_logits)(
+                nxt = jax.vmap(
+                    lambda k, l, t, tk, tp, rp, r: sample_logits(
+                        k, l, t, tk, tp, rp, r, k_subset=k_subset
+                    )
+                )(
                     use, logits, temp, top_k, top_p, rep_pen,
                     recent_window(tokens, counts),
                 )
@@ -569,8 +570,14 @@ class DecodeEngine:
         top_k = np.asarray([r.top_k for r in reqs], np.int32)
         top_p = np.asarray([r.top_p for r in reqs], np.float32)
 
+        ks_first = 1024
+        if len(reqs) and int(top_k.max()) > 1024 and (temp != 0).any():
+            ks_first = self.gen.runtime.pick_top_k_subset(
+                int(top_k.max()), self.cfg.vocab_size
+            )
         first, rngs_next = self._first_jit(
-            first_logits, jax.device_put(rngs), temp, top_k, top_p
+            first_logits, jax.device_put(rngs), temp, top_k, top_p,
+            k_subset=ks_first,
         )
         first_np = np.asarray(first)
         budgets = np.asarray(
@@ -707,14 +714,36 @@ class DecodeEngine:
             width = next(w for w in self._widths if w >= hi)
         else:
             width = self.n_slots
+        # Per-chunk static sizing (mirrors Generator.decode): the window /
+        # candidate-subset buckets covering the widest live request, so
+        # arbitrary repetition_context_size / top_k are honored exactly up
+        # to the largest configured bucket.  Bucketing keeps the compiled-
+        # program count bounded; the serving warm-up covers the defaults
+        # and rarer buckets compile on first use.
+        mask = self._live & ~self._done
+        greedy = bool((self._temp[mask] == 0).all())
+        runtime = self.gen.runtime
+        rep_window = runtime.rep_window
+        if mask.any() and (self._rep_pen[mask] != 1.0).any():
+            rep_window = runtime.pick_rep_window(
+                int(self._rep_ctx[mask].max()), self.token_bucket
+            )
+        k_subset = 1024
+        if not greedy and mask.any():
+            top_k_max = int(self._top_k[mask].max())
+            k_subset = runtime.pick_top_k_subset(
+                top_k_max if top_k_max > 0 else 1024, self.cfg.vocab_size
+            )
         out = self._step_chunk_jit(
             self.gen.params,
             self._keys, self._values, self._tokens,
             self._counts_d, self._done_d, self._cur_d, self._rngs_d,
             *self._ctl_d,
             k_steps=k,
-            greedy=bool((self._temp[self._live & ~self._done] == 0).all()),
+            greedy=greedy,
             width=width,
+            rep_window=rep_window,
+            k_subset=k_subset,
         )
         (
             self._keys, self._values, self._tokens,

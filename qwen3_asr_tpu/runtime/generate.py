@@ -26,12 +26,16 @@ from ..models.decoder import (
     embed_tokens,
     init_kv_cache,
 )
-from ..ops.sampling import RECENT_PAD_ID, sample_logits
+from ..ops.sampling import (
+    RECENT_PAD_ID,
+    recent_token_window,
+    sample_logits,
+)
 from ..tokenizer import EOS_TOKEN_IDS, PROMPT_PREFIX
 
-#: Default static size of the repetition-penalty gather window; override
-#: via ``RuntimeConfig.rep_window``.  The dynamic ``repetition_context_size``
-#: (reference default 100) is clamped to the window with a logged warning.
+#: Default static size of the repetition-penalty gather window; requests
+#: with a larger ``repetition_context_size`` select a covering bucket from
+#: ``RuntimeConfig.rep_window_buckets`` (one compile per bucket ever hit).
 REP_WINDOW = 128
 
 _AUDIO_OFFSET = len(PROMPT_PREFIX)  # audio features start at slot 9
@@ -61,7 +65,7 @@ class Generator:
         donate = (1,) if jax.default_backend() == "tpu" else ()
         self._decode = jax.jit(
             self._decode_impl,
-            static_argnames=("token_bucket", "mode"),
+            static_argnames=("token_bucket", "mode", "rep_window", "k_subset"),
             donate_argnums=donate,
         )
 
@@ -113,6 +117,8 @@ class Generator:
         repetition_context,
         token_bucket,
         mode="sample",
+        rep_window=REP_WINDOW,
+        k_subset=1024,
     ):
         """Sample + autoregress until every sequence hits EOS or its budget.
 
@@ -131,8 +137,7 @@ class Generator:
             return jnp.any(tok[..., None] == eos[None, :], axis=-1)
 
         rng = jax.random.PRNGKey(seed)
-        rep_window = self.runtime.rep_window
-        rep_ctx = jnp.minimum(jnp.asarray(repetition_context, jnp.int32), rep_window)
+        rep_ctx = jnp.asarray(repetition_context, jnp.int32)
 
         def one_sample(key, logits, recent, penalty):
             if mode == "greedy":
@@ -143,7 +148,8 @@ class Generator:
                 )
                 return jnp.argmax(penalized).astype(jnp.int32)
             return sample_logits(
-                key, logits, temperature, top_k, top_p, penalty, recent
+                key, logits, temperature, top_k, top_p, penalty, recent,
+                k_subset=k_subset,
             )
 
         def batch_sample(rng, logits, recent):
@@ -169,13 +175,10 @@ class Generator:
 
         def recent_window(tokens, counts):
             # Last rep_window generated ids, sentinel outside the active
-            # repetition_context slice.  (B, rep_window)
-            idx = counts[:, None] - rep_window + jnp.arange(rep_window)[None, :]
-            in_ctx = (idx >= 0) & (idx >= (counts - rep_ctx)[:, None])
-            vals = jnp.take_along_axis(
-                tokens, jnp.clip(idx, 0, token_bucket - 1), axis=1
+            # repetition_context slice (shared impl: ops/sampling.py).
+            return recent_token_window(
+                tokens, counts, rep_ctx, rep_window, token_bucket
             )
-            return jnp.where(in_ctx & (rep_ctx > 0), vals, RECENT_PAD_ID)
 
         # Cache layout: [prompt slots 0..Pb) | decode slots Pb..S).  Every
         # live sequence writes the SAME decode slot (Pb + step) each
@@ -375,17 +378,34 @@ class Generator:
         """Run the compiled decode loop and fetch per-sequence token lists."""
         from ..utils.telemetry import logger
 
-        if repetition_context_size > self.runtime.rep_window and repetition_penalty != 1.0:
-            logger.warning(
-                "repetition_context_size=%d clamped to the compiled window "
-                "(RuntimeConfig.rep_window=%d); raise rep_window to honor it",
-                repetition_context_size, self.runtime.rep_window,
+        # Per-request static sizing: the smallest compiled window/subset
+        # bucket covering the request (one compile per bucket ever hit).
+        # Parity: the reference honors arbitrary repetition_context_size
+        # and top_k (generate.py:88-141); only values beyond the largest
+        # configured bucket still clamp, with a logged warning.
+        rep_window = self.runtime.rep_window
+        if repetition_penalty != 1.0:
+            rep_window = self.runtime.pick_rep_window(
+                repetition_context_size, token_bucket
             )
-        if temperature != 0.0 and top_k > 1024:
-            logger.warning(
-                "top_k=%d exceeds the compiled TOP_K_SUBSET=1024 and is "
-                "effectively clamped (ops/sampling.py)", top_k,
-            )
+            if rep_window < min(repetition_context_size, token_bucket):
+                logger.warning(
+                    "repetition_context_size=%d exceeds the largest "
+                    "rep_window bucket (%d) and is clamped; extend "
+                    "RuntimeConfig.rep_window_buckets to honor it",
+                    repetition_context_size, rep_window,
+                )
+        k_subset = 1024
+        if temperature != 0.0:
+            vocab = self.cfg.vocab_size
+            want = top_k if top_k > 0 else 1024
+            k_subset = self.runtime.pick_top_k_subset(want, vocab)
+            if top_k > 0 and k_subset < min(want, vocab):
+                logger.warning(
+                    "top_k=%d exceeds the largest top_k_subset bucket (%d) "
+                    "and is effectively clamped (ops/sampling.py)",
+                    top_k, k_subset,
+                )
         tokens, counts, _ = self._decode(
             self.params,
             kv,
@@ -402,6 +422,8 @@ class Generator:
             jnp.int32(repetition_context_size),
             token_bucket,
             "greedy" if temperature == 0.0 else "sample",
+            rep_window,
+            k_subset,
         )
         tokens_host = np.asarray(tokens)
         counts_host = np.asarray(counts)

@@ -7,6 +7,15 @@ cd "$(dirname "$0")/.."
 echo "== native audio library"
 make -C qwen3_asr_tpu/audio/csrc
 
+echo "== lint"
+if command -v ruff >/dev/null 2>&1; then
+  ruff check qwen3_asr_tpu tests tools bench.py __graft_entry__.py
+else
+  # No linter ships in this image (installs forbidden): tools/lint.py is a
+  # first-party AST subset of ruff's F401/F811/E999/W191/W291/E501.
+  python tools/lint.py
+fi
+
 echo "== import smoke test"
 JAX_PLATFORMS=cpu python - <<'EOF'
 import jax

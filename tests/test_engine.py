@@ -12,7 +12,6 @@ so every sequence runs to its token budget — decode length is exactly
 ``max_tokens``, which makes completion-order assertions deterministic.
 """
 
-import threading
 import time
 
 import numpy as np

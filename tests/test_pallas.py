@@ -93,7 +93,7 @@ def hbm_oracle(q, kall, vall, k_new, v_new, layer, plen, dend, Pb, scale=None):
 
 
 def test_decode_attention_hbm2_matches_oracle():
-    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm2 import decode_attention_hbm2
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_hbm2 import decode_attention_hbm2
 
     L, B, hq, hkv, S, D, Pb = 3, 2, 16, 8, 512, 128, 256
     rng = jax.random.PRNGKey(0)
@@ -128,7 +128,7 @@ def test_decode_attention_hbm2_matches_oracle():
 
 
 def test_decode_attention_hbm3_matches_oracle():
-    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm3 import decode_attention_hbm3
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_hbm3 import decode_attention_hbm3
 
     L, B, hq, hkv, S, D, Pb = 3, 3, 16, 8, 512, 128, 256
     rng = jax.random.PRNGKey(0)
@@ -156,7 +156,7 @@ def test_decode_attention_hbm3_matches_oracle():
 
 
 def test_decode_attention_hbm3_batch1():
-    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm3 import decode_attention_hbm3
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_hbm3 import decode_attention_hbm3
 
     L, B, hq, hkv, S, D, Pb = 2, 1, 4, 2, 256, 128, 128
     rng = jax.random.PRNGKey(7)
@@ -198,7 +198,7 @@ def test_decode_attention_hbm4_matches_oracle():
     """v5 dual-granularity kernel: S deliberately NOT a multiple of the
     prompt block (the bench shape 512+128 that forced v4 down to 256-row
     blocks)."""
-    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import decode_attention_hbm4
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_hbm4 import decode_attention_hbm4
 
     L, B, hq, hkv, S, D, Pb = 3, 3, 16, 8, 640, 128, 512
     rng = jax.random.PRNGKey(0)
@@ -222,7 +222,7 @@ def test_decode_attention_hbm4_matches_oracle():
 
 
 def test_decode_attention_hbm4_batch1_and_small_blocks():
-    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import decode_attention_hbm4
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_hbm4 import decode_attention_hbm4
 
     L, B, hq, hkv, S, D, Pb = 2, 1, 4, 2, 384, 128, 256
     rng = jax.random.PRNGKey(7)
@@ -244,7 +244,7 @@ def test_decode_attention_hbm4_masked_garbage_immunity():
     """Garbage in dead regions (prompt padding tail, beyond-dend decode
     slots) must not leak into the output — covers the dual-granularity
     slicing and stale-buffer handling."""
-    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import decode_attention_hbm4
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_hbm4 import decode_attention_hbm4
 
     L, B, hq, hkv, S, D, Pb = 2, 2, 4, 2, 640, 128, 512
     rng = jax.random.PRNGKey(9)
@@ -384,7 +384,7 @@ def test_decode_attention_paged_garbage_immunity():
 def test_decode_attention_hbm5_matches_oracle():
     """v6 lane-grouped kernel vs oracle: heterogeneous prompt lengths and
     per-sequence decode depths inside one DMA group."""
-    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm5 import decode_attention_hbm5
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_hbm5 import decode_attention_hbm5
 
     L, B, hq, hkv, S, D, Pb = 3, 8, 16, 8, 640, 128, 512
     rng = jax.random.PRNGKey(0)
@@ -419,7 +419,7 @@ def test_decode_attention_hbm5_matches_oracle():
 def test_decode_attention_hbm5_small_batches():
     """v6 group clamping: B < group, B == group, B not a multiple of the
     group (cache pad path)."""
-    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm5 import decode_attention_hbm5
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_hbm5 import decode_attention_hbm5
 
     L, hq, hkv, S, D, Pb = 2, 4, 2, 384, 128, 256
     rng = jax.random.PRNGKey(7)

@@ -51,7 +51,7 @@ def bench_h2d():
 
 def bench_kernel(B=32, S=640, pbucket=512, L=28):
     """Decode-attention kernel alone, per single (layer) call and full-cache scan."""
-    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm3 import decode_attention_hbm3
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_hbm3 import decode_attention_hbm3
 
     Hkv, Hq, D = 8, 16, 128
     rng = np.random.default_rng(0)

@@ -20,11 +20,8 @@ import sys
 import time
 from pathlib import Path
 
-import numpy as np
-
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from qwen3_asr_tpu.config import RuntimeConfig, TextDecoderConfig  # noqa: E402
