@@ -55,9 +55,19 @@ class StreamingTranscriber:
     search_duration:
         Half-width of the low-energy split search window around each
         segment boundary (reference uses 5 s, model.py:469).
+    server:
+        Optional :class:`~qwen3_asr_tpu.serving.server.ContinuousTranscriptionServer`
+        (or anything with ``submit(audio, **options) -> Future``).  When
+        given, finalized segments are SUBMITTED to the shared continuous
+        engine instead of calling ``model.transcribe`` under the model
+        lock — N live streams then share decode slots with each other and
+        with batch traffic (in-flight batching), instead of serializing.
+        ``feed``/``flush`` still return resolved segments; use
+        ``feed_nowait``/``flush_nowait`` for a fully pipelined session
+        (futures per segment).
     options:
-        Forwarded to ``model.transcribe`` for every segment
-        (language, temperature, max_tokens, ...).
+        Forwarded to ``model.transcribe`` / ``server.submit`` for every
+        segment (language, temperature, max_tokens, ...).
     """
 
     def __init__(
@@ -65,6 +75,7 @@ class StreamingTranscriber:
         model,
         segment_duration: float = 30.0,
         search_duration: float = 5.0,
+        server=None,
         **options,
     ) -> None:
         if segment_duration <= search_duration:
@@ -91,6 +102,17 @@ class StreamingTranscriber:
                 "as one compiled pass"
             )
         self._max_chunk = max_chunk
+        self._server = server
+        if server is not None:
+            max_dur = getattr(server, "_max_duration", None)
+            if max_dur is not None and (
+                segment_duration + search_duration > max_dur
+            ):
+                raise ValueError(
+                    f"segment_duration + search_duration "
+                    f"({segment_duration + search_duration:.0f}s) exceeds "
+                    f"the server's max_duration ({max_dur:.0f}s)"
+                )
         self._options = options
         self._buffer = np.zeros(0, np.float32)
         self._consumed = 0          # samples finalized so far
@@ -120,6 +142,34 @@ class StreamingTranscriber:
             out.append(self._finalize(split))
         return out
 
+    def feed_nowait(self, samples: np.ndarray) -> list:
+        """Append audio; returns a ``Future[StreamSegment]`` per newly
+        finalized segment (requires ``server=``).
+
+        The pipelined variant of :meth:`feed`: segments are submitted to
+        the shared continuous engine and the session keeps accepting
+        audio while they decode, so one Python thread can drive many
+        concurrent sessions.  The segment's audio is consumed at submit
+        time — a failed decode surfaces on the future (the sync path's
+        retry-with-intact-buffer property does not apply here).
+        """
+        if self._server is None:
+            raise RuntimeError("feed_nowait requires a server= session")
+        if self._closed:
+            raise RuntimeError("session is closed")
+        samples = np.asarray(samples)
+        if samples.dtype == np.int16:
+            samples = samples.astype(np.float32) / 32768.0
+        if samples.ndim != 1:
+            raise ValueError("streaming audio must be 1-D mono")
+        self._buffer = np.concatenate(
+            [self._buffer, samples.astype(np.float32)]
+        )
+        out = []
+        while len(self._buffer) >= self._segment + self._search:
+            out.append(self._submit_segment(self._next_split()))
+        return out
+
     def flush(self) -> list[StreamSegment]:
         """Finalize all remaining audio (end of stream)."""
         if self._closed:
@@ -132,12 +182,26 @@ class StreamingTranscriber:
         self._closed = True
         return out
 
+    def flush_nowait(self) -> list:
+        """Async flush: ``Future[StreamSegment]`` per remaining segment."""
+        if self._server is None:
+            raise RuntimeError("flush_nowait requires a server= session")
+        if self._closed:
+            return []
+        out = []
+        while len(self._buffer) >= self._segment + self._search:
+            out.append(self._submit_segment(self._next_split()))
+        if len(self._buffer) > 0:
+            out.append(self._submit_segment(len(self._buffer)))
+        self._closed = True
+        return out
+
     def partial(self) -> StreamSegment:
         """Preview transcript of the un-finalized tail (state untouched)."""
         start = self._consumed / SAMPLE_RATE
         if len(self._buffer) == 0:
             return StreamSegment("", start, start, final=False)
-        res = self._model.transcribe(self._buffer, **self._options)
+        res = self._transcribe_segment(self._buffer)
         return StreamSegment(
             res.text, start, start + len(self._buffer) / SAMPLE_RATE,
             final=False, language=res.language,
@@ -179,13 +243,21 @@ class StreamingTranscriber:
         best = int(np.argmin(energy[lo : hi + 1])) + lo
         return max(best * frame, frame)
 
+    def _transcribe_segment(self, audio: np.ndarray):
+        """One segment through the shared engine (when attached) or the
+        model's monolithic path — token-identical either way
+        (tests/test_full_pipeline_oracle.py pins both)."""
+        if self._server is not None:
+            return self._server.submit(audio, **self._options).result()
+        return self._model.transcribe(audio, **self._options)
+
     def _finalize(self, split: int) -> StreamSegment:
         # Transcribe BEFORE mutating session state: a transient failure
         # (device hiccup, interrupt) then leaves the buffer intact and the
         # caller can simply retry — consuming first would silently drop
         # the segment's audio.
         start = self._consumed / SAMPLE_RATE
-        res = self._model.transcribe(self._buffer[:split], **self._options)
+        res = self._transcribe_segment(self._buffer[:split])
         self._buffer = self._buffer[split:]
         self._consumed += split
         seg = StreamSegment(
@@ -194,3 +266,36 @@ class StreamingTranscriber:
         )
         self._segments.append(seg)
         return seg
+
+    def _submit_segment(self, split: int):
+        """Submit one finalized segment to the engine; consume its audio
+        immediately so the next boundary can be computed while it decodes.
+        Returns ``Future[StreamSegment]``; the placeholder in
+        :attr:`segments` is filled in when the decode completes."""
+        from concurrent.futures import Future
+
+        start = self._consumed / SAMPLE_RATE
+        audio = self._buffer[:split]
+        self._buffer = self._buffer[split:]
+        self._consumed += split
+        seg = StreamSegment(
+            "", start, self._consumed / SAMPLE_RATE, final=True
+        )
+        self._segments.append(seg)
+        out: Future = Future()
+        inner = self._server.submit(audio, **self._options)
+
+        def _done(f, seg=seg, out=out):
+            try:
+                res = f.result()
+            except BaseException as exc:  # noqa: BLE001 — surface on future
+                out.set_exception(exc)
+                return
+            # In-place so the placeholder already in .segments resolves
+            # (attribute stores are atomic under the GIL).
+            seg.text = res.text
+            seg.language = res.language
+            out.set_result(seg)
+
+        inner.add_done_callback(_done)
+        return out

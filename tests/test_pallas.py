@@ -83,9 +83,11 @@ def hbm_oracle(q, kall, vall, k_new, v_new, layer, plen, dend, Pb, scale=None):
     k = jnp.concatenate([kall[layer], k_new], axis=2)
     v = jnp.concatenate([vall[layer], v_new], axis=2)
     S = kall.shape[3]
+    B = q.shape[0]
     slots = jnp.arange(S + 1)
+    dend_b = jnp.broadcast_to(jnp.asarray(dend, jnp.int32), (B,))
     mask = (slots[None, :] < plen[:, None]) | (
-        (slots[None, :] >= Pb) & (slots[None, :] < dend)
+        (slots[None, :] >= Pb) & (slots[None, :] < dend_b[:, None])
     )
     mask = mask.at[:, S].set(True)  # fresh row always attendable
     out = sdpa(q[:, :, None, :], k, v, mask=mask[:, None, None, :], scale=scale)
@@ -198,7 +200,7 @@ def test_decode_attention_hbm4_matches_oracle():
     """v5 dual-granularity kernel: S deliberately NOT a multiple of the
     prompt block (the bench shape 512+128 that forced v4 down to 256-row
     blocks)."""
-    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_hbm4 import decode_attention_hbm4
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import decode_attention_hbm4
 
     L, B, hq, hkv, S, D, Pb = 3, 3, 16, 8, 640, 128, 512
     rng = jax.random.PRNGKey(0)
@@ -222,7 +224,7 @@ def test_decode_attention_hbm4_matches_oracle():
 
 
 def test_decode_attention_hbm4_batch1_and_small_blocks():
-    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_hbm4 import decode_attention_hbm4
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import decode_attention_hbm4
 
     L, B, hq, hkv, S, D, Pb = 2, 1, 4, 2, 384, 128, 256
     rng = jax.random.PRNGKey(7)
@@ -244,7 +246,7 @@ def test_decode_attention_hbm4_masked_garbage_immunity():
     """Garbage in dead regions (prompt padding tail, beyond-dend decode
     slots) must not leak into the output — covers the dual-granularity
     slicing and stale-buffer handling."""
-    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_hbm4 import decode_attention_hbm4
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import decode_attention_hbm4
 
     L, B, hq, hkv, S, D, Pb = 2, 2, 4, 2, 640, 128, 512
     rng = jax.random.PRNGKey(9)
@@ -439,3 +441,130 @@ def test_decode_attention_hbm5_small_batches():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=5e-3, err_msg=f"B={B}"
         )
+
+
+# -- decode attention v7 (schedule-driven flat walk) --------------------------
+
+
+def test_build_decode_schedule_covers_exactly():
+    """Every valid cache block appears exactly once, in lane order, with
+    correct offsets/limits/flags; padded lanes own nothing."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_sched import (
+        _F_FIRST, _F_LAST, build_decode_schedule,
+    )
+
+    Pb, S, block = 512, 1024, 128
+    cores, per_core, B = 2, 3, 5
+    plen = jnp.asarray([100, 412, 37, 0, 512], jnp.int32)
+    dend = jnp.asarray([Pb, Pb + 1, Pb + 128, Pb + 300, Pb + 512], jnp.int32)
+    totals, bl, off, lim, flags = jax.tree_util.tree_map(
+        np.asarray,
+        build_decode_schedule(plen, dend, Pb, S, cores, per_core, B, block),
+    )
+    plen_c = np.maximum(np.asarray(plen), 1)
+    n_p = -(-plen_c // block)
+    n_d = -(-(np.asarray(dend) - Pb) // block)
+    want_tot = n_p + n_d
+    for c in range(cores):
+        lanes = [min(c * per_core + i, B - 1) for i in range(per_core)]
+        expect = []
+        for i_lane, b in enumerate(range(c * per_core, (c + 1) * per_core)):
+            if b >= B:
+                continue
+            for i in range(want_tot[b]):
+                is_p = i < n_p[b]
+                expect.append((
+                    i_lane,
+                    i * block if is_p else Pb + (i - n_p[b]) * block,
+                    plen_c[b] if is_p else int(dend[b]),
+                    (1 if i == 0 else 0) | (2 if i == want_tot[b] - 1 else 0),
+                ))
+        assert totals[c] == len(expect)
+        got = list(zip(bl[c], off[c], lim[c], flags[c]))[: len(expect)]
+        assert [tuple(map(int, g)) for g in got] == expect, (c, got, expect)
+
+
+def test_decode_attention_sched_matches_oracle():
+    """v7 at the bench shape (512+128) across decode depths, including
+    per-sequence heterogeneous decode ends (continuous batching)."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_sched import (
+        decode_attention_sched,
+    )
+
+    L, B, hq, hkv, S, D, Pb = 3, 3, 16, 8, 640, 128, 512
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D), jnp.float32)
+    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D), jnp.float32)
+    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D), jnp.float32)
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D), jnp.float32)
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D), jnp.float32)
+    plen = jnp.asarray([100, 412, 37], jnp.int32)
+    for dend_off in (0, 1, 37, 128):
+        dend = jnp.int32(Pb + dend_off)
+        out = decode_attention_sched(
+            q, kall, vall, k_new, v_new, jnp.int32(1), plen, dend, Pb,
+            interpret=True,
+        )
+        ref = _bf16_oracle(q, kall, vall, k_new, v_new, 1, plen, dend, Pb)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-3,
+            err_msg=f"dend_off={dend_off}",
+        )
+    # Heterogeneous per-sequence decode ends.
+    dend_b = jnp.asarray([Pb, Pb + 77, Pb + 128], jnp.int32)
+    out = decode_attention_sched(
+        q, kall, vall, k_new, v_new, jnp.int32(2), plen, dend_b, Pb,
+        interpret=True,
+    )
+    ref = _bf16_oracle(q, kall, vall, k_new, v_new, 2, plen, dend_b, Pb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+def test_decode_attention_sched_batch1():
+    from qwen3_asr_tpu.ops.pallas.decode_attention_sched import (
+        decode_attention_sched,
+    )
+
+    L, B, hq, hkv, S, D, Pb = 2, 1, 4, 2, 384, 128, 256
+    rng = jax.random.PRNGKey(7)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D))
+    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D))
+    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D))
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D))
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D))
+    plen = jnp.asarray([90], jnp.int32)
+    out = decode_attention_sched(
+        q, kall, vall, k_new, v_new, jnp.int32(0), plen, jnp.int32(Pb), Pb,
+        interpret=True,
+    )
+    ref = _bf16_oracle(q, kall, vall, k_new, v_new, 0, plen, jnp.int32(Pb), Pb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+def test_decode_attention_sched_garbage_immunity():
+    """Garbage (incl. non-finite) in dead cache regions must not leak."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_sched import (
+        decode_attention_sched,
+    )
+
+    L, B, hq, hkv, S, D, Pb = 2, 2, 4, 2, 640, 128, 512
+    rng = jax.random.PRNGKey(9)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D))
+    kall = jax.random.normal(jax.random.fold_in(rng, 1), (L, B, hkv, S, D))
+    vall = jax.random.normal(jax.random.fold_in(rng, 2), (L, B, hkv, S, D))
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D))
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D))
+    plen = jnp.asarray([90, 412], jnp.int32)
+    dend = jnp.int32(Pb + 10)
+
+    out_a = decode_attention_sched(
+        q, kall, vall, k_new, v_new, jnp.int32(1), plen, dend, Pb, interpret=True
+    )
+    k2 = kall.at[:, 0, :, 90:Pb].set(jnp.inf).at[:, :, :, Pb + 10 :].set(-44.0)
+    v2 = vall.at[:, 0, :, 90:Pb].set(-55.0).at[:, :, :, Pb + 10 :].set(44.0)
+    k2 = k2.at[:, 1, :, 412:Pb].set(33.0)
+    v2 = v2.at[:, 1, :, 412:Pb].set(-33.0)
+    out_b = decode_attention_sched(
+        q, k2, v2, k_new, v_new, jnp.int32(1), plen, dend, Pb, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)

@@ -133,3 +133,92 @@ def test_split_clamped_to_bucket(model):
     s.flush()
     for seg in s.segments:
         assert seg.end - seg.start <= 8.0 + 1e-6
+
+
+def test_server_backed_session_matches_model_path(model):
+    """A server= session must produce the same segments as the default
+    (model-lock) path — engine decode is token-identical (oracle tests)."""
+    from qwen3_asr_tpu.serving.server import ContinuousTranscriptionServer
+
+    audio = tone_with_gaps(5.0)
+    ref = StreamingTranscriber(
+        model, segment_duration=2.0, search_duration=0.5, max_tokens=4
+    )
+    ref_segs = ref.feed(audio) + ref.flush()
+
+    with ContinuousTranscriptionServer(
+        model, n_slots=4, max_duration=3.0, max_new_tokens=16, chunk_steps=2
+    ) as srv:
+        s = StreamingTranscriber(
+            model, segment_duration=2.0, search_duration=0.5,
+            server=srv, max_tokens=4,
+        )
+        segs = s.feed(audio) + s.flush()
+    assert [(g.text, g.start, g.end) for g in segs] == [
+        (g.text, g.start, g.end) for g in ref_segs
+    ]
+
+
+def test_concurrent_streams_share_engine(model):
+    """Two live sessions + batch traffic on ONE continuous server: all
+    sessions make progress concurrently (feed_nowait pipelining) and
+    every segment's text matches the offline transcription of its span."""
+    from qwen3_asr_tpu.serving.server import ContinuousTranscriptionServer
+
+    audio_a = tone_with_gaps(5.0)
+    audio_b = tone_with_gaps(5.0, gap_every=1.7)
+
+    with ContinuousTranscriptionServer(
+        model, n_slots=4, max_duration=3.0, max_new_tokens=16, chunk_steps=2
+    ) as srv:
+        sa = StreamingTranscriber(
+            model, segment_duration=2.0, search_duration=0.5,
+            server=srv, max_tokens=4,
+        )
+        sb = StreamingTranscriber(
+            model, segment_duration=2.0, search_duration=0.5,
+            server=srv, max_tokens=4,
+        )
+        futs_a, futs_b = [], []
+        piece = SAMPLE_RATE
+        # Interleave feeds from one thread; segments decode in-flight.
+        for i in range(0, max(len(audio_a), len(audio_b)), piece):
+            futs_a += sa.feed_nowait(audio_a[i : i + piece])
+            futs_b += sb.feed_nowait(audio_b[i : i + piece])
+        # Batch traffic rides the same engine mid-stream.
+        extra = srv.submit(sine(1.0, 520.0), max_tokens=4)
+        futs_a += sa.flush_nowait()
+        futs_b += sb.flush_nowait()
+        segs_a = [f.result(timeout=300) for f in futs_a]
+        segs_b = [f.result(timeout=300) for f in futs_b]
+        assert extra.result(timeout=300).text
+
+    for audio, segs, sess in ((audio_a, segs_a, sa), (audio_b, segs_b, sb)):
+        assert len(segs) >= 2
+        assert segs[-1].end * SAMPLE_RATE == pytest.approx(len(audio), abs=1)
+        for g in segs:
+            lo, hi = int(g.start * SAMPLE_RATE), int(g.end * SAMPLE_RATE)
+            off = model.transcribe(audio[lo:hi], max_tokens=4)
+            assert g.text == off.text
+        # The placeholders in .segments resolved in place.
+        assert [g.text for g in sess.segments] == [g.text for g in segs]
+
+
+def test_feed_nowait_requires_server(model):
+    s = StreamingTranscriber(model, segment_duration=2.0, search_duration=0.5)
+    with pytest.raises(RuntimeError, match="server"):
+        s.feed_nowait(np.zeros(100, np.float32))
+
+
+def test_session_rejects_segment_beyond_server_budget(model):
+    class FakeServer:
+        _max_duration = 1.0
+
+        def submit(self, *a, **k):
+            raise AssertionError("should not submit")
+
+    with pytest.raises(ValueError, match="max_duration"):
+        StreamingTranscriber(
+            model, segment_duration=2.0, search_duration=0.5,
+            server=FakeServer(),
+        )

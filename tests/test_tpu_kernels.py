@@ -70,7 +70,7 @@ def test_hbm4_idle_lane_on_tpu():
     walk from its consumer and crashed the device.  The wrapper now clamps
     plen >= 1; real lanes' outputs must be unaffected."""
     from qwen3_asr_tpu.ops.attention import sdpa
-    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_hbm4 import decode_attention_hbm4
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import decode_attention_hbm4
 
     L, B, hq, hkv, S, D, Pb = 2, 4, 16, 8, 640, 128, 512
     rng = np.random.default_rng(2)

@@ -101,6 +101,57 @@ def bench_hbm_stream(B=32, S=640, L=28):
     print(f"XLA stream {gb:.2f} GB: best {t*1e3:.3f} ms ({gb/t:.0f} GB/s)")
 
 
+def bench_kernel_ab(B=64, S=640, pbucket=512, L=28):
+    """v5 (hbm4) vs v7 (schedule-driven) decode-attention A/B, in-program
+    repetition over the layer scan (the only timing the tunnel doesn't
+    poison — docs/PERFORMANCE.md perf model)."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import (
+        decode_attention_hbm4,
+    )
+    from qwen3_asr_tpu.ops.pallas.decode_attention_sched import (
+        decode_attention_sched,
+    )
+
+    Hkv, Hq, D = 8, 16, 128
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.bfloat16)
+    kall = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)), jnp.bfloat16)
+    vall = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.bfloat16)
+    v_new = k_new
+    plen = jnp.full((B,), 408, jnp.int32)
+
+    def scan_all(kernel, reps):
+        # reps x L kernel calls in ONE program; layer index cycles so no
+        # iteration is hoistable.  Device time per rep = (t(hi) - t(lo)) /
+        # (hi - lo), which cancels the ~26 ms tunnel RPC entirely.
+        def fn(q, kall, vall, k_new, v_new, dend):
+            def f(carry, i):
+                l = jax.lax.rem(i, L)
+                o = kernel(q, kall, vall, k_new, v_new, l, plen, dend, pbucket)
+                return carry + o.astype(jnp.float32).sum(), None
+            out, _ = jax.lax.scan(f, jnp.float32(0), jnp.arange(reps * L))
+            return out
+        return jax.jit(fn)
+
+    LO, HI = 2, 10
+    for dend_off in (8, 64, 128):
+        dend = jnp.int32(pbucket + dend_off)
+        for name, kern in (("v5", decode_attention_hbm4),
+                           ("v7", decode_attention_sched)):
+            t_lo, _ = timeit(scan_all(kern, LO), q, kall, vall, k_new, v_new,
+                             dend, n=10)
+            t_hi, _ = timeit(scan_all(kern, HI), q, kall, vall, k_new, v_new,
+                             dend, n=10)
+            dev = (t_hi - t_lo) / (HI - LO)  # seconds per L-layer pass
+            rows = 408 + dend_off
+            gb = L * B * Hkv * rows * D * 2 * 2 / 1e9
+            print(f"{name} B={B} S={S} dend+{dend_off:4d}: "
+                  f"device {dev*1e3:8.3f} ms/step-attn "
+                  f"({dev/L*1e6:7.1f} us/layer, {gb/max(dev,1e-9):.0f} GB/s "
+                  f"valid; lo {t_lo*1e3:.1f} hi {t_hi*1e3:.1f})")
+
+
 def bench_step(B=32):
     """Full decode: 128-token loop through the public pipeline."""
     from qwen3_asr_tpu.api import Qwen3ASR
@@ -141,6 +192,10 @@ if __name__ == "__main__":
         bench_kernel()
     if "kernel64" in sections:
         bench_kernel(B=64)
+    if "kernelab" in sections:
+        bench_kernel_ab()
+    if "kernelab-long" in sections:
+        bench_kernel_ab(B=8, S=4096 + 1024, pbucket=4096)
     if "step" in sections:
         bench_step()
     if "step64" in sections:
