@@ -125,9 +125,9 @@ class Qwen3ASR:
         if self._runtime.dp * self._runtime.tp > 1:
             # SPMD inference: shard parameters over the (dp, tp) mesh;
             # GSPMD propagates shardings through every jitted program and
-            # inserts the tp collectives over ICI.  (Quantized trees keep
-            # replicated placement until the sharding rules learn their
-            # layout.)
+            # inserts the tp collectives over ICI.  Quantized {"q","s"}
+            # trees shard with the same Megatron rules
+            # (parallel/sharding.py:_quant_specs).
             from .parallel.mesh import make_mesh
             from .parallel.sharding import (
                 decoder_param_sharding,
@@ -138,14 +138,13 @@ class Qwen3ASR:
             from .models.decoder import set_spmd
 
             self._mesh = make_mesh(self._runtime.dp, self._runtime.tp)
-            # Mesh execution uses the XLA attention/write paths (GSPMD
-            # shards them natively; manual Pallas kernels are opaque to
-            # the partitioner and would replicate the KV cache).
-            set_spmd(True)
-            if self._runtime.quantization == "none":
-                decoder_params = shard_params(
-                    decoder_params, decoder_param_sharding(decoder_params, self._mesh)
-                )
+            # Mesh execution: decode attention + KV writers run the Pallas
+            # kernels per-shard via shard_map (decoder._hbm4_shard_map);
+            # everything else shards through GSPMD.
+            set_spmd(True, self._mesh)
+            decoder_params = shard_params(
+                decoder_params, decoder_param_sharding(decoder_params, self._mesh)
+            )
             encoder_params = shard_params(
                 encoder_params, encoder_param_sharding(encoder_params, self._mesh)
             )

@@ -55,23 +55,125 @@ PREFILL_FLASH_ENABLED = (
 
 
 #: True while decoder programs are traced for a multi-device GSPMD mesh.
-#: Manual Pallas kernels are opaque to the partitioner — under SPMD they
-#: would force full operand replication (all-gathering the KV cache every
-#: step) — so mesh execution routes through the XLA attention/write paths,
-#: which GSPMD shards natively.  Set via :func:`set_spmd` by the API when
-#: it builds a mesh (process-wide; mixing sharded and unsharded models in
-#: one process keeps the conservative XLA path for both).  Lifting this
-#: with shard_map-wrapped kernels is on the roadmap.
+#: Manual Pallas kernels are opaque to the partitioner, so under SPMD they
+#: run inside ``shard_map`` with explicit per-shard specs: the KV cache is
+#: sharded over the head axis (parallel/sharding.py:kv_cache_sharding) and
+#: GQA keeps each query head's group on the same shard as its KV head, so
+#: every shard runs the unmodified kernel on its local heads — no
+#: collectives inside attention at all.  Set via :func:`set_spmd` by the
+#: API when it builds a mesh (process-wide; mixing sharded and unsharded
+#: models in one process keeps the conservative path for both).  Without a
+#: mesh object (legacy ``set_spmd(True)``) kernels are disabled and the
+#: XLA paths shard via GSPMD as in round 2.
 _SPMD = False
+_SPMD_MESH = None
 
-
-def set_spmd(on: bool) -> None:
-    global _SPMD
+def set_spmd(on: bool, mesh=None) -> None:
+    global _SPMD, _SPMD_MESH
     _SPMD = bool(on)
+    _SPMD_MESH = mesh if on else None
 
 
 def _use_pallas() -> bool:
     return jax.default_backend() == "tpu" and not _SPMD
+
+
+def _spmd_kernels_env() -> str:
+    """QWEN3_ASR_SPMD_KERNELS: "auto" (kernels on real TPU meshes), "0"
+    (force the XLA paths), "interpret" (force the shard_map kernel path
+    with interpret-mode Pallas — virtual CPU mesh tests).  Read per call
+    so tests can toggle it."""
+    import os
+
+    return os.environ.get("QWEN3_ASR_SPMD_KERNELS", "auto")
+
+
+def _spmd_kernel_ok() -> bool:
+    """Pallas kernels under SPMD: shard_map path available?"""
+    if not (_SPMD and _SPMD_MESH is not None):
+        return False
+    env = _spmd_kernels_env()
+    if env == "0":
+        return False
+    if env == "interpret":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _spmd_interpret() -> bool:
+    return _spmd_kernels_env() == "interpret" and jax.default_backend() != "tpu"
+
+
+def _hbm4_shard_map(q, kall, vall, k_new, v_new, layer, plen, dend, pbucket, scale):
+    """v5 decode-attention inside shard_map: each (dp, tp) shard runs the
+    unmodified kernel over its local batch slice and KV heads.  GQA head
+    grouping is contiguous (q head h -> kv head h // group), so tp shards
+    of nq/tp query heads align exactly with nkv/tp KV heads — attention
+    needs NO collectives; the surrounding projections keep their GSPMD
+    Megatron pattern (parallel/sharding.py)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas.decode_attention_hbm4 import decode_attention_hbm4
+
+    interp = _spmd_interpret()
+    mesh = _SPMD_MESH
+
+    def local(q, kall, vall, k_new, v_new, layer, plen, dend):
+        return decode_attention_hbm4(
+            q, kall, vall, k_new, v_new, layer, plen, dend, pbucket,
+            scale=scale, interpret=interp,
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("dp", "tp", None),                 # q (B, Hq, D)
+            P(None, "dp", "tp", None, None),     # kall (L, B, Hkv, S, D)
+            P(None, "dp", "tp", None, None),
+            P("dp", "tp", None, None),           # k_new (B, Hkv, 1, D)
+            P("dp", "tp", None, None),
+            P(),                                 # layer scalar
+            P("dp"),                             # prompt_len (B,)
+            P("dp"),                             # decode_end (B,)
+        ),
+        out_specs=P("dp", "tp", None),
+        check_rep=False,
+    )(q, kall, vall, k_new, v_new, layer, plen, dend)
+
+
+def _kv_write_shard_map(cache, rows, slots, uniform: bool):
+    """Aliased Pallas row writers inside shard_map (same layout logic as
+    :func:`_hbm4_shard_map`); keeps the in-place cache update under SPMD
+    instead of XLA's full-cache copy."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas.kv_write import kv_write_rows, kv_write_rows_batch
+
+    interp = _spmd_interpret()
+    mesh = _SPMD_MESH
+    spec_c = P(None, "dp", "tp", None, None)
+
+    if uniform:
+        def local(cache, rows, slot):
+            return kv_write_rows(cache, rows, slot, interpret=interp)
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(spec_c, spec_c, P()),
+            out_specs=spec_c, check_rep=False,
+        )(cache, rows, slots)
+
+    def local(cache, rows, slots):
+        return kv_write_rows_batch(cache, rows, slots, interpret=interp)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_c, spec_c, P("dp")),
+        out_specs=spec_c, check_rep=False,
+    )(cache, rows, slots)
 
 
 def init_decoder_params(
@@ -367,6 +469,24 @@ def decoder_forward(
         _pb = decode_ctx[2]
         use_hbm_kernel = _pb % 128 == 0 and (S - _pb) % 128 == 0
 
+    # SPMD fast path: the v5 kernel runs per-shard inside shard_map (KV
+    # sharded over heads by tp, batch over dp; GQA groups never cross a
+    # shard), instead of round 2's silent downgrade to XLA attention.
+    spmd_kernel = False
+    if (
+        decode_split and want_hbm and not use_hbm_kernel
+        and _spmd_kernel_ok() and S % 128 == 0 and D % 128 == 0
+    ):
+        _pb = decode_ctx[2]
+        _axes = dict(_SPMD_MESH.shape)
+        _tp, _dp = _axes.get("tp", 1), _axes.get("dp", 1)
+        spmd_kernel = (
+            _pb % 128 == 0 and (S - _pb) % 128 == 0
+            and nkv % _tp == 0 and nq % _tp == 0
+            and (nq // _tp) % (nkv // _tp) == 0
+            and B % _dp == 0
+        )
+
     def qkv(h, lp):
         return _project_qkv(h, lp, cfg, pos_b)
 
@@ -389,6 +509,16 @@ def decoder_forward(
             h, layer = carry
             lp = xs
             q, k_new, v_new = qkv(h, lp)
+
+            if spmd_kernel:
+                attn = _hbm4_shard_map(
+                    q[:, :, 0, :], keys_all, values_all, k_new, v_new,
+                    layer, plen, dend_b, pbucket, scale,
+                )[:, :, None, :]
+                attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
+                h = h + qlinear(attn, lp["wo"])
+                h = mlp(h, lp)
+                return (h, layer + 1), (k_new, v_new)
 
             if use_hbm_kernel:
                 per_seq = not uniform_slot
@@ -493,6 +623,14 @@ def decoder_forward(
             else:
                 new_keys = kv_write_rows_batch(keys_all, k_rows, write_slots)
                 new_values = kv_write_rows_batch(values_all, v_rows, write_slots)
+        elif spmd_kernel:
+            slots_arg = write_slots[0] if uniform_slot else write_slots
+            new_keys = _kv_write_shard_map(
+                keys_all, k_rows, slots_arg, uniform_slot
+            )
+            new_values = _kv_write_shard_map(
+                values_all, v_rows, slots_arg, uniform_slot
+            )
         elif uniform_slot:
             new_keys = jax.lax.dynamic_update_slice(
                 keys_all, k_rows.astype(keys_all.dtype),

@@ -19,6 +19,8 @@ never crosses into the prompt.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -70,11 +72,12 @@ def _kernel_batch(slots_ref, rows_ref, cache_ref, out_ref, buf, sem):
     store.wait()
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def kv_write_rows_batch(
     cache: jax.Array,   # (L, B, Hkv, S, D) — aliased, updated in place
     rows: jax.Array,    # (L, B, Hkv, 1, D)
     slots: jax.Array,   # (B,) int32, per-sequence write slot
+    interpret: bool = False,
 ) -> jax.Array:
     """Per-sequence variant of :func:`kv_write_rows` for heterogeneous
     decode depths (continuous batching: sequences admitted mid-stream write
@@ -102,6 +105,7 @@ def kv_write_rows_batch(
         grid_spec=grid_spec,
         input_output_aliases={2: 0},  # flat input 2 (prefetch, rows, cache)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(slots.astype(jnp.int32), rows.astype(cache.dtype), cache)
 
 
@@ -168,11 +172,12 @@ def kv_write_rows_paged(
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def kv_write_rows(
     cache: jax.Array,   # (L, B, Hkv, S, D) — aliased, updated in place
     rows: jax.Array,    # (L, B, Hkv, 1, D)
     slot: jax.Array,    # scalar int32
+    interpret: bool = False,
 ) -> jax.Array:
     """Return ``cache`` with ``rows`` written at ``slot`` (no full copy)."""
     L, B, H, S, D = cache.shape
@@ -197,4 +202,5 @@ def kv_write_rows(
         grid_spec=grid_spec,
         input_output_aliases={2: 0},  # flat input 2 (prefetch, rows, cache)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(slot.reshape(1).astype(jnp.int32), rows.astype(cache.dtype), cache)

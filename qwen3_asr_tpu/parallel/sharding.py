@@ -63,9 +63,35 @@ _ENCODER_RULES: dict[str, P] = {
 }
 
 
+def _quant_specs(path: str, spec: P) -> dict[str, P]:
+    """Specs for an int8 ``{"q", "s"}`` leaf pair (ops/quant.py layout).
+
+    ``spec`` is the rule for the ORIGINAL bf16 weight.  Layer weights keep
+    their (L, in, out) layout, so ``q`` reuses the spec and the
+    per-out-channel scales ``s`` (L, out) take (spec[0], spec[2]).  The
+    embedding is stored TRANSPOSED when quantized ((H, V) instead of
+    (V, H), quant.py:169-173), so its vocab sharding moves to the last
+    axis and ``s`` (V,) shards over vocab.
+    """
+    if path == "embedding":
+        return {"q": P(spec[1], spec[0]), "s": P(spec[0])}
+    return {"q": spec, "s": P(spec[0], spec[2])}
+
+
 def _tree_shardings(params: Any, rules: dict[str, P], mesh: Mesh):
     def walk(tree, path=""):
         if isinstance(tree, dict):
+            if set(tree) == {"q", "s"} and not isinstance(tree["q"], dict):
+                spec = rules.get(path)
+                if spec is None:
+                    return {
+                        k: NamedSharding(mesh, P(*([None] * v.ndim)))
+                        for k, v in tree.items()
+                    }
+                qs = _quant_specs(path, spec)
+                return {
+                    k: NamedSharding(mesh, qs[k]) for k in ("q", "s")
+                }
             return {k: walk(v, f"{path}/{k}" if path else k) for k, v in tree.items()}
         spec = rules.get(path)
         if spec is None:

@@ -152,6 +152,116 @@ def bench_kernel_ab(B=64, S=640, pbucket=512, L=28):
                   f"valid; lo {t_lo*1e3:.1f} hi {t_hi*1e3:.1f})")
 
 
+def bench_steprate(B=64, plen_val=408, pbucket=512, tbucket=128):
+    """TRUE device ms/decode-step: the same compiled decode program run at
+    max_new=16 vs max_new=128 — identical launch/fetch overhead, so the
+    wall difference / 112 is pure per-step device time."""
+    from qwen3_asr_tpu.config import RuntimeConfig, TextDecoderConfig
+    from qwen3_asr_tpu.models.decoder import init_decoder_params, init_kv_cache
+    from qwen3_asr_tpu.runtime.generate import Generator
+
+    cfg = TextDecoderConfig()
+    params = init_decoder_params(cfg, None)  # zero-init, bf16
+    gen = Generator(params, cfg, RuntimeConfig())
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(
+        rng.standard_normal((B, cfg.vocab_size)) * 0.01, jnp.float32
+    )
+    plens = [plen_val] * B
+
+    def run(max_new):
+        kv = init_kv_cache(cfg, B, pbucket + tbucket, jnp.bfloat16)
+        # repetition_penalty=1.2 matches the bench path (api default).
+        toks = gen.decode(
+            kv, logits, plens, [max_new] * B, tbucket,
+            repetition_penalty=1.2, repetition_context_size=100,
+        )
+        return toks
+
+    for m in (16, 128):
+        run(m)  # compile both paths
+    lo_t = []
+    hi_t = []
+    for _ in range(6):
+        t0 = time.perf_counter(); run(16); lo_t.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); run(128); hi_t.append(time.perf_counter() - t0)
+    lo, hi = min(lo_t), min(hi_t)
+    print(f"steprate B={B}: {1e3*(hi-lo)/112:.3f} ms/step device "
+          f"(lo16 {lo*1e3:.1f} ms, hi128 {hi*1e3:.1f} ms) "
+          f"kernel={os.environ.get('QWEN3_ASR_DECODE_KERNEL', 'auto')}")
+
+
+def bench_prefill(B=64, seconds=30.0):
+    """Device-time decomposition of the fused prefill at the bench shape:
+    mel, encoder, decoder prompt pass — each via rep-count differencing
+    (a tiny index-dependent perturbation per rep defeats hoisting)."""
+    from qwen3_asr_tpu.api import Qwen3ASR, _mel_core
+    from qwen3_asr_tpu.audio.mel import HOP_LENGTH, N_FFT, host_pad_batch
+    from qwen3_asr_tpu.config import ModelConfig
+    from qwen3_asr_tpu.models.encoder import encoder_forward
+
+    class Tok:
+        def build_prompt(self, n, language="English"):
+            from qwen3_asr_tpu.tokenizer import build_prompt
+            return build_prompt(n, language_name_tokens=[6364])
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(map(str, ids))
+
+    model = Qwen3ASR.from_random(ModelConfig(), tokenizer=Tok(), seed=None)
+    gen = model._generator
+    cfg = model._config
+    rng = np.random.default_rng(0)
+    clip = (rng.standard_normal(int(seconds * 16000)) * 0.05).astype(np.float32)
+    bucket = model._mel.bucket_for(len(clip))
+    n_valid = [len(clip) // HOP_LENGTH] * B
+    n_audio = [model._n_audio_tokens(v) for v in n_valid]
+    prompts = [model._tokenizer.build_prompt(n_audio[0], "English")] * B
+    plens = [len(p) for p in prompts]
+    atb = bucket // cfg.audio_encoder.chunk_frames * cfg.audio_encoder.tokens_per_chunk
+    pbucket, tbucket, cache_len = gen.plan(atb, plens[0], 128, batch=B)
+    print(f"prefill B={B}: frames {bucket}, prompt {plens[0]}/{pbucket}, "
+          f"cache {cache_len}")
+    padded = jax.device_put(host_pad_batch([clip] * B, bucket, N_FFT, HOP_LENGTH))
+    nv = jax.device_put(np.asarray(n_valid, np.int32))
+    na = jax.device_put(np.asarray(n_audio, np.int32))
+    pl_ = jax.device_put(np.asarray(plens, np.int32))
+    ids = jax.device_put(gen.pack_prompts(prompts, pbucket))
+    n_mels = cfg.audio_encoder.num_mel_bins
+
+    def mel_fn(padded):
+        return jax.vmap(
+            lambda p, v: _mel_core(p, v, bucket, N_FFT, HOP_LENGTH, n_mels)
+        )(padded, nv)
+
+    mel = jax.jit(mel_fn)(padded)
+    feats = jax.jit(
+        lambda m: encoder_forward(model._encoder_params, cfg.audio_encoder, m, nv)[0]
+    )(mel)
+
+    def rep(fn, x, n):
+        def body(c, i):
+            out = fn(x + jnp.asarray(i, x.dtype) * jnp.asarray(1e-30, x.dtype))
+            return c + jax.numpy.float32(
+                out[0].astype(jnp.float32).ravel()[0]
+                if isinstance(out, tuple) else out.astype(jnp.float32).ravel()[0]
+            ), None
+        return jax.jit(lambda x: jax.lax.scan(body, jnp.float32(0), jnp.arange(n))[0])
+
+    for label, fn, x in (
+        ("mel", mel_fn, padded),
+        ("encoder", lambda m: encoder_forward(
+            model._encoder_params, cfg.audio_encoder, m, nv)[0], mel),
+        ("dec-prefill", lambda f: gen._prefill_impl(
+            gen.params, f, ids, na, pl_, cache_len)[1], feats),
+    ):
+        lo_f, hi_f = rep(fn, x, 1), rep(fn, x, 4)
+        t_lo, _ = timeit(lo_f, x, n=5, warmup=2)
+        t_hi, _ = timeit(hi_f, x, n=5, warmup=2)
+        dev = (t_hi - t_lo) / 3
+        print(f"  {label:12s} device {dev*1e3:8.1f} ms "
+              f"(lo {t_lo*1e3:.0f} hi {t_hi*1e3:.0f})")
+
+
 def bench_step(B=32):
     """Full decode: 128-token loop through the public pipeline."""
     from qwen3_asr_tpu.api import Qwen3ASR
@@ -196,6 +306,12 @@ if __name__ == "__main__":
         bench_kernel_ab()
     if "kernelab-long" in sections:
         bench_kernel_ab(B=8, S=4096 + 1024, pbucket=4096)
+    if "steprate" in sections:
+        bench_steprate()
+    if "steprate1" in sections:
+        bench_steprate(B=1)
+    if "prefill64" in sections:
+        bench_prefill()
     if "step" in sections:
         bench_step()
     if "step64" in sections:
