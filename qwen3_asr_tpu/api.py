@@ -73,6 +73,31 @@ class TranscriptionResult:
     duration: float
 
 
+def _enable_compile_cache(cache_dir: str) -> None:
+    """Point JAX's persistent compile cache at ``cache_dir`` (expanded)
+    unless disabled ("") or one is already configured.
+
+    Round-3 cold-start finding (tools/coldstart_probe.py): the fused
+    prefill program costs 38-45 s of XLA compile per process but reloads
+    from the serialized cache in ~0.2 s; decode programs serialize too.
+    The reference's analog is ``warm_up`` (model.py:252-259) — MLX has
+    no cross-process compile cost at all, so matching its seconds-scale
+    cold start on XLA requires persistence.
+    """
+    if not cache_dir:
+        return
+    try:
+        import os
+
+        current = jax.config.jax_compilation_cache_dir
+        if not current:
+            jax.config.update(
+                "jax_compilation_cache_dir", os.path.expanduser(cache_dir)
+            )
+    except Exception as exc:  # noqa: BLE001 — cache is best-effort
+        logger.debug("compile cache unavailable: %s", exc)
+
+
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("lo",))
 def _write_cache_slice(full, part, lo: int):
     """In-place (donated) batch-slice write into the full KV buffer."""
@@ -112,6 +137,7 @@ class Qwen3ASR:
     ) -> None:
         self._config = config
         self._runtime = runtime or RuntimeConfig()
+        _enable_compile_cache(self._runtime.compile_cache_dir)
         if self._runtime.fuse_qkv and self._runtime.tp == 1:
             from .models.decoder import fuse_decoder_params
 
@@ -383,7 +409,19 @@ class Qwen3ASR:
                 np.zeros(max(1, int(d * SAMPLE_RATE)), dtype=np.float32)
             ] * b
             self.transcribe_batch(clips, max_tokens=m)
+        # Under progressive decode the calls above may have been served
+        # by the bridge; a warm-up's contract is steady-state readiness.
+        self.wait_ready()
         logger.info("warm_up complete: %d program shapes compiled", len(cells))
+
+    def wait_ready(self, timeout: float | None = None) -> bool:
+        """Block until background decode-program compiles finish
+        (progressive decode: the first call per shape runs on the scan
+        bridge while the while-loop program compiles in a thread).
+        Returns False on timeout."""
+        if self._generator is None:
+            return True
+        return self._generator.wait_background_compiles(timeout)
 
     def close(self) -> None:
         """Release parameters and device buffers."""

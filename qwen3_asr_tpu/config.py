@@ -258,6 +258,22 @@ class RuntimeConfig:
     # compute of group g (the dev tunnel moves ~40 MB/s; overlapping hides
     # most of it).  0 disables grouping (one prefill for the whole batch).
     prefill_group_size: int = 8
+    # Persistent XLA compile cache directory (round-3 cold-start fix: the
+    # fused prefill serializes and reloads in ~0.2 s vs a 38-45 s
+    # compile, and decode programs serialize too — tools/coldstart_probe
+    # measurements in docs/PERFORMANCE.md).  Set at model construction
+    # unless a cache dir is already configured; "" disables.
+    compile_cache_dir: str = "~/.cache/qwen3_asr_tpu/xla"
+    # Progressive decode compilation ("auto" = on TPU backends, "on",
+    # "off").  The first decode per (shape, sampling-mode) runs on a
+    # fixed-K lax.scan bridge program — token-identical, compiles fast,
+    # and (unlike pallas-in-while programs on the axon backend) reloads
+    # from the persistent cache — while the steady-state while-loop
+    # program compiles in a background thread.  Cuts time-to-first-
+    # transcription from the while-program's 60-990 s compile to the
+    # bridge's seconds-scale reload.
+    progressive_decode: str = "auto"
+    bridge_steps: int = 16
     # Pad the batch dimension of transcribe_batch to a bucket (powers of
     # two below 8, multiples of 8 above; exact multiples of 8 pass
     # through unpadded).  Bounds the number of compiled decode-program

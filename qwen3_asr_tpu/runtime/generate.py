@@ -68,6 +68,40 @@ class Generator:
             static_argnames=("token_bucket", "mode", "rep_window", "k_subset"),
             donate_argnums=donate,
         )
+        # Progressive decode (cold-start bridge): a fixed-K lax.scan
+        # program token-identical to the while_loop.  Measured on the
+        # axon backend (docs/PERFORMANCE.md round-3 cold start): programs
+        # with Pallas calls inside lax.while_loop never RELOAD from the
+        # persistent compile cache and their compiles are high-variance
+        # (60-990 s), while scan-only programs (the prefill) reload in
+        # <1 s.  The first transcription per (shape, mode) therefore runs
+        # on the scan bridge while the while-loop program compiles in a
+        # background thread; once ready, the steady-state path takes
+        # over (the bridge pays a few extra launch round-trips).
+        self._decode_start = jax.jit(
+            self._decode_start_impl,
+            static_argnames=(
+                "token_bucket", "mode", "rep_window", "k_subset",
+                "bridge_steps",
+            ),
+            donate_argnums=donate,
+        )
+        self._decode_resume = jax.jit(
+            self._decode_resume_impl,
+            static_argnames=(
+                "token_bucket", "mode", "rep_window", "k_subset",
+                "bridge_steps",
+            ),
+            donate_argnums=(
+                tuple(range(1, 8)) if jax.default_backend() == "tpu" else ()
+            ),
+        )
+        import threading
+
+        self._compiled_keys: set = set()
+        self._compiling_keys: set = set()
+        self._bridge_seen: dict = {}   # key -> (kv_specs, B, statics, hits)
+        self._compile_lock = threading.Lock()
 
     # -- prefill ----------------------------------------------------------
 
@@ -129,14 +163,64 @@ class Generator:
 
         Returns (tokens (B, token_bucket), counts (B,)).
         """
-        cfg = self.cfg
+        state, body, cond = self._decode_setup(
+            params, kv, first_logits, prompt_len, max_new, seed,
+            temperature, top_k, top_p, repetition_penalty,
+            repetition_context, token_bucket, mode, rep_window, k_subset,
+        )
+        kv, tokens, counts, done, cur, rng, _ = jax.lax.while_loop(
+            cond, body, state
+        )
+        # kv is returned solely so the donated input buffer can alias an
+        # output (donation is inert without a matching output) — the caller
+        # drops it and the buffer frees immediately.
+        return tokens, counts, kv
+
+    def _decode_setup(
+        self, params, kv, first_logits, prompt_len, max_new, seed,
+        temperature, top_k, top_p, repetition_penalty, repetition_context,
+        token_bucket, mode, rep_window, k_subset,
+    ):
+        """Initial decode state (first token sampled) + body/cond closures.
+
+        Shared by the while_loop program, the fixed-K bridge programs and
+        any future chunked variants — ONE definition of the step
+        semantics (state: kv, tokens, counts, done, cur, rng, step).
+        """
         B = first_logits.shape[0]
+        rng = jax.random.PRNGKey(seed)
+        is_eos, batch_sample, one_sample, body, cond = self._decode_machinery(
+            params, B, kv[0].shape[3], prompt_len, max_new, temperature,
+            top_k, top_p, repetition_penalty, repetition_context,
+            token_bucket, mode, rep_window, k_subset,
+        )
+        # First token: sampled from prefill logits with NO repetition
+        # penalty (reference passes recent_tokens=None, generate.py:278-285).
+        no_recent = jnp.full((B, 1), RECENT_PAD_ID, jnp.int32)
+        rng, sub = jax.random.split(rng)
+        keys = jax.random.split(sub, B)
+        first = jax.vmap(
+            lambda k, l: one_sample(k, l, no_recent[0], 1.0)
+        )(keys, first_logits)
+
+        tokens = jnp.zeros((B, token_bucket), jnp.int32)
+        tokens = tokens.at[:, 0].set(first)
+        counts = jnp.ones((B,), jnp.int32)
+        done = is_eos(first) | (counts >= max_new)
+        state = (kv, tokens, counts, done, first, rng, jnp.int32(0))
+        return state, body, cond
+
+    def _decode_machinery(
+        self, params, B, S, prompt_len, max_new, temperature, top_k,
+        top_p, repetition_penalty, repetition_context, token_bucket,
+        mode, rep_window, k_subset,
+    ):
+        cfg = self.cfg
         eos = jnp.asarray(self._eos_ids)
 
         def is_eos(tok):
             return jnp.any(tok[..., None] == eos[None, :], axis=-1)
 
-        rng = jax.random.PRNGKey(seed)
         rep_ctx = jnp.asarray(repetition_context, jnp.int32)
 
         def one_sample(key, logits, recent, penalty):
@@ -158,21 +242,6 @@ class Generator:
                 lambda k, l, r: one_sample(k, l, r, repetition_penalty)
             )(keys, logits, recent)
 
-        # First token: sampled from prefill logits with NO repetition
-        # penalty (reference passes recent_tokens=None, generate.py:278-285).
-        no_recent = jnp.full((B, 1), RECENT_PAD_ID, jnp.int32)
-        rng, sub = jax.random.split(rng)
-        keys = jax.random.split(sub, B)
-        first = jax.vmap(
-            lambda k, l: one_sample(k, l, no_recent[0], 1.0)
-        )(keys, first_logits)
-
-        tokens = jnp.zeros((B, token_bucket), jnp.int32)
-        tokens = tokens.at[:, 0].set(first)
-        counts = jnp.ones((B,), jnp.int32)
-        done = is_eos(first) | (counts >= max_new)
-        cur = first
-
         def recent_window(tokens, counts):
             # Last rep_window generated ids, sentinel outside the active
             # repetition_context slice (shared impl: ops/sampling.py).
@@ -184,7 +253,6 @@ class Generator:
         # live sequence writes the SAME decode slot (Pb + step) each
         # iteration — a dynamic_update_slice, not a per-sequence scatter —
         # while RoPE positions stay per-sequence (prompt_len + count - 1).
-        S = kv[0].shape[3]
         prompt_bucket = S - token_bucket
 
         def cond(state):
@@ -195,11 +263,19 @@ class Generator:
             kv, tokens, counts, done, cur, rng, step = state
             pos = prompt_len + counts - 1  # position of the token being fed
             embeds = embed_tokens(params, cur)[:, None, :]
+            # Clamp the write slot / decode end into the cache: the
+            # fixed-K bridge programs may run a few iterations past
+            # all-done (writes there are dead — tokens/counts are
+            # done-masked and the caller drops kv), and those extra
+            # steps must not index past S.  A no-op for the while
+            # program (it exits the moment every lane is done).
+            slot_step = jnp.minimum(prompt_bucket + step, S - 1)
+            dend = jnp.minimum(prompt_bucket + step, S)
             hidden, kv_new = decoder_forward(
                 params, cfg, embeds, pos[:, None], kv,
-                write_slots=jnp.full((B,), prompt_bucket + step, jnp.int32),
+                write_slots=jnp.full((B,), slot_step, jnp.int32),
                 uniform_write=True,
-                decode_ctx=(prompt_len, prompt_bucket + step, prompt_bucket),
+                decode_ctx=(prompt_len, dend, prompt_bucket),
                 unroll_layers=self.runtime.unroll_decode_layers,
             )
             logits = decoder_logits(params, cfg, hidden)[:, 0]
@@ -217,13 +293,180 @@ class Generator:
             cur = jnp.where(done, cur, nxt)
             return kv_new, tokens, counts, done, cur, rng, step + 1
 
-        kv, tokens, counts, done, cur, rng, _ = jax.lax.while_loop(
-            cond, body, (kv, tokens, counts, done, cur, rng, jnp.int32(0))
+        return is_eos, batch_sample, one_sample, body, cond
+
+    # -- bridge (progressive-compile) decode programs ---------------------
+
+    def _decode_start_impl(
+        self, params, kv, first_logits, prompt_len, max_new, seed,
+        temperature, top_k, top_p, repetition_penalty, repetition_context,
+        token_bucket, mode="sample", rep_window=REP_WINDOW, k_subset=1024,
+        bridge_steps=16,
+    ):
+        """First token + ``bridge_steps`` fixed decode iterations.
+
+        lax.scan instead of lax.while_loop: extra iterations after
+        all-done are no-ops on the visible state (writes are done-masked),
+        so the token stream is identical to the while program — but the
+        program serializes AND reloads from the persistent compile cache
+        (pallas-in-while programs never reload; docs/PERFORMANCE.md).
+        Returns the full resumable state.
+        """
+        state, body, _ = self._decode_setup(
+            params, kv, first_logits, prompt_len, max_new, seed,
+            temperature, top_k, top_p, repetition_penalty,
+            repetition_context, token_bucket, mode, rep_window, k_subset,
         )
-        # kv is returned solely so the donated input buffer can alias an
-        # output (donation is inert without a matching output) — the caller
-        # drops it and the buffer frees immediately.
-        return tokens, counts, kv
+        state, _ = jax.lax.scan(
+            lambda c, _: (body(c), None), state, None, length=bridge_steps
+        )
+        return state
+
+    def _decode_resume_impl(
+        self, params, kv, tokens, counts, done, cur, rng, step,
+        prompt_len, max_new, temperature, top_k, top_p,
+        repetition_penalty, repetition_context,
+        token_bucket, mode="sample", rep_window=REP_WINDOW, k_subset=1024,
+        bridge_steps=16,
+    ):
+        """``bridge_steps`` more decode iterations from a carried state."""
+        *_, body, _cond = self._decode_machinery(
+            params, tokens.shape[0], kv[0].shape[3], prompt_len, max_new,
+            temperature, top_k, top_p, repetition_penalty,
+            repetition_context, token_bucket, mode, rep_window, k_subset,
+        )
+        state = (kv, tokens, counts, done, cur, rng, step)
+        state, _ = jax.lax.scan(
+            lambda c, _: (body(c), None), state, None, length=bridge_steps
+        )
+        return state
+
+    # -- progressive-compile routing --------------------------------------
+
+    def _use_bridge(self, kv, B: int, statics):
+        """The (shape, statics) key when the while-loop program is not
+        yet compiled and the bridge should serve this request, else
+        None.  The background warm compile is spawned LATER by
+        :meth:`_decode_bridged` — only after the bridge program itself
+        has compiled and produced its first chunk, because compiles can
+        serialize on the backend's compile service and spawning first
+        would queue the fast bridge compile behind the slow while-loop
+        one (measured: exactly inverted cold-start behavior)."""
+        prog = self.runtime.progressive_decode
+        enabled = prog == "on" or (
+            prog == "auto" and jax.default_backend() == "tpu"
+        )
+        if not enabled:
+            return None
+        key = (B, kv[0].shape, str(kv[0].dtype), *statics)
+        with self._compile_lock:
+            if key in self._compiled_keys:
+                return None
+        return key
+
+    def _spawn_warm_compile(self, key, kv_specs, B: int, statics) -> None:
+        """Compile the steady-state while program in a daemon thread (a
+        dummy max_new=1 run seeds the jit cache — AOT lower().compile()
+        does not).  One thread per key."""
+        import threading
+
+        with self._compile_lock:
+            if key in self._compiled_keys or key in self._compiling_keys:
+                return
+            self._compiling_keys.add(key)
+        vocab = self.cfg.vocab_size
+
+        def warm():
+            from ..utils.telemetry import logger
+
+            try:
+                dummy_kv = tuple(jnp.zeros(s, d) for s, d in kv_specs)
+                out = self._decode(
+                    self.params, dummy_kv,
+                    jnp.zeros((B, vocab), jnp.float32),
+                    jnp.zeros((B,), jnp.int32),
+                    jnp.ones((B,), jnp.int32),   # max_new=1: 0 loop trips
+                    jnp.uint32(0), jnp.float32(0.0), jnp.int32(0),
+                    jnp.float32(1.0), jnp.float32(1.0), jnp.int32(0),
+                    *statics,
+                )
+                np.asarray(out[1])  # force the run through the tunnel
+                with self._compile_lock:
+                    self._compiled_keys.add(key)
+                logger.info("decode while-program ready for %s", key[:2])
+            except Exception as exc:  # noqa: BLE001 — bridge keeps serving
+                logger.warning("background decode compile failed: %s", exc)
+            finally:
+                with self._compile_lock:
+                    self._compiling_keys.discard(key)
+
+        threading.Thread(target=warm, daemon=True).start()
+
+    def wait_background_compiles(self, timeout: float | None = None) -> bool:
+        """Force-compile every bridged-but-uncompiled while program and
+        block until done (benchmarks / latency-critical serving call
+        this after their first request so steady-state runs never race a
+        bridge).  Returns False on timeout."""
+        import time
+
+        with self._compile_lock:
+            pending = [
+                (k, v) for k, v in self._bridge_seen.items()
+                if k not in self._compiled_keys
+            ]
+        for key, (kv_specs, B, statics, _) in pending:
+            self._spawn_warm_compile(key, kv_specs, B, statics)
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            with self._compile_lock:
+                if not self._compiling_keys:
+                    return True
+            if deadline is not None and time.monotonic() > deadline:
+                return False
+            time.sleep(0.25)
+
+    def _decode_bridged(self, kv, first_logits, dyn, statics, key):
+        """Serve one decode on the fixed-K scan bridge (host-checked
+        early exit between launches).  Token-identical to the while
+        program; pays ~(token_bucket / K) launch round-trips.  The
+        steady-state while program's background compile is kicked off
+        only AFTER the first bridge chunk lands (compiles serialize on
+        the backend service — spawning earlier queues the bridge behind
+        the slow compile and re-creates the cold start)."""
+        token_bucket = statics[0]
+        B = first_logits.shape[0]
+        kv_specs = [(a.shape, a.dtype) for a in kv]
+        K = max(1, min(self.runtime.bridge_steps, token_bucket))
+        state = self._decode_start(
+            self.params, kv, first_logits, *dyn, *statics, bridge_steps=K
+        )
+        done_host = np.asarray(state[3])       # sync: start compiled & ran
+        dyn_resume = dyn[:2] + dyn[3:]  # resume takes no seed (rng carried)
+        steps = K
+        spawned = False
+        # The slow while-program compile enters the backend's
+        # (serializing, orphanable) compile queue only once BOTH bridge
+        # programs have run AND this process has shown it is long-lived
+        # (>= 2 decodes on this key): a one-shot CLI process exiting
+        # mid-background-compile leaves an orphaned server-side compile
+        # that blocks the NEXT process for its full duration (measured:
+        # a 1500 s stall).  wait_ready() force-spawns for servers/benches.
+        with self._compile_lock:
+            hits = self._bridge_seen.get(key, (None, None, None, 0))[3] + 1
+            self._bridge_seen[key] = (kv_specs, B, statics, hits)
+        may_spawn = hits >= 2
+        while steps < token_bucket - 1 and not bool(done_host.all()):
+            state = self._decode_resume(
+                self.params, *state, *dyn_resume, *statics, bridge_steps=K
+            )
+            steps += K
+            done_host = np.asarray(state[3])   # sync every chunk (cheap)
+            if may_spawn and not spawned:
+                self._spawn_warm_compile(key, kv_specs, B, statics)
+                spawned = True
+        if may_spawn and not spawned:
+            self._spawn_warm_compile(key, kv_specs, B, statics)
+        return state[1], state[2]
 
     # -- public API -------------------------------------------------------
 
@@ -406,10 +649,8 @@ class Generator:
                     "and is effectively clamped (ops/sampling.py)",
                     top_k, k_subset,
                 )
-        tokens, counts, _ = self._decode(
-            self.params,
-            kv,
-            first_logits,
+        mode = "greedy" if temperature == 0.0 else "sample"
+        dyn = (
             jax.device_put(np.asarray(prompt_lens, np.int32)),
             jax.device_put(
                 np.asarray([min(m, token_bucket) for m in max_tokens], np.int32)
@@ -420,11 +661,17 @@ class Generator:
             jnp.float32(top_p),
             jnp.float32(repetition_penalty),
             jnp.int32(repetition_context_size),
-            token_bucket,
-            "greedy" if temperature == 0.0 else "sample",
-            rep_window,
-            k_subset,
         )
+        statics = (token_bucket, mode, rep_window, k_subset)
+        bridge_key = self._use_bridge(kv, first_logits.shape[0], statics)
+        if bridge_key is not None:
+            tokens, counts = self._decode_bridged(
+                kv, first_logits, dyn, statics, bridge_key
+            )
+        else:
+            tokens, counts, _ = self._decode(
+                self.params, kv, first_logits, *dyn, *statics
+            )
         tokens_host = np.asarray(tokens)
         counts_host = np.asarray(counts)
         out = [

@@ -285,3 +285,52 @@ def test_generation_beyond_flat_decode_cap():
     # Tiny random model never emits EOS, so length == budget: the flat
     # 64-slot cap must NOT truncate (memory-aware cap raised it to 256).
     assert len(out) == 200
+
+
+def test_bridge_decode_matches_while_program():
+    """progressive_decode="on": the fixed-K scan bridge must produce the
+    exact token stream of the while-loop program (same seeds, penalty,
+    stochastic sampling), including sequences that finish mid-chunk and
+    budget exhaustion with K overshoot (round-3 cold-start bridge)."""
+    from qwen3_asr_tpu.config import RuntimeConfig
+
+    params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rt_off = RuntimeConfig(token_buckets=(32, 64), progressive_decode="off")
+    rt_on = RuntimeConfig(
+        token_buckets=(32, 64), progressive_decode="on", bridge_steps=5
+    )
+    g_off = Generator(params, TINY, rt_off, eos_ids=frozenset({500}))
+    g_on = Generator(params, TINY, rt_on, eos_ids=frozenset({500}))
+
+    feats = make_features(4)
+    ids = prompt_for(4)
+    for kw in (
+        dict(max_tokens=30, repetition_penalty=1.3),
+        dict(max_tokens=7),                      # budget < bridge chunk x2
+        dict(max_tokens=30, temperature=0.8, top_k=40, seed=11),
+    ):
+        a = g_off.generate(feats, 4, ids, **kw)
+        b = g_on.generate(feats, 4, ids, **kw)
+        assert a == b, (kw, a, b)
+
+
+def test_bridge_batch_heterogeneous_budgets():
+    """Bridged batch decode with per-sequence budgets: lanes finishing at
+    different chunk offsets keep their exact while-program outputs."""
+    from qwen3_asr_tpu.config import RuntimeConfig
+
+    params = init_decoder_params(TINY, jax.random.PRNGKey(2), dtype=jnp.float32)
+    rt_on = RuntimeConfig(
+        token_buckets=(32,), progressive_decode="on", bridge_steps=4
+    )
+    rt_off = RuntimeConfig(token_buckets=(32,), progressive_decode="off")
+    g_on = Generator(params, TINY, rt_on, eos_ids=frozenset({500}))
+    g_off = Generator(params, TINY, rt_off, eos_ids=frozenset({500}))
+
+    B = 3
+    feats = jnp.concatenate([make_features(4, seed=s) for s in range(B)], axis=0)
+    ids = [prompt_for(4)] * B
+    budgets = [3, 17, 32]
+    a = g_off.generate_batch(feats, [4] * B, ids, max_tokens=budgets)
+    b = g_on.generate_batch(feats, [4] * B, ids, max_tokens=budgets)
+    assert a == b

@@ -131,9 +131,13 @@ def main() -> None:
         lambda: jax.block_until_ready(dec_compiled(*dec_dyn)),
     )
 
-    # Everything the public path needs should now be warm.
+    # Everything the public path needs should now be warm... except that
+    # AOT .lower().compile() does NOT seed jax.jit's call cache, so the
+    # public path recompiles unless the persistent cache catches it.
     t("transcribe #1 (public path)", lambda: model.transcribe(clip, max_tokens=128))
+    print(f"[probe]   stage stats #1: {model.last_stats.as_dict()}", flush=True)
     t("transcribe #2 (fully warm)", lambda: model.transcribe(clip, max_tokens=128))
+    print(f"[probe]   stage stats #2: {model.last_stats.as_dict()}", flush=True)
 
 
 if __name__ == "__main__":
