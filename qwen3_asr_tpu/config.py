@@ -222,6 +222,14 @@ class RuntimeConfig:
     # or "int8" (weight-only, ~2x decode HBM traffic reduction; opt-in
     # accuracy trade — see ops/quant.py).
     quantization: str = "none"
+    # KV-cache storage dtype for the batched decode loop: "bf16"
+    # (default; bit-exact reference semantics) or "int8" (per-row absmax
+    # quantization, ops/quant_kv.py — halves the dominant decode-time
+    # HBM stream and the cache footprint; opt-in accuracy trade like
+    # ``quantization``).  Prefill always runs bf16; the cache is
+    # quantized once post-prefill and fresh decode rows quantize as
+    # they are written.
+    kv_cache_dtype: str = "bf16"
     # Fuse Q|K|V and gate|up projections into single matmuls (pure
     # re-layout, identical math).  Auto-disabled under tensor parallelism
     # (fused column order misaligns with head sharding).

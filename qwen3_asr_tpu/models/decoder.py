@@ -31,6 +31,7 @@ from ..config import TextDecoderConfig
 from ..ops.attention import sdpa
 from ..ops.norms import rms_norm
 from ..ops.quant import is_quantized, qlinear
+from ..ops.quant_kv import is_quantized_kv, kv_seq_len, quantize_kv
 from ..ops.rope import rope_rotate
 
 DecoderParams = dict[str, Any]
@@ -409,7 +410,13 @@ def decoder_forward(
             attn_impl = "cache"
 
     keys_all, values_all = kv_cache
-    S = keys_all.shape[3]
+    # int8 cache ({"q", "s"} pytrees, ops/quant_kv.py): decode-only — the
+    # runtime quantizes AFTER prefill, so every multi-token path below
+    # still sees plain arrays.
+    kv_q8 = is_quantized_kv(keys_all)
+    if kv_q8 and not (decode_ctx is not None and T == 1):
+        raise ValueError("int8 KV caches support single-token decode only")
+    S = kv_seq_len(keys_all)
     nq, nkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
     scale = D ** -0.5
@@ -468,13 +475,21 @@ def decoder_forward(
         # Heterogeneous depths need the per-sequence-aware v5 kernel.
         _pb = decode_ctx[2]
         use_hbm_kernel = _pb % 128 == 0 and (S - _pb) % 128 == 0
+    if use_hbm_kernel and kv_q8:
+        # int8 caches are implemented only by the v5 kernel's _q8 variant.
+        _pb = decode_ctx[2]
+        use_hbm_kernel = (
+            DECODE_KERNEL_MODE in ("auto", "5")
+            and _pb % 128 == 0
+            and (S - _pb) % 128 == 0
+        )
 
     # SPMD fast path: the v5 kernel runs per-shard inside shard_map (KV
     # sharded over heads by tp, batch over dp; GQA groups never cross a
     # shard), instead of round 2's silent downgrade to XLA attention.
     spmd_kernel = False
     if (
-        decode_split and want_hbm and not use_hbm_kernel
+        decode_split and want_hbm and not use_hbm_kernel and not kv_q8
         and _spmd_kernel_ok() and S % 128 == 0 and D % 128 == 0
     ):
         _pb = decode_ctx[2]
@@ -514,6 +529,20 @@ def decoder_forward(
                 attn = _hbm4_shard_map(
                     q[:, :, 0, :], keys_all, values_all, k_new, v_new,
                     layer, plen, dend_b, pbucket, scale,
+                )[:, :, None, :]
+                attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
+                h = h + qlinear(attn, lp["wo"])
+                h = mlp(h, lp)
+                return (h, layer + 1), (k_new, v_new)
+
+            if use_hbm_kernel and kv_q8:
+                from ..ops.pallas.decode_attention_hbm4 import (
+                    decode_attention_hbm4_q8,
+                )
+
+                attn = decode_attention_hbm4_q8(
+                    q[:, :, 0, :], keys_all, values_all, k_new, v_new,
+                    layer, plen, dend_b, pbucket, scale=scale,
                 )[:, :, None, :]
                 attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
                 h = h + qlinear(attn, lp["wo"])
@@ -561,8 +590,24 @@ def decoder_forward(
                 h = mlp(h, lp)
                 return (h, layer + 1), (k_new, v_new)
 
-            kcache = jax.lax.dynamic_index_in_dim(keys_all, layer, 0, keepdims=False)
-            vcache = jax.lax.dynamic_index_in_dim(values_all, layer, 0, keepdims=False)
+            if kv_q8:
+                # XLA fallback: dequantize this layer's tiles inline (the
+                # compiler fuses the scale multiply into the reads).
+                kcache = jax.lax.dynamic_index_in_dim(
+                    keys_all["q"], layer, 0, keepdims=False
+                ).astype(jnp.float32) * jax.lax.dynamic_index_in_dim(
+                    keys_all["s"], layer, 0, keepdims=False
+                )[..., None]
+                vcache = jax.lax.dynamic_index_in_dim(
+                    values_all["q"], layer, 0, keepdims=False
+                ).astype(jnp.float32) * jax.lax.dynamic_index_in_dim(
+                    values_all["s"], layer, 0, keepdims=False
+                )[..., None]
+                kcache = kcache.astype(h.dtype)
+                vcache = vcache.astype(h.dtype)
+            else:
+                kcache = jax.lax.dynamic_index_in_dim(keys_all, layer, 0, keepdims=False)
+                vcache = jax.lax.dynamic_index_in_dim(values_all, layer, 0, keepdims=False)
 
             qg = q.reshape(B, nkv, group, 1, D)
             logits = jnp.einsum(
@@ -614,40 +659,52 @@ def decoder_forward(
         # while body makes XLA copy the ENTIRE cache every step (the cache
         # is read by attention earlier in the same iteration, defeating its
         # aliasing analysis; xprof measured ~4 ms/step at batch 32).
-        if _use_pallas():
-            from ..ops.pallas.kv_write import kv_write_rows, kv_write_rows_batch
+        def write_dense(cache, rows):
+            if _use_pallas():
+                from ..ops.pallas.kv_write import (
+                    kv_write_rows,
+                    kv_write_rows_batch,
+                )
 
+                if uniform_slot:
+                    return kv_write_rows(cache, rows, write_slots[0])
+                return kv_write_rows_batch(cache, rows, write_slots)
+            if spmd_kernel:
+                slots_arg = write_slots[0] if uniform_slot else write_slots
+                return _kv_write_shard_map(cache, rows, slots_arg, uniform_slot)
             if uniform_slot:
-                new_keys = kv_write_rows(keys_all, k_rows, write_slots[0])
-                new_values = kv_write_rows(values_all, v_rows, write_slots[0])
-            else:
-                new_keys = kv_write_rows_batch(keys_all, k_rows, write_slots)
-                new_values = kv_write_rows_batch(values_all, v_rows, write_slots)
-        elif spmd_kernel:
-            slots_arg = write_slots[0] if uniform_slot else write_slots
-            new_keys = _kv_write_shard_map(
-                keys_all, k_rows, slots_arg, uniform_slot
-            )
-            new_values = _kv_write_shard_map(
-                values_all, v_rows, slots_arg, uniform_slot
-            )
-        elif uniform_slot:
-            new_keys = jax.lax.dynamic_update_slice(
-                keys_all, k_rows.astype(keys_all.dtype),
-                (0, 0, 0, write_slots[0], 0),
-            )
-            new_values = jax.lax.dynamic_update_slice(
-                values_all, v_rows.astype(values_all.dtype),
-                (0, 0, 0, write_slots[0], 0),
-            )
-        else:
+                return jax.lax.dynamic_update_slice(
+                    cache, rows.astype(cache.dtype),
+                    (0, 0, 0, write_slots[0], 0),
+                )
             b_idx = jnp.arange(B)
-            new_keys = keys_all.at[:, b_idx, :, write_slots, :].set(
-                jnp.moveaxis(k_rows[:, :, :, 0, :], 1, 0).astype(keys_all.dtype)
+            return cache.at[:, b_idx, :, write_slots, :].set(
+                jnp.moveaxis(rows[:, :, :, 0, :], 1, 0).astype(cache.dtype)
             )
-            new_values = values_all.at[:, b_idx, :, write_slots, :].set(
-                jnp.moveaxis(v_rows[:, :, :, 0, :], 1, 0).astype(values_all.dtype)
+
+        def write_scales(scales, srows):
+            # scales (L, nL?, ...) = (L, B, H, S) f32; srows (L, B, H, 1).
+            # Tiny (4 B/row) — a plain update is fine even if XLA copies it.
+            if uniform_slot:
+                return jax.lax.dynamic_update_slice(
+                    scales, srows, (0, 0, 0, write_slots[0])
+                )
+            b_idx = jnp.arange(B)
+            return scales.at[:, b_idx, :, write_slots].set(
+                jnp.moveaxis(srows[:, :, :, 0], 1, 0)
             )
+
+        def write_rows(cache, rows):
+            if is_quantized_kv(cache):
+                qr = quantize_kv(rows)
+                return {
+                    "q": write_dense(cache["q"], qr["q"]),
+                    "s": write_scales(cache["s"], qr["s"]),
+                }
+            return write_dense(cache, rows)
+
+        new_keys = write_rows(keys_all, k_rows)
+        new_values = write_rows(values_all, v_rows)
         return hidden, (new_keys, new_values)
 
     if fresh_prefill and attn_impl in ("flash", "causal"):

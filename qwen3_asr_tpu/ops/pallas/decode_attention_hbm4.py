@@ -39,15 +39,22 @@ _CORES = int(os.environ.get("QWEN3_ASR_DECODE_CORES", "0"))
 def _kernel(
     layer_ref, prompt_len_ref, decode_end_ref, count_ref,
     q_ref,            # (1, BH, Hkv, QPAD, D) VMEM, f32 pre-scaled
-    kall_ref,         # (L, B, Hkv, S, D) HBM
+    kall_ref,         # (L, B, Hkv, S, D) HBM (bf16, or int8 when quantized)
     vall_ref,
-    knew_ref,         # (1, BH, Hkv, 1, D) VMEM
-    vnew_ref,
-    o_ref,            # (1, BH, Hkv, QPAD, D) VMEM (f32)
-    k_buf, v_buf,     # (NBUF, Hkv, BP, D)
-    k_sems, v_sems,
-    *, block_p: int, prompt_bucket: int, per_core: int, b_pad: int,
+    *rest,
+    block_p: int, prompt_bucket: int, per_core: int, b_pad: int,
+    quantized: bool = False,
 ):
+    # Quantized caches carry per-row f32 scales (L, B, Hkv, S) streamed
+    # alongside the int8 tiles; scale math is folded into the score /
+    # probability matrices (see ops/quant_kv.py docstring).
+    if quantized:
+        (ks_ref, vs_ref, knew_ref, vnew_ref, o_ref,
+         k_buf, v_buf, ks_buf, vs_buf,
+         k_sems, v_sems, ks_sems, vs_sems) = rest
+    else:
+        (knew_ref, vnew_ref, o_ref, k_buf, v_buf, k_sems, v_sems) = rest
+        ks_ref = vs_ref = ks_buf = vs_buf = ks_sems = vs_sems = None
     core = pl.program_id(0)
     layer = layer_ref[0]
     my_count = count_ref[core]           # live batch elements on this core
@@ -81,55 +88,60 @@ def _kernel(
         # from Mosaic's divisibility analysis, so restate it.
         return is_p, pl.multiple_of(off, _BLOCK_D)
 
+    def _copies(bl, i, slot, width):
+        """The (start-able, wait-able) async copies of block i at a width."""
+        off = coords(bl, i)[1]
+        sel = (slice(None),) if width == block_p else (
+            slice(None), pl.ds(0, width),
+        )
+        copies = [
+            pltpu.make_async_copy(
+                kall_ref.at[layer, base + bl, :, pl.ds(off, width), :],
+                k_buf.at[(slot, *sel, slice(None))], k_sems.at[slot],
+            ),
+            pltpu.make_async_copy(
+                vall_ref.at[layer, base + bl, :, pl.ds(off, width), :],
+                v_buf.at[(slot, *sel, slice(None))], v_sems.at[slot],
+            ),
+        ]
+        if quantized:
+            copies += [
+                pltpu.make_async_copy(
+                    ks_ref.at[layer, base + bl, :, pl.ds(off, width)],
+                    ks_buf.at[(slot, *sel)], ks_sems.at[slot],
+                ),
+                pltpu.make_async_copy(
+                    vs_ref.at[layer, base + bl, :, pl.ds(off, width)],
+                    vs_buf.at[(slot, *sel)], vs_sems.at[slot],
+                ),
+            ]
+        return copies
+
     def start(bl, i, slot):
-        is_p, off = coords(bl, i)
+        is_p, _ = coords(bl, i)
 
         @pl.when(is_p)
         def _():
-            pltpu.make_async_copy(
-                kall_ref.at[layer, base + bl, :, pl.ds(off, block_p), :],
-                k_buf.at[slot], k_sems.at[slot],
-            ).start()
-            pltpu.make_async_copy(
-                vall_ref.at[layer, base + bl, :, pl.ds(off, block_p), :],
-                v_buf.at[slot], v_sems.at[slot],
-            ).start()
+            for c in _copies(bl, i, slot, block_p):
+                c.start()
 
         @pl.when(jnp.logical_not(is_p))
         def _():
-            pltpu.make_async_copy(
-                kall_ref.at[layer, base + bl, :, pl.ds(off, _BLOCK_D), :],
-                k_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], k_sems.at[slot],
-            ).start()
-            pltpu.make_async_copy(
-                vall_ref.at[layer, base + bl, :, pl.ds(off, _BLOCK_D), :],
-                v_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], v_sems.at[slot],
-            ).start()
+            for c in _copies(bl, i, slot, _BLOCK_D):
+                c.start()
 
     def wait(bl, i, slot):
-        is_p, off = coords(bl, i)
+        is_p, _ = coords(bl, i)
 
         @pl.when(is_p)
         def _():
-            pltpu.make_async_copy(
-                kall_ref.at[layer, base + bl, :, pl.ds(off, block_p), :],
-                k_buf.at[slot], k_sems.at[slot],
-            ).wait()
-            pltpu.make_async_copy(
-                vall_ref.at[layer, base + bl, :, pl.ds(off, block_p), :],
-                v_buf.at[slot], v_sems.at[slot],
-            ).wait()
+            for c in _copies(bl, i, slot, block_p):
+                c.wait()
 
         @pl.when(jnp.logical_not(is_p))
         def _():
-            pltpu.make_async_copy(
-                kall_ref.at[layer, base + bl, :, pl.ds(off, _BLOCK_D), :],
-                k_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], k_sems.at[slot],
-            ).wait()
-            pltpu.make_async_copy(
-                vall_ref.at[layer, base + bl, :, pl.ds(off, _BLOCK_D), :],
-                v_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], v_sems.at[slot],
-            ).wait()
+            for c in _copies(bl, i, slot, _BLOCK_D):
+                c.wait()
 
     def next_coords(bl, i):
         last = i + 1 >= n_blocks(bl)
@@ -154,14 +166,23 @@ def _kernel(
         q = q_ref[0, bl].astype(jnp.bfloat16)             # (Hkv, QPAD, D)
         hkv, _, d = q.shape
 
-        def tile_update(carry, k, v, off, width):
-            """Online-softmax update over one (Hkv, width, D) tile."""
+        def tile_update(carry, k, v, off, width, ks=None, vs=None):
+            """Online-softmax update over one (Hkv, width, D) tile.
+
+            Quantized tiles carry per-row scales ``ks``/``vs``
+            (Hkv, width): scores scale columnwise after the matmul
+            (``(q·k8)·ks == q·(k8·ks)``) and value scales fold into the
+            probability matrix (``(p·vs)·v8 == p·(v8·vs)``) — no D-wide
+            dequantization anywhere.
+            """
             m_prev, l_prev, acc = carry
             s = jax.lax.dot_general(
                 q, k.astype(jnp.bfloat16),
                 (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )                                              # (Hkv, QPAD, width)
+            if quantized:
+                s = s * ks[:, None, :]
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + off
             valid = (cols < plen) | ((cols >= prompt_bucket) & (cols < dend))
             s = jnp.where(valid, s, _MASK_VALUE)
@@ -173,8 +194,9 @@ def _kernel(
             l_next = alpha * l_prev + jnp.broadcast_to(
                 jnp.sum(p, axis=2, keepdims=True), l_prev.shape
             )
+            pw = p * vs[:, None, :] if quantized else p
             pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                pw.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
                 (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
@@ -197,7 +219,11 @@ def _kernel(
             is_p, off = coords(bl, i)
 
             def on_prompt(c):
-                return tile_update(c, k_buf[slot], v_buf[slot], off, block_p)
+                return tile_update(
+                    c, k_buf[slot], v_buf[slot], off, block_p,
+                    ks_buf[slot] if quantized else None,
+                    vs_buf[slot] if quantized else None,
+                )
 
             def on_decode(c):
                 return tile_update(
@@ -206,6 +232,8 @@ def _kernel(
                     v_buf[slot, :, : _BLOCK_D, :],
                     off,
                     _BLOCK_D,
+                    ks_buf[slot, :, : _BLOCK_D] if quantized else None,
+                    vs_buf[slot, :, : _BLOCK_D] if quantized else None,
                 )
 
             m, l, acc = jax.lax.cond(
@@ -241,29 +269,13 @@ def _kernel(
     jax.lax.while_loop(lambda st: st[0] < my_count, b_loop, (0, 0))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("prompt_bucket", "scale", "block_p", "interpret"),
-)
-def decode_attention_hbm4(
-    q: jax.Array,            # (B, Hq, D)
-    kall: jax.Array,         # (L, B, Hkv, S, D)
-    vall: jax.Array,
-    k_new: jax.Array,        # (B, Hkv, 1, D)
-    v_new: jax.Array,
-    layer: jax.Array,
-    prompt_len: jax.Array,   # (B,)
-    decode_end: jax.Array,   # scalar or (B,) — per-sequence decode depth
-    prompt_bucket: int,
-    scale: float | None = None,
-    block_p: int | None = None,
-    interpret: bool = False,
-) -> jax.Array:
-    """Dual-granularity flash-decode over the stacked KV cache.
-
-    Requires ``prompt_bucket % block_p == 0`` and a decode region
-    (``S - prompt_bucket``) that is a multiple of 128.
-    """
+def _hbm4_call(
+    q, kall, vall, ks, vs, k_new, v_new, layer, prompt_len, decode_end,
+    prompt_bucket, scale, block_p, interpret,
+):
+    """Shared host-side wiring for the bf16 and int8 cache variants
+    (``ks``/``vs`` are the per-row scale arrays, None for bf16)."""
+    quantized = ks is not None
     B, hq, D = q.shape
     hkv, S = kall.shape[2], kall.shape[3]
     group = hq // hkv
@@ -314,31 +326,46 @@ def decode_attention_hbm4(
         constant_values=prompt_bucket,  # padding lanes: zero decode blocks
     )
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, per_core, hkv, _QPAD, D), lambda c, *_: (c, 0, 0, 0, 0)
+        ),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    operands = [kall, vall]
+    scratch = [
+        pltpu.VMEM((_NBUF, hkv, block_p, D), kall.dtype),
+        pltpu.VMEM((_NBUF, hkv, block_p, D), vall.dtype),
+    ]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        operands += [ks, vs]
+        scratch += [
+            pltpu.VMEM((_NBUF, hkv, block_p), jnp.float32),
+            pltpu.VMEM((_NBUF, hkv, block_p), jnp.float32),
+        ]
+    in_specs += [
+        pl.BlockSpec(
+            (1, per_core, hkv, 1, D), lambda c, *_: (c, 0, 0, 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, per_core, hkv, 1, D), lambda c, *_: (c, 0, 0, 0, 0)
+        ),
+    ]
+    scratch += [pltpu.SemaphoreType.DMA((_NBUF,))] * (4 if quantized else 2)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(cores,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, per_core, hkv, _QPAD, D), lambda c, *_: (c, 0, 0, 0, 0)
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(
-                (1, per_core, hkv, 1, D), lambda c, *_: (c, 0, 0, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, per_core, hkv, 1, D), lambda c, *_: (c, 0, 0, 0, 0)
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, per_core, hkv, _QPAD, D), lambda c, *_: (c, 0, 0, 0, 0)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((_NBUF, hkv, block_p, D), kall.dtype),
-            pltpu.VMEM((_NBUF, hkv, block_p, D), vall.dtype),
-            pltpu.SemaphoreType.DMA((_NBUF,)),
-            pltpu.SemaphoreType.DMA((_NBUF,)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         functools.partial(
@@ -347,6 +374,7 @@ def decode_attention_hbm4(
             prompt_bucket=prompt_bucket,
             per_core=per_core,
             b_pad=b_pad,
+            quantized=quantized,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (cores, per_core, hkv, _QPAD, D), jnp.float32
@@ -362,10 +390,66 @@ def decode_attention_hbm4(
         dend_p,
         counts,
         qg,
-        kall,
-        vall,
+        *operands,
         knew_p,
         vnew_p,
     )
     out = out.reshape(b_pad, hkv, _QPAD, D)[:B, :, :group, :]
     return out.reshape(B, hq, D).astype(q.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("prompt_bucket", "scale", "block_p", "interpret"),
+)
+def decode_attention_hbm4(
+    q: jax.Array,            # (B, Hq, D)
+    kall: jax.Array,         # (L, B, Hkv, S, D)
+    vall: jax.Array,
+    k_new: jax.Array,        # (B, Hkv, 1, D)
+    v_new: jax.Array,
+    layer: jax.Array,
+    prompt_len: jax.Array,   # (B,)
+    decode_end: jax.Array,   # scalar or (B,) — per-sequence decode depth
+    prompt_bucket: int,
+    scale: float | None = None,
+    block_p: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dual-granularity flash-decode over the stacked KV cache.
+
+    Requires ``prompt_bucket % block_p == 0`` and a decode region
+    (``S - prompt_bucket``) that is a multiple of 128.
+    """
+    return _hbm4_call(
+        q, kall, vall, None, None, k_new, v_new, layer, prompt_len,
+        decode_end, prompt_bucket, scale, block_p, interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("prompt_bucket", "scale", "block_p", "interpret"),
+)
+def decode_attention_hbm4_q8(
+    q: jax.Array,            # (B, Hq, D)
+    kall: dict,              # {"q": int8 (L, B, Hkv, S, D), "s": f32 (L, B, Hkv, S)}
+    vall: dict,
+    k_new: jax.Array,        # (B, Hkv, 1, D) — fresh rows stay bf16
+    v_new: jax.Array,
+    layer: jax.Array,
+    prompt_len: jax.Array,
+    decode_end: jax.Array,
+    prompt_bucket: int,
+    scale: float | None = None,
+    block_p: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8-cache variant: streams half the KV bytes per step plus tiny
+    per-row scale tiles; equals the bf16 kernel over the dequantized
+    cache to bf16 tolerance (ops/quant_kv.py scale folding)."""
+    return _hbm4_call(
+        q, kall["q"], vall["q"], kall["s"], vall["s"], k_new, v_new,
+        layer, prompt_len, decode_end, prompt_bucket, scale, block_p,
+        interpret,
+    )

@@ -27,14 +27,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(slot_ref, rows_ref, cache_ref, out_ref, buf, sem):
+def _tile_rows(dtype) -> int:
+    """Read-modify-write tile height along S for this cache dtype.
+
+    8 rows for the f32/bf16 caches (the shipped, hardware-verified
+    behavior); 32 for int8, whose native HBM tiling is (32, 128) — an
+    8-row int8 slice would straddle sub-tile boundaries."""
+    return 32 if jnp.dtype(dtype).itemsize == 1 else 8
+
+
+def _kernel(slot_ref, rows_ref, cache_ref, out_ref, buf, sem, *, tile):
     # out_ref aliases cache_ref; grid iterates layers.
     layer = pl.program_id(0)
     slot = slot_ref[0]
-    aligned = (slot // 8) * 8
+    aligned = (slot // tile) * tile
     offset = slot - aligned
 
-    tile_src = out_ref.at[layer, :, :, pl.ds(aligned, 8), :]
+    tile_src = out_ref.at[layer, :, :, pl.ds(aligned, tile), :]
     fetch = pltpu.make_async_copy(tile_src, buf, sem)
     fetch.start()
     fetch.wait()
@@ -47,7 +56,7 @@ def _kernel(slot_ref, rows_ref, cache_ref, out_ref, buf, sem):
     store.wait()
 
 
-def _kernel_batch(slots_ref, rows_ref, cache_ref, out_ref, buf, sem):
+def _kernel_batch(slots_ref, rows_ref, cache_ref, out_ref, buf, sem, *, tile):
     # Per-sequence slots: grid is (L, B); each cell read-modify-writes the
     # 8-row tile containing that sequence's slot.  Tiles are per-(layer, b)
     # along S only, so no cross-sequence interference; the decode region
@@ -56,10 +65,10 @@ def _kernel_batch(slots_ref, rows_ref, cache_ref, out_ref, buf, sem):
     layer = pl.program_id(0)
     b = pl.program_id(1)
     slot = slots_ref[b]
-    aligned = (slot // 8) * 8
+    aligned = (slot // tile) * tile
     offset = slot - aligned
 
-    tile_src = out_ref.at[layer, b, :, pl.ds(aligned, 8), :]
+    tile_src = out_ref.at[layer, b, :, pl.ds(aligned, tile), :]
     fetch = pltpu.make_async_copy(tile_src, buf, sem)
     fetch.start()
     fetch.wait()
@@ -84,6 +93,7 @@ def kv_write_rows_batch(
     their fresh K/V row at ``prompt_bucket + count - 1``, which differs per
     sequence)."""
     L, B, H, S, D = cache.shape
+    tile = _tile_rows(cache.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L, B),
@@ -95,12 +105,12 @@ def kv_write_rows_batch(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((H, 8, D), cache.dtype),
+            pltpu.VMEM((H, tile, D), cache.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
-        _kernel_batch,
+        functools.partial(_kernel_batch, tile=tile),
         out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
         grid_spec=grid_spec,
         input_output_aliases={2: 0},  # flat input 2 (prefetch, rows, cache)
@@ -181,6 +191,7 @@ def kv_write_rows(
 ) -> jax.Array:
     """Return ``cache`` with ``rows`` written at ``slot`` (no full copy)."""
     L, B, H, S, D = cache.shape
+    tile = _tile_rows(cache.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L,),
@@ -192,12 +203,12 @@ def kv_write_rows(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((B, H, 8, D), cache.dtype),
+            pltpu.VMEM((B, H, tile, D), cache.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, tile=tile),
         out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
         grid_spec=grid_spec,
         input_output_aliases={2: 0},  # flat input 2 (prefetch, rows, cache)

@@ -26,6 +26,7 @@ from ..models.decoder import (
     embed_tokens,
     init_kv_cache,
 )
+from ..ops.quant_kv import is_quantized_kv, kv_seq_len, kv_spec, quantize_kv_cache
 from ..ops.sampling import (
     RECENT_PAD_ID,
     recent_token_window,
@@ -94,6 +95,15 @@ class Generator:
             ),
             donate_argnums=(
                 tuple(range(1, 8)) if jax.default_backend() == "tpu" else ()
+            ),
+        )
+        # Post-prefill int8 cache conversion (RuntimeConfig.kv_cache_dtype
+        # = "int8"): one fused read-convert-write pass; the bf16 buffers
+        # are donated so peak memory never holds both copies.
+        self._quantize_cache = jax.jit(
+            quantize_kv_cache,
+            donate_argnums=(
+                (0,) if jax.default_backend() == "tpu" else ()
             ),
         )
         import threading
@@ -190,7 +200,7 @@ class Generator:
         B = first_logits.shape[0]
         rng = jax.random.PRNGKey(seed)
         is_eos, batch_sample, one_sample, body, cond = self._decode_machinery(
-            params, B, kv[0].shape[3], prompt_len, max_new, temperature,
+            params, B, kv_seq_len(kv[0]), prompt_len, max_new, temperature,
             top_k, top_p, repetition_penalty, repetition_context,
             token_bucket, mode, rep_window, k_subset,
         )
@@ -331,7 +341,7 @@ class Generator:
     ):
         """``bridge_steps`` more decode iterations from a carried state."""
         *_, body, _cond = self._decode_machinery(
-            params, tokens.shape[0], kv[0].shape[3], prompt_len, max_new,
+            params, tokens.shape[0], kv_seq_len(kv[0]), prompt_len, max_new,
             temperature, top_k, top_p, repetition_penalty,
             repetition_context, token_bucket, mode, rep_window, k_subset,
         )
@@ -358,7 +368,7 @@ class Generator:
         )
         if not enabled:
             return None
-        key = (B, kv[0].shape, str(kv[0].dtype), *statics)
+        key = (B, kv_spec(kv[0]), *statics)
         with self._compile_lock:
             if key in self._compiled_keys:
                 return None
@@ -380,7 +390,10 @@ class Generator:
             from ..utils.telemetry import logger
 
             try:
-                dummy_kv = tuple(jnp.zeros(s, d) for s, d in kv_specs)
+                specs, treedef = kv_specs
+                dummy_kv = jax.tree_util.tree_unflatten(
+                    treedef, [jnp.zeros(s, d) for s, d in specs]
+                )
                 out = self._decode(
                     self.params, dummy_kv,
                     jnp.zeros((B, vocab), jnp.float32),
@@ -435,7 +448,8 @@ class Generator:
         the slow compile and re-creates the cold start)."""
         token_bucket = statics[0]
         B = first_logits.shape[0]
-        kv_specs = [(a.shape, a.dtype) for a in kv]
+        leaves, treedef = jax.tree_util.tree_flatten(kv)
+        kv_specs = ([(a.shape, a.dtype) for a in leaves], treedef)
         K = max(1, min(self.runtime.bridge_steps, token_bucket))
         state = self._decode_start(
             self.params, kv, first_logits, *dyn, *statics, bridge_steps=K
@@ -581,6 +595,11 @@ class Generator:
                 f"prompt length {max_prompt_len} exceeds bucket {prompt_bucket}"
             )
         cfg = self.cfg
+        # Sized for bf16 rows even under kv_cache_dtype="int8": prefill
+        # materializes the full bf16 cache before the one-shot
+        # quantization pass, so the bf16 footprint is still the peak.
+        # (int8 then runs in half the planned budget — the headroom shows
+        # up as more concurrent batches, not more slots per sequence.)
         row_bytes = (
             cfg.num_hidden_layers * cfg.num_key_value_heads
             * cfg.head_dim * 2 * 2
@@ -620,6 +639,12 @@ class Generator:
     ) -> list[list[int]]:
         """Run the compiled decode loop and fetch per-sequence token lists."""
         from ..utils.telemetry import logger
+
+        # Opt-in int8 cache (ops/quant_kv.py): quantize the freshly
+        # prefilled bf16 cache once; the decode programs then stream half
+        # the KV bytes per step and write fresh rows quantized.
+        if self.runtime.kv_cache_dtype == "int8" and not is_quantized_kv(kv[0]):
+            kv = self._quantize_cache(kv)
 
         # Per-request static sizing: the smallest compiled window/subset
         # bucket covering the request (one compile per bucket ever hit).

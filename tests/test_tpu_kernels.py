@@ -168,3 +168,45 @@ def test_kv_write_rows_batch_and_paged_on_tpu():
     assert np.array_equal(
         np.asarray(pout, np.float32), np.asarray(pexp, np.float32)
     )
+
+
+def test_q8_decode_kernel_and_int8_writer_on_tpu():
+    """int8-cache v5 variant + 32-row-tile int8 row writer on real
+    hardware (the CPU suite covers both in interpreter mode)."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import (
+        decode_attention_hbm4,
+        decode_attention_hbm4_q8,
+    )
+    from qwen3_asr_tpu.ops.pallas.kv_write import kv_write_rows
+    from qwen3_asr_tpu.ops.quant_kv import dequantize_kv, quantize_kv
+
+    L, B, hq, hkv, S, D, Pb = 4, 3, 16, 8, 640, 128, 512
+    rng = np.random.default_rng(3)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.bfloat16)
+    q, kall, vall = mk(B, hq, D), mk(L, B, hkv, S, D), mk(L, B, hkv, S, D)
+    k_new, v_new = mk(B, hkv, 1, D), mk(B, hkv, 1, D)
+    plen = jnp.asarray([100, 458, 37], jnp.int32)
+    kq, vq = quantize_kv(kall), quantize_kv(vall)
+
+    for dend_off in (0, 37):
+        dend = jnp.int32(Pb + dend_off)
+        out = decode_attention_hbm4_q8(
+            q, kq, vq, k_new, v_new, jnp.int32(1), plen, dend, Pb
+        )
+        ref = decode_attention_hbm4(
+            q, dequantize_kv(kq), dequantize_kv(vq), k_new, v_new,
+            jnp.int32(1), plen, dend, Pb,
+        )
+        d = np.abs(
+            np.asarray(out, np.float32) - np.asarray(ref, np.float32)
+        ).max()
+        assert d < 5e-3, f"dend_off={dend_off}: {d}"
+
+    cache8 = kq["q"]
+    rows8 = jnp.asarray(
+        rng.integers(-127, 128, (L, B, hkv, 1, D)), jnp.int8
+    )
+    for slot in (Pb, Pb + 5, Pb + 33, S - 1):
+        out = kv_write_rows(cache8, rows8, jnp.int32(slot))
+        expected = cache8.at[:, :, :, slot : slot + 1, :].set(rows8)
+        assert np.array_equal(np.asarray(out), np.asarray(expected)), slot

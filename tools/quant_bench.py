@@ -9,7 +9,12 @@ Round-2 candidates measured here:
 
 Usage:  QWEN3_ASR_QLINEAR=xla python tools/quant_bench.py [--batch 1 48]
 
-Prints one JSON line per (mode, batch): ms/step and decode tok/s.
+Round-3 addition: ``--kv int8`` stores the KV cache quantized
+(ops/quant_kv.py — the q8 decode-attention kernel streams half the
+bytes), composable with int8 weights: ``--modes bf16 int8 --kv bf16
+int8`` sweeps the full grid.
+
+Prints one JSON line per (mode, kv, batch): ms/step and decode tok/s.
 """
 
 from __future__ import annotations
@@ -33,16 +38,35 @@ from qwen3_asr_tpu.runtime.generate import Generator  # noqa: E402
 
 
 def time_decode(gen, B, steps=128, audio_tokens=416):
+    """(true ms/decode-step via max_new differencing, decode tok/s).
+
+    A single wall / steps is contaminated by the async prefill dispatch
+    landing in the decode wait (docs/PERFORMANCE.md); running the SAME
+    compiled program at two token budgets and differencing cancels
+    prefill, transfer and launch costs.
+    """
     feats = jnp.zeros((B, audio_tokens, gen.cfg.hidden_size), jnp.bfloat16)
     prompts = [list(range(10)) + [151676] * audio_tokens + [7] * 5] * B
-    kw = dict(max_tokens=[steps] * B, temperature=0.0)
-    # compile + warm
-    gen.generate_batch(feats, [audio_tokens] * B, prompts, **kw)
-    t0 = time.time()
-    out = gen.generate_batch(feats, [audio_tokens] * B, prompts, **kw)
-    dt = time.time() - t0
-    n_steps = max(len(t) for t in out)
-    return dt / n_steps * 1000, n_steps * B / dt
+
+    def run(n):
+        t0 = time.time()
+        gen.generate_batch(
+            feats, [audio_tokens] * B, prompts,
+            max_tokens=[n] * B, temperature=0.0,
+        )
+        return time.time() - t0
+
+    lo = max(8, steps // 4)
+    # compile + warm; under progressive decode the first call may run on
+    # the scan bridge — block until the steady-state while program is in,
+    # so the timed passes measure the production path.
+    run(steps)
+    gen.wait_background_compiles()
+    run(steps), run(lo)
+    per_step = min(
+        (run(steps) - run(lo)) / (steps - lo) for _ in range(4)
+    )
+    return per_step * 1000, B / per_step
 
 
 def main():
@@ -50,6 +74,8 @@ def main():
     ap.add_argument("--batch", type=int, nargs="+", default=[1, 48])
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--modes", nargs="+", default=["bf16", "int8"])
+    ap.add_argument("--kv", nargs="+", default=["bf16"],
+                    help="KV-cache dtypes to sweep (bf16, int8)")
     args = ap.parse_args()
 
     import qwen3_asr_tpu.ops.quant as quant_mod
@@ -65,17 +91,21 @@ def main():
             from qwen3_asr_tpu.ops.quant import quantize_decoder_params
 
             p = quantize_decoder_params(params)
-        gen = Generator(p, cfg, rt)
-        for B in args.batch:
-            ms, tps = time_decode(gen, B, steps=args.steps)
-            print(json.dumps({
-                "mode": mode,
-                "qlinear": quant_mod.QLINEAR_IMPL if mode == "int8" else "-",
-                "batch": B,
-                "ms_per_step": round(ms, 3),
-                "decode_tok_s": round(tps, 1),
-            }), flush=True)
-        del gen, p
+        for kv_dtype in args.kv:
+            rt_kv = RuntimeConfig(kv_cache_dtype=kv_dtype)
+            gen = Generator(p, cfg, rt_kv)
+            for B in args.batch:
+                ms, tps = time_decode(gen, B, steps=args.steps)
+                print(json.dumps({
+                    "mode": mode,
+                    "kv": kv_dtype,
+                    "qlinear": quant_mod.QLINEAR_IMPL if mode == "int8" else "-",
+                    "batch": B,
+                    "ms_per_step": round(ms, 3),
+                    "decode_tok_s": round(tps, 1),
+                }), flush=True)
+            del gen
+        del p
 
 
 if __name__ == "__main__":
