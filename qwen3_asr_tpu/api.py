@@ -625,6 +625,7 @@ class Qwen3ASR:
         paged: bool = False,
         page_size: int = 256,
         kv_pool_gb: float | None = None,
+        chunk_program: str | None = None,
     ):
         """Build a :class:`~qwen3_asr_tpu.runtime.engine.DecodeEngine`
         sized for clips up to ``max_duration`` seconds and transcripts up
@@ -666,6 +667,7 @@ class Qwen3ASR:
             gen, prompt_bucket, token_bucket,
             n_slots=n_slots, chunk_steps=chunk_steps,
             paged=paged, page_size=page_size, n_pages=n_pages,
+            chunk_program=chunk_program,
         )
 
     def prefill_group(self, samples_list, lang_names):

@@ -31,6 +31,7 @@ blueprint: BASELINE.json north-star config 5.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Optional
 
@@ -117,6 +118,7 @@ class DecodeEngine:
         paged: bool = False,
         page_size: int = 256,
         n_pages: int | None = None,
+        chunk_program: str | None = None,
     ) -> None:
         if prompt_bucket % 256:
             raise ValueError("prompt_bucket must be a multiple of 256")
@@ -129,6 +131,23 @@ class DecodeEngine:
         self.cache_len = prompt_bucket + token_bucket
         self.n_slots = n_slots
         self.chunk_steps = chunk_steps
+        # Chunk-body program shape: "scan" (canonical) runs each chunk as
+        # a fixed-``k_steps`` ``lax.scan`` — token-identical to the while
+        # version for greedy slots, and (unlike pallas-in-while programs
+        # on the axon backend, docs/PERFORMANCE.md cold-start section) it
+        # serializes AND reloads from the persistent compile cache, so a
+        # server restart re-warms every chunk program in seconds instead
+        # of one 60-990 s compile each.  The only semantic difference:
+        # once every live lane in a chunk finishes, the remaining
+        # fixed-length iterations still advance the per-slot rngs, so a
+        # page-PAUSED slot resuming later may see a different (equally
+        # valid) sample stream than the early-exiting "while" shape.
+        # ``QWEN3_ASR_ENGINE_CHUNK=while`` restores the old behavior.
+        self.chunk_program = chunk_program or os.environ.get(
+            "QWEN3_ASR_ENGINE_CHUNK", "scan"
+        )
+        if self.chunk_program not in ("scan", "while"):
+            raise ValueError("chunk_program must be 'scan' or 'while'")
         self.stats = EngineStats()
         self._eos_ids = generator._eos_ids
 
@@ -307,12 +326,37 @@ class DecodeEngine:
             cur = jnp.where(active & ~done, nxt, cur)
             return keys, values, tokens, counts, done, cur, rngs, step + 1
 
-        keys, values, tokens, counts, done, cur, rngs, _ = jax.lax.while_loop(
-            cond, body,
-            (keys, values, tokens, counts, done, cur, rngs, jnp.int32(0)),
+        keys, values, tokens, counts, done, cur, rngs = self._run_chunk_loop(
+            cond, body, (keys, values, tokens, counts, done, cur, rngs),
+            k_steps,
         )
         status = jnp.stack([counts, done.astype(jnp.int32)])
         return keys, values, tokens, counts, done, cur, rngs, status
+
+    def _run_chunk_loop(self, cond, body, state, k_steps):
+        """Run the chunk body ``k_steps`` times in the configured loop shape.
+
+        "scan": fixed-length ``lax.scan`` — the body already no-ops
+        finished lanes (``active = live & ~done`` gates every state
+        update, and a done lane's KV re-write is idempotent: same row,
+        same inputs), so trailing iterations only cost device time.  What
+        it buys: scan-shaped pallas programs serialize into the
+        persistent XLA compile cache on the axon backend while
+        while-shaped ones never reload (docs/PERFORMANCE.md cold-start
+        section), so a server restart re-warms in seconds instead of
+        one 60-990 s compile per chunk program.
+        "while": early-exits once every live lane finishes — cheaper
+        tails, cold compile every process.
+        """
+        init = (*state, jnp.int32(0))
+        if self.chunk_program == "scan":
+            def scan_body(s, _):
+                return body(s), None
+
+            out, _ = jax.lax.scan(scan_body, init, None, length=k_steps)
+        else:
+            out = jax.lax.while_loop(cond, body, init)
+        return out[:-1]
 
     def _admit_impl(
         self, keys, values, tokens, counts, done, cur, rngs,
@@ -453,9 +497,9 @@ class DecodeEngine:
             cur = jnp.where(active & ~done, nxt, cur)
             return keys, values, tokens, counts, done, cur, rngs, step + 1
 
-        keys, values, tokens, counts, done, cur, rngs, _ = jax.lax.while_loop(
-            cond, body,
-            (keys, values, tokens, counts, done, cur, rngs, jnp.int32(0)),
+        keys, values, tokens, counts, done, cur, rngs = self._run_chunk_loop(
+            cond, body, (keys, values, tokens, counts, done, cur, rngs),
+            k_steps,
         )
         if B < self.n_slots:
             tokens = f_tokens.at[:B].set(tokens)

@@ -329,6 +329,50 @@ def test_paged_compaction_and_width_bucketing(model):
         assert text == d.text, f"clip {i} diverged after compaction"
 
 
+def test_engine_chunk_program_while_matches_scan(model):
+    """The "while" chunk opt-out (QWEN3_ASR_ENGINE_CHUNK=while) is
+    token-identical to the canonical fixed-length "scan" chunk for greedy
+    slots — early exit vs trailing no-op iterations must not change any
+    harvested token."""
+    from qwen3_asr_tpu.runtime.engine import SlotRequest
+
+    clips = [sine(1.0, 440.0), sine(0.5, 550.0)]
+
+    def run(chunk_program):
+        engine = model.make_engine(
+            n_slots=4, max_duration=8.0, max_new_tokens=128, chunk_steps=4,
+            chunk_program=chunk_program,
+        )
+        assert engine.chunk_program == chunk_program
+        kv, logits, prompts = model.prefill_group(clips, ["English"] * 2)
+        reqs = [
+            SlotRequest(samples=c, prompt=p, max_new=6, meta=i)
+            for i, (c, p) in enumerate(zip(clips, prompts))
+        ]
+        engine.admit(kv, logits, engine.free_slots(), reqs)
+        results = {}
+        for _ in range(50):
+            engine.step()
+            for req, toks in engine.retire():
+                results[req.meta] = toks
+            if len(results) == len(clips):
+                break
+        return results
+
+    scan_r, while_r = run("scan"), run("while")
+    assert scan_r.keys() == while_r.keys()
+    for k in scan_r:
+        assert scan_r[k] == while_r[k], f"clip {k}: while != scan"
+
+
+def test_engine_chunk_program_validation(model):
+    with pytest.raises(ValueError, match="chunk_program"):
+        model.make_engine(
+            n_slots=2, max_duration=4.0, max_new_tokens=64,
+            chunk_program="bogus",
+        )
+
+
 def test_engine_with_int8_quantized_decoder():
     """Continuous engine over int8 weights == direct quantized decode."""
     rt = RuntimeConfig(
