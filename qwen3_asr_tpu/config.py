@@ -230,6 +230,18 @@ class RuntimeConfig:
     # quantized once post-prefill and fresh decode rows quantize as
     # they are written.
     kv_cache_dtype: str = "bf16"
+    # Speculative greedy decoding ("ngram"): inside the compiled decode
+    # loop, propose ``spec_gamma`` continuation tokens by n-gram lookup
+    # over the generated stream (ops/speculative.py) and verify them in
+    # ONE multi-token forward — token-identical to plain greedy, because
+    # a draft token is accepted only when it equals the model's own
+    # argmax.  Wins when decode is weight-stream bound (small batch):
+    # verifying gamma+1 positions costs barely more than one token.
+    # "off" (default) keeps the single-token loop.  Greedy requests
+    # only; sampled requests always take the standard loop.
+    speculative: str = "off"
+    spec_gamma: int = 3
+    spec_ngram: int = 2
     # Fuse Q|K|V and gate|up projections into single matmuls (pure
     # re-layout, identical math).  Auto-disabled under tensor parallelism
     # (fused column order misaligns with head sharding).

@@ -707,6 +707,89 @@ def decoder_forward(
         new_values = write_rows(values_all, v_rows)
         return hidden, (new_keys, new_values)
 
+    # Verify-split: the speculative-decoding verification pass — T fresh
+    # tokens (current + gamma drafts) advance through the stack in ONE
+    # forward against the decode cache.  Same split-attention structure as
+    # the T == 1 decode step, generalized: the old cache is read-only
+    # (scores masked strictly before each lane's write slot), the T fresh
+    # positions attend each other through an explicit T x T causal block,
+    # and all layers' T rows land in one post-scan span write.  The
+    # in-scan per-layer cache writes of the general path below are
+    # deliberately avoided — XLA copies the full cache per layer there
+    # (see the fresh_prefill comment), which at 28 layers would dwarf the
+    # step itself.
+    if decode_ctx is not None and 1 < T <= 8:
+        plen, ws, pbucket = decode_ctx
+        ws_b = jnp.broadcast_to(jnp.asarray(ws, jnp.int32), (B,))
+        group = nq // nkv
+        slot_ids5 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, S), 4)
+        cache_mask = (slot_ids5 < plen[:, None, None, None, None]) | (
+            (slot_ids5 >= pbucket)
+            & (slot_ids5 < ws_b[:, None, None, None, None])
+        )
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T, T), 3)
+        u_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T, T), 4)
+        self_mask = u_ids <= t_ids
+        neg = float(jnp.finfo(jnp.float32).min) / 2
+
+        def verify_layer(carry, lp):
+            h, layer = carry
+            q, k_new, v_new = qkv(h, lp)     # q (B,nq,T,D); k/v (B,nkv,T,D)
+            kcache = jax.lax.dynamic_index_in_dim(
+                keys_all, layer, 0, keepdims=False
+            )
+            vcache = jax.lax.dynamic_index_in_dim(
+                values_all, layer, 0, keepdims=False
+            )
+            qg = q.reshape(B, nkv, group, T, D)
+            logits = jnp.einsum(
+                "bkgtd,bkld->bkgtl", qg, kcache,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            logits = jnp.where(cache_mask, logits, neg)
+            self_logits = jnp.einsum(
+                "bkgtd,bkud->bkgtu", qg, k_new,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            self_logits = jnp.where(self_mask, self_logits, neg)
+            all_logits = jnp.concatenate([logits, self_logits], axis=-1)
+            w = jax.nn.softmax(all_logits, axis=-1)
+            out = jnp.einsum(
+                "bkgtl,bkld->bkgtd", w[..., :S].astype(vcache.dtype), vcache,
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "bkgtu,bkud->bkgtd",
+                w[..., S:].astype(jnp.float32),
+                v_new.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            attn = out.reshape(B, nq, T, D).astype(h.dtype)
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
+            h = h + qlinear(attn, lp["wo"])
+            h = mlp(h, lp)
+            return (h, layer + 1), (k_new, v_new)
+
+        (hidden, _), (k_rows, v_rows) = jax.lax.scan(
+            verify_layer, (hidden, jnp.int32(0)), params["layers"]
+        )
+
+        def write_span(cache, rows):
+            # rows (L, B, nkv, T, D) at slots ws_b .. ws_b + T per lane.
+            if _use_pallas():
+                from ..ops.pallas.kv_write import kv_write_span_batch
+
+                return kv_write_span_batch(cache, rows, ws_b)
+            t_idx = ws_b[:, None] + jnp.arange(T)[None, :]      # (B, T)
+            return cache.at[
+                :,
+                jnp.arange(B)[:, None, None],
+                jnp.arange(nkv)[None, :, None],
+                t_idx[:, None, :],
+            ].set(rows.astype(cache.dtype), mode="drop")
+
+        return hidden, (write_span(keys_all, k_rows),
+                        write_span(values_all, v_rows))
+
     if fresh_prefill and attn_impl in ("flash", "causal"):
         # Prefill never READS the cache (attention runs on the fresh k/v),
         # so the cache is BUILT from the scan outputs with one pad — the

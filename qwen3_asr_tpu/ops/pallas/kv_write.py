@@ -119,6 +119,79 @@ def kv_write_rows_batch(
     )(slots.astype(jnp.int32), rows.astype(cache.dtype), cache)
 
 
+def _kernel_span(slots_ref, rows_ref, cache_ref, out_ref, buf, sem, *, tile, T, S):
+    # Span variant for the speculative-verify pass: T contiguous rows per
+    # (layer, b) starting at that sequence's slot.  The window is TWO
+    # tiles tall because a T<=tile span can straddle one tile boundary;
+    # rows that would land past S (draft overflow at the cache edge) fall
+    # outside the window's row ids and are dropped — mirroring the XLA
+    # fallback's scatter mode="drop".
+    layer = pl.program_id(0)
+    b = pl.program_id(1)
+    slot = slots_ref[b]
+    # Clamp in tile units and multiply LAST so Mosaic can prove the DMA
+    # base is tile-aligned (an outer jnp.minimum defeats its divisibility
+    # analysis — measured as a "tile index not divisible" compile error).
+    aligned = jnp.minimum(slot // tile, S // tile - 2) * tile
+    offset = slot - aligned
+
+    tile_src = out_ref.at[layer, b, :, pl.ds(aligned, 2 * tile), :]
+    fetch = pltpu.make_async_copy(tile_src, buf, sem)
+    fetch.start()
+    fetch.wait()
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, buf.shape, 1)  # (H,2t,D)
+    for i in range(T):  # static unroll, T <= 8
+        buf[...] = jnp.where(
+            row_ids == offset + i, rows_ref[0, 0, :, i, :][:, None, :],
+            buf[...],
+        )
+
+    store = pltpu.make_async_copy(buf, tile_src, sem)
+    store.start()
+    store.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_span_batch(
+    cache: jax.Array,   # (L, B, Hkv, S, D) — aliased, updated in place
+    rows: jax.Array,    # (L, B, Hkv, T, D)
+    slots: jax.Array,   # (B,) int32, per-sequence first write slot
+    interpret: bool = False,
+) -> jax.Array:
+    """Write each sequence's ``T`` fresh K/V rows at ``slots[b] ..
+    slots[b] + T`` (the speculative-verify span); rows past the cache end
+    are dropped."""
+    L, B, H, S, D = cache.shape
+    T = rows.shape[3]
+    if T > 8:
+        raise ValueError("span writer supports at most 8 rows")
+    tile = _tile_rows(cache.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, B),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, H, T, D), lambda l, b, *_: (l, b, 0, 0, 0)
+            ),                                       # this (layer, b) span
+            pl.BlockSpec(memory_space=pltpu.ANY),    # cache stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((H, 2 * tile, D), cache.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_span, tile=tile, T=T, S=S),
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={2: 0},  # flat input 2 (prefetch, rows, cache)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(slots.astype(jnp.int32), rows.astype(cache.dtype), cache)
+
+
 def _kernel_paged(pages_ref, offs_ref, rows_ref, cache_ref, out_ref, buf, sem):
     # Paged cache (L, n_pages, H, PS, D): grid (L, B); each cell
     # read-modify-writes the 8-row tile of sequence b's current page.

@@ -97,6 +97,14 @@ class Generator:
                 tuple(range(1, 8)) if jax.default_backend() == "tpu" else ()
             ),
         )
+        # Speculative greedy decode (RuntimeConfig.speculative="ngram").
+        self._spec_decode = jax.jit(
+            self._spec_decode_impl,
+            static_argnames=(
+                "token_bucket", "rep_window", "gamma", "ngram_n"
+            ),
+            donate_argnums=donate,
+        )
         # Post-prefill int8 cache conversion (RuntimeConfig.kv_cache_dtype
         # = "int8"): one fused read-convert-write pass; the bf16 buffers
         # are donated so peak memory never holds both copies.
@@ -304,6 +312,121 @@ class Generator:
             return kv_new, tokens, counts, done, cur, rng, step + 1
 
         return is_eos, batch_sample, one_sample, body, cond
+
+    # -- speculative greedy decode ----------------------------------------
+
+    def _spec_machinery(
+        self, params, B, S, prompt_len, max_new, repetition_penalty,
+        repetition_context, token_bucket, rep_window, gamma, ngram_n,
+    ):
+        """body/cond for the speculative loop (greedy only).
+
+        Each iteration: n-gram draft lookup -> ONE verify forward over
+        ``gamma + 1`` positions (the decoder's verify-split path) -> a
+        static accept chain that emits 1..gamma+1 tokens.  Token-identity
+        with plain greedy holds by construction: position ``t``'s argmax
+        is used only when every earlier draft token matched the argmax at
+        its own position, so the emitted stream is exactly the sequential
+        greedy stream (repetition penalty included — the penalty window
+        is recomputed after every accepted token, matching the reference
+        order /root/reference/src/qwen3_asr_mlx/generate.py:289-315).
+        """
+        from ..ops.sampling import apply_repetition_penalty
+        from ..ops.speculative import ngram_draft
+
+        cfg = self.cfg
+        eos = jnp.asarray(self._eos_ids)
+        T = gamma + 1
+        prompt_bucket = S - token_bucket
+        rep_ctx = jnp.asarray(repetition_context, jnp.int32)
+
+        def is_eos(tok):
+            return jnp.any(tok[..., None] == eos[None, :], axis=-1)
+
+        def recent_window(tokens, counts):
+            return recent_token_window(
+                tokens, counts, rep_ctx, rep_window, token_bucket
+            )
+
+        def cond(state):
+            return jnp.any(~state[3])
+
+        def body(state):
+            kv, tokens, counts, done, cur, rng, step = state
+            draft, dvalid = ngram_draft(
+                tokens, counts, n=ngram_n, gamma=gamma
+            )
+            ids = jnp.concatenate([cur[:, None], draft], axis=1)   # (B, T)
+            pos = (prompt_len + counts - 1)[:, None] + jnp.arange(T)[None, :]
+            ws = prompt_bucket + counts - 1                        # (B,)
+            embeds = embed_tokens(params, ids)
+            hidden, kv = decoder_forward(
+                params, cfg, embeds, pos, kv,
+                write_slots=ws, uniform_write=False,
+                decode_ctx=(prompt_len, ws, prompt_bucket),
+            )
+            logits = decoder_logits(params, cfg, hidden)           # (B,T,V)
+
+            # Static accept chain.  ``chain`` marks lanes still emitting at
+            # this verify position; it survives position t only when the
+            # draft token fed at t+1 equals this position's argmax (and the
+            # lane neither finished nor exhausted its budget).  Draft rows
+            # written for rejected positions sit past the lane's new write
+            # slot and are overwritten before they can be attended.
+            chain = ~done
+            for t in range(T):
+                win = recent_window(tokens, counts)
+                pen = jax.vmap(
+                    lambda l, r: apply_repetition_penalty(
+                        l, r, repetition_penalty
+                    )
+                )(logits[:, t].astype(jnp.float32), win)
+                out_t = jnp.argmax(pen, axis=-1).astype(jnp.int32)
+                emit = chain
+                slot = jnp.clip(counts, 0, token_bucket - 1)
+                keep = jnp.take_along_axis(
+                    tokens, slot[:, None], axis=1
+                )[:, 0]
+                tokens = tokens.at[jnp.arange(B), slot].set(
+                    jnp.where(emit, out_t, keep)
+                )
+                counts = counts + emit
+                newly_done = emit & (is_eos(out_t) | (counts >= max_new))
+                done = done | newly_done
+                cur = jnp.where(emit & ~done, out_t, cur)
+                if t < gamma:
+                    chain = (
+                        emit & ~newly_done
+                        & dvalid[:, t] & (out_t == draft[:, t])
+                    )
+            return kv, tokens, counts, done, cur, rng, step + 1
+
+        return body, cond
+
+    def _spec_decode_impl(
+        self, params, kv, first_logits, prompt_len, max_new, seed,
+        repetition_penalty, repetition_context,
+        token_bucket, rep_window=REP_WINDOW, gamma=3, ngram_n=2,
+    ):
+        """Speculative greedy decode: one compiled while_loop whose body
+        verifies ``gamma`` drafted tokens per model forward.  Returns
+        ``(tokens, counts, iterations, kv)`` — iterations / counts give
+        the measured acceptance rate."""
+        state, _, _ = self._decode_setup(
+            params, kv, first_logits, prompt_len, max_new, seed,
+            jnp.float32(0.0), jnp.int32(0), jnp.float32(1.0),
+            repetition_penalty, repetition_context, token_bucket,
+            "greedy", rep_window, 1024,
+        )
+        body, cond = self._spec_machinery(
+            params, first_logits.shape[0], kv_seq_len(kv[0]), prompt_len,
+            max_new, repetition_penalty, repetition_context, token_bucket,
+            rep_window, gamma, ngram_n,
+        )
+        kv, tokens, counts, done, cur, rng, step = jax.lax.while_loop(
+            cond, body, state
+        )
+        return tokens, counts, step, kv
 
     # -- bridge (progressive-compile) decode programs ---------------------
 
@@ -688,6 +811,32 @@ class Generator:
             jnp.int32(repetition_context_size),
         )
         statics = (token_bucket, mode, rep_window, k_subset)
+        # Speculative greedy decode (opt-in): greedy requests only, and
+        # not composable with the int8 cache (the verify forward is a
+        # multi-token pass; the q8 kernel is single-token).  Bypasses the
+        # progressive-compile bridge — its own program is the whole path.
+        if (
+            self.runtime.speculative == "ngram"
+            and mode == "greedy"
+            and not is_quantized_kv(kv[0])
+        ):
+            tokens, counts, iters, _ = self._spec_decode(
+                self.params, kv, first_logits, dyn[0], dyn[1], dyn[2],
+                dyn[6], dyn[7], token_bucket, rep_window,
+                self.runtime.spec_gamma, self.runtime.spec_ngram,
+            )
+            counts_host = np.asarray(counts)
+            logger.debug(
+                "speculative decode: %d tokens in %d iterations "
+                "(%.2f tokens/forward)",
+                int(counts_host.sum()), int(iters),
+                float(counts_host.sum()) / max(int(iters) + 1, 1),
+            )
+            tokens_host = np.asarray(tokens)
+            return [
+                tokens_host[b, : counts_host[b]].tolist()
+                for b in range(len(prompt_lens))
+            ]
         bridge_key = self._use_bridge(kv, first_logits.shape[0], statics)
         if bridge_key is not None:
             tokens, counts = self._decode_bridged(

@@ -1,0 +1,226 @@
+"""Speculative greedy decoding tests.
+
+The contract is absolute: speculation is a pure execution strategy —
+``RuntimeConfig(speculative="ngram")`` must produce the EXACT token
+stream of the plain greedy loop for every request (drafts are accepted
+only when they equal the model's own argmax).  Covers: the n-gram draft
+op, the decoder's multi-token verify-split forward against sequential
+single-token steps, the Pallas span writer (interpret mode), and
+end-to-end token identity on the tiny model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3_asr_tpu.config import RuntimeConfig, TextDecoderConfig
+from qwen3_asr_tpu.models.decoder import (
+    decoder_forward,
+    init_decoder_params,
+)
+from qwen3_asr_tpu.ops.speculative import ngram_draft
+from qwen3_asr_tpu.runtime.generate import Generator
+from tests.test_quant_kv import TINY, _tiny_features, _tiny_prompt
+
+
+def _draft(history, count, n=2, gamma=3, tb=16):
+    tokens = np.zeros((1, tb), np.int32)
+    tokens[0, : len(history)] = history
+    d, v = ngram_draft(
+        jnp.asarray(tokens), jnp.asarray([count], jnp.int32), n=n, gamma=gamma
+    )
+    return np.asarray(d)[0], np.asarray(v)[0]
+
+
+def test_ngram_draft_finds_continuation():
+    # history ...5,6,7... and current tail (5,6): propose 7, then the
+    # tokens after it.
+    d, v = _draft([5, 6, 7, 5, 6], count=5)
+    assert v.tolist() == [True, True, True]
+    assert d.tolist() == [7, 5, 6]
+
+
+def test_ngram_draft_most_recent_match_wins():
+    d, v = _draft([1, 2, 9, 1, 2, 8, 1, 2], count=8)
+    assert v.tolist() == [True, True, True]
+    assert d.tolist() == [8, 1, 2]  # continuation of the j=3 match
+
+
+def test_ngram_draft_no_match():
+    d, v = _draft([1, 2, 3, 4], count=4)
+    assert not v.any()
+
+
+def test_ngram_draft_short_history():
+    _, v = _draft([5, 5], count=2)  # needs n+1 tokens of history
+    assert not v.any()
+
+
+def test_ngram_draft_partial_validity():
+    # Match found but fewer than gamma continuation tokens emitted yet.
+    d, v = _draft([3, 4, 9, 3, 4], count=5, gamma=3)
+    # j=0 match; continuations at idx 2 (=9), idx 3 (=3), idx 4 (=4) —
+    # all emitted (count=5), so fully valid here...
+    assert v.tolist() == [True, True, True]
+    # ...but with count=4 (tail at 3,4 ends at idx 3): context is (4,9)?
+    # No — recompute: history [3,4,9,3], tail (9,3) has no earlier match.
+    _, v2 = _draft([3, 4, 9, 3], count=4)
+    assert not v2.any()
+
+
+def test_verify_split_matches_sequential_steps():
+    """decoder_forward with T=4 + decode_ctx (the verify pass) must equal
+    four sequential T=1 decode steps feeding the same tokens — same
+    hidden outputs, same cache rows."""
+    B, Pb, tb = 2, 8, 8
+    S = Pb + tb
+    cfg = TINY
+    params = init_decoder_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    shape = (cfg.num_hidden_layers, B, cfg.num_key_value_heads, S, cfg.head_dim)
+    keys0 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    values0 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    plen = jnp.asarray([5, 3], jnp.int32)
+    counts = jnp.asarray([2, 4], jnp.int32)  # heterogeneous depths
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, 4)), jnp.int32)
+
+    from qwen3_asr_tpu.models.decoder import embed_tokens
+
+    # Sequential single-token steps.
+    kv = (keys0, values0)
+    hs = []
+    for t in range(4):
+        pos = (plen + counts - 1 + t)[:, None]
+        ws = Pb + counts - 1 + t
+        h, kv = decoder_forward(
+            params, cfg, embed_tokens(params, ids[:, t])[:, None, :],
+            pos, kv, write_slots=ws, uniform_write=False,
+            decode_ctx=(plen, ws, Pb),
+        )
+        hs.append(h[:, 0])
+    seq_hidden = jnp.stack(hs, axis=1)  # (B, 4, H)
+
+    # One verify-split pass.
+    ws0 = Pb + counts - 1
+    pos = (plen + counts - 1)[:, None] + jnp.arange(4)[None, :]
+    ver_hidden, kv_ver = decoder_forward(
+        params, cfg, embed_tokens(params, ids), pos, (keys0, values0),
+        write_slots=ws0, uniform_write=False,
+        decode_ctx=(plen, ws0, Pb),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ver_hidden), np.asarray(seq_hidden), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(kv_ver[0]), np.asarray(kv[0]), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(kv_ver[1]), np.asarray(kv[1]), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_span_writer_interpret_matches_scatter():
+    from qwen3_asr_tpu.ops.pallas.kv_write import kv_write_span_batch
+
+    L, B, H, S, D, T = 2, 3, 2, 256, 128, 4
+    rng = np.random.default_rng(3)
+    cache = jnp.asarray(rng.standard_normal((L, B, H, S, D)), jnp.float32)
+    rows = jnp.asarray(rng.standard_normal((L, B, H, T, D)), jnp.float32)
+    # Include a slot whose span crosses a tile boundary and one at the
+    # cache edge (overflow rows must be dropped).
+    slots = jnp.asarray([5, 130, S - 2], jnp.int32)
+
+    got = kv_write_span_batch(cache, rows, slots, interpret=True)
+
+    t_idx = np.asarray(slots)[:, None] + np.arange(T)[None, :]
+    want = np.asarray(cache).copy()
+    for b in range(B):
+        for t in range(T):
+            if t_idx[b, t] < S:
+                want[:, b, :, t_idx[b, t], :] = np.asarray(rows)[:, b, :, t, :]
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("rep_pen", [1.0, 1.2])
+def test_spec_decode_matches_plain_greedy(rep_pen):
+    """End-to-end: speculative="ngram" emits the identical token stream."""
+    params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    feats = _tiny_features(4)
+    ids = _tiny_prompt(4)
+    outs = {}
+    for spec in ("off", "ngram"):
+        rt = RuntimeConfig(token_buckets=(32, 64), speculative=spec)
+        gen = Generator(params, TINY, rt, eos_ids=frozenset({500}))
+        outs[spec] = gen.generate(
+            feats, 4, ids, max_tokens=24, repetition_penalty=rep_pen,
+        )
+    assert outs["off"] == outs["ngram"]
+
+
+def test_spec_decode_batched_matches_plain():
+    """Batched lanes with different budgets finish token-identically."""
+    params = init_decoder_params(TINY, jax.random.PRNGKey(2), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    B, n_audio = 3, 4
+    feats = jnp.asarray(
+        np.concatenate(
+            [np.asarray(_tiny_features(n_audio, seed=s)) for s in (1, 2, 3)]
+        )
+    )
+    ids = [_tiny_prompt(n_audio)] * B
+    budgets = [4, 17, 24]
+    outs = {}
+    for spec in ("off", "ngram"):
+        rt = RuntimeConfig(token_buckets=(32, 64), speculative=spec)
+        gen = Generator(params, TINY, rt, eos_ids=frozenset({500}))
+        outs[spec] = gen.generate_batch(
+            feats, [n_audio] * B, ids, max_tokens=budgets,
+            repetition_penalty=1.1,
+        )
+    assert outs["off"] == outs["ngram"]
+    for b, toks in enumerate(outs["ngram"]):
+        assert len(toks) <= budgets[b]
+
+
+def test_spec_decode_accepts_drafts_on_repetitive_stream():
+    """On a looping output the speculative loop must finish in fewer
+    forwards than tokens (i.e. drafts are genuinely accepted)."""
+    params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rt = RuntimeConfig(token_buckets=(64, 128), speculative="ngram")
+    gen = Generator(params, TINY, rt, eos_ids=frozenset({500}))
+
+    iters = {}
+    orig = gen._spec_decode
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        iters["n"] = int(np.asarray(out[2]))
+        iters["tokens"] = int(np.asarray(out[1]).sum())
+        return out
+
+    gen._spec_decode = spy
+    toks = gen.generate(
+        _tiny_features(4), 4, _tiny_prompt(4), max_tokens=48,
+        repetition_penalty=1.0,   # un-penalized tiny models loop hard
+    )
+    assert iters["tokens"] == len(toks)
+    # +1 for the prefill-sampled first token: iterations cover the rest.
+    assert iters["n"] < iters["tokens"] - 1, (
+        f"no drafts accepted: {iters['tokens']} tokens in {iters['n']} "
+        "verify forwards"
+    )
+
+
+def test_spec_ignored_for_sampled_requests():
+    """temperature > 0 must take the standard loop (spec is greedy-only)."""
+    params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    outs = {}
+    for spec in ("off", "ngram"):
+        rt = RuntimeConfig(token_buckets=(32, 64), speculative=spec)
+        gen = Generator(params, TINY, rt, eos_ids=frozenset({500}))
+        outs[spec] = gen.generate(
+            _tiny_features(4), 4, _tiny_prompt(4), max_tokens=12,
+            temperature=0.8, seed=9, top_k=8,
+        )
+    assert outs["off"] == outs["ngram"]

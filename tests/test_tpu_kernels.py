@@ -170,6 +170,29 @@ def test_kv_write_rows_batch_and_paged_on_tpu():
     )
 
 
+def test_kv_write_span_on_tpu():
+    """Speculative-verify span writer on real hardware: spans that sit
+    inside one tile, straddle a tile boundary, and overflow the cache
+    edge (dropped rows)."""
+    from qwen3_asr_tpu.ops.pallas.kv_write import kv_write_span_batch
+
+    L, B, H, S, D, T = 3, 4, 8, 640, 128, 4
+    rng = np.random.default_rng(6)
+    cache = jnp.asarray(rng.standard_normal((L, B, H, S, D)), jnp.bfloat16)
+    rows = jnp.asarray(rng.standard_normal((L, B, H, T, D)), jnp.bfloat16)
+    slots = jnp.asarray([512, 517, 526, S - 2], jnp.int32)
+
+    out = kv_write_span_batch(cache, rows, slots)
+    expected = cache
+    for b, s in enumerate(np.asarray(slots)):
+        for t in range(T):
+            if s + t < S:
+                expected = expected.at[:, b, :, s + t, :].set(rows[:, b, :, t])
+    assert np.array_equal(
+        np.asarray(out, np.float32), np.asarray(expected, np.float32)
+    )
+
+
 def test_q8_decode_kernel_and_int8_writer_on_tpu():
     """int8-cache v5 variant + 32-row-tile int8 row writer on real
     hardware (the CPU suite covers both in interpreter mode)."""
