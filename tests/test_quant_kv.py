@@ -16,7 +16,6 @@ from qwen3_asr_tpu.config import RuntimeConfig, TextDecoderConfig
 from qwen3_asr_tpu.models.decoder import (
     decoder_forward,
     init_decoder_params,
-    init_kv_cache,
 )
 from qwen3_asr_tpu.ops.quant_kv import (
     dequantize_kv,

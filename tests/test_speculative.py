@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from qwen3_asr_tpu.config import RuntimeConfig, TextDecoderConfig
+from qwen3_asr_tpu.config import RuntimeConfig
 from qwen3_asr_tpu.models.decoder import (
     decoder_forward,
     init_decoder_params,

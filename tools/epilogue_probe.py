@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from qwen3_asr_tpu.ops.sampling import (
-    RECENT_PAD_ID,
     apply_repetition_penalty,
     recent_token_window,
 )
