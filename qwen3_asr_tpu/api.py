@@ -648,9 +648,15 @@ class Qwen3ASR:
         n_pages = None
         if paged:
             tc = self._config.text_decoder
+            # Bytes per cached row: bf16 = 2*D; int8 = D + 4 (f32 scale).
+            row_bytes = (
+                tc.head_dim + 4
+                if self._runtime.kv_cache_dtype == "int8"
+                else tc.head_dim * 2
+            )
             page_bytes = (
                 tc.num_hidden_layers * tc.num_key_value_heads
-                * page_size * tc.head_dim * 2 * 2
+                * page_size * row_bytes * 2
             )
             budget_gb = (
                 kv_pool_gb

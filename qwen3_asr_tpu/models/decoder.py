@@ -886,7 +886,12 @@ def decoder_paged_step(
     nq, nkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
     scale = D ** -0.5
-    PS = keys_all.shape[3]
+    # int8 page pools ({"q", "s"} pytrees, ops/quant_kv.py): same split-
+    # attention structure; the kernel streams scale pages alongside and the
+    # post-scan writer re-quantizes the fresh rows.
+    kv_q8 = is_quantized_kv(keys_all)
+    PS = (keys_all["q"] if kv_q8 else keys_all).shape[3]
+    n_pages_total = (keys_all["q"] if kv_q8 else keys_all).shape[1]
     maxp = page_table.shape[1]
     pos_b = positions[:, None, :]
     on_tpu = _use_pallas()
@@ -904,27 +909,43 @@ def decoder_paged_step(
             (cols >= dstart) & (cols < dstart + decode_count[:, None])
         )
         cache_mask = flat_mask[:, None, None, None, :]   # (B,1,1,1,maxp*PS)
-        table_c = jnp.clip(page_table, 0, keys_all.shape[1] - 1)
+        table_c = jnp.clip(page_table, 0, n_pages_total - 1)
+
+    def gather_pages(pool, layer):
+        """CPU fallback: (B, Hkv, maxp*PS, D) compact dequantized view."""
+        if kv_q8:
+            ql = jax.lax.dynamic_index_in_dim(pool["q"], layer, 0, keepdims=False)
+            sl = jax.lax.dynamic_index_in_dim(pool["s"], layer, 0, keepdims=False)
+            pl_ = (
+                ql[table_c].astype(jnp.float32) * sl[table_c][..., None]
+            ).astype(hidden.dtype)
+        else:
+            pl_ = jax.lax.dynamic_index_in_dim(pool, layer, 0, keepdims=False)[
+                table_c
+            ]
+        return jnp.moveaxis(pl_, 2, 1).reshape(B, nkv, maxp * PS, D)
 
     def layer_fn(carry, lp):
         h, layer = carry
         q, k_new, v_new = _project_qkv(h, lp, cfg, pos_b)
 
         if on_tpu:
-            from ..ops.pallas.decode_attention_paged import (
-                decode_attention_paged,
-            )
+            if kv_q8:
+                from ..ops.pallas.decode_attention_paged import (
+                    decode_attention_paged_q8 as paged_attn,
+                )
+            else:
+                from ..ops.pallas.decode_attention_paged import (
+                    decode_attention_paged as paged_attn,
+                )
 
-            attn = decode_attention_paged(
+            attn = paged_attn(
                 q[:, :, 0, :], keys_all, values_all, k_new, v_new,
                 layer, page_table, prompt_len, decode_count, scale=scale,
             )[:, :, None, :]
         else:
-            kl = jax.lax.dynamic_index_in_dim(keys_all, layer, 0, keepdims=False)
-            vl = jax.lax.dynamic_index_in_dim(values_all, layer, 0, keepdims=False)
-            # (B, maxp, Hkv, PS, D) -> (B, Hkv, maxp*PS, D) compact view.
-            kc = jnp.moveaxis(kl[table_c], 2, 1).reshape(B, nkv, maxp * PS, D)
-            vc = jnp.moveaxis(vl[table_c], 2, 1).reshape(B, nkv, maxp * PS, D)
+            kc = gather_pages(keys_all, layer)
+            vc = gather_pages(values_all, layer)
             qg = q.reshape(B, nkv, group, 1, D)
             logits = jnp.einsum(
                 "bkgqd,bkld->bkgql", qg, kc,
@@ -953,21 +974,40 @@ def decoder_paged_step(
         layer_fn, (hidden, jnp.int32(0)), params["layers"]
     )
 
-    if on_tpu:
-        from ..ops.pallas.kv_write import kv_write_rows_paged
+    pages_c = jnp.clip(write_pages, 0, n_pages_total - 1)
 
-        new_keys = kv_write_rows_paged(keys_all, k_rows, write_pages, write_offsets)
-        new_values = kv_write_rows_paged(values_all, v_rows, write_pages, write_offsets)
-    else:
-        b_idx = jnp.arange(B)
-        pages_c = jnp.clip(write_pages, 0, keys_all.shape[1] - 1)
-        new_keys = keys_all.at[:, pages_c, :, write_offsets, :].set(
-            jnp.moveaxis(k_rows[:, :, :, 0, :], 1, 0).astype(keys_all.dtype)
+    def write_rows_paged(pool, rows):
+        # rows (L, B, nkv, 1, D).  Quantized pools re-quantize the fresh
+        # rows; the tiny f32 scale pages take a plain XLA scatter (4 B per
+        # row — a pool copy here is ~100 us at peak, noise vs the step).
+        if kv_q8:
+            qr = quantize_kv(rows)
+            if on_tpu:
+                from ..ops.pallas.kv_write import kv_write_rows_paged
+
+                qpages = kv_write_rows_paged(
+                    pool["q"], qr["q"], write_pages, write_offsets
+                )
+            else:
+                qpages = pool["q"].at[:, pages_c, :, write_offsets, :].set(
+                    jnp.moveaxis(qr["q"][:, :, :, 0, :], 1, 0)
+                )
+            spages = pool["s"].at[:, pages_c, :, write_offsets].set(
+                jnp.moveaxis(qr["s"][:, :, :, 0], 1, 0)
+            )
+            return {"q": qpages, "s": spages}
+        if on_tpu:
+            from ..ops.pallas.kv_write import kv_write_rows_paged
+
+            return kv_write_rows_paged(pool, rows, write_pages, write_offsets)
+        return pool.at[:, pages_c, :, write_offsets, :].set(
+            jnp.moveaxis(rows[:, :, :, 0, :], 1, 0).astype(pool.dtype)
         )
-        new_values = values_all.at[:, pages_c, :, write_offsets, :].set(
-            jnp.moveaxis(v_rows[:, :, :, 0, :], 1, 0).astype(values_all.dtype)
-        )
-    return hidden, (new_keys, new_values)
+
+    return hidden, (
+        write_rows_paged(keys_all, k_rows),
+        write_rows_paged(values_all, v_rows),
+    )
 
 
 def decoder_logits(params: DecoderParams, cfg: TextDecoderConfig, hidden: jax.Array) -> jax.Array:

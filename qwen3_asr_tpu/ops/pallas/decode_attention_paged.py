@@ -24,6 +24,12 @@ decode block rows while ``row < decode_count`` (= generated tokens whose
 K/V are in the cache).  Absolute slot arithmetic (prompt_bucket) does not
 exist here — position information lives entirely in RoPE.
 
+The int8 variant (:func:`decode_attention_paged_q8`) streams per-row f32
+scale pages alongside the int8 KV pages and folds the scales into the
+score / probability matrices exactly like the contiguous q8 kernel
+(decode_attention_hbm4_q8; see ops/quant_kv.py for the algebra) — the
+dominant per-step read stream halves.
+
 No reference counterpart (the reference's KV cache is a Python list of
 concatenated arrays, decoder.py:54-64); this is the paged-KV design the
 blueprint's north star names (BASELINE.json config 5).
@@ -47,15 +53,22 @@ _BLOCK_D = 128
 def _kernel(
     layer_ref, table_ref, prompt_len_ref, dcount_ref, count_ref,
     q_ref,            # (1, BH, Hkv, QPAD, D) VMEM, f32 pre-scaled
-    kall_ref,         # (L, n_pages, Hkv, PS, D) HBM
+    kall_ref,         # (L, n_pages, Hkv, PS, D) HBM (bf16, or int8)
     vall_ref,
-    knew_ref,         # (1, BH, Hkv, 1, D) VMEM
-    vnew_ref,
-    o_ref,            # (1, BH, Hkv, QPAD, D) VMEM (f32)
-    k_buf, v_buf,     # (NBUF, Hkv, PS, D)
-    k_sems, v_sems,
-    *, page_size: int, max_pages: int, per_core: int, b_pad: int,
+    *rest,
+    page_size: int, max_pages: int, per_core: int, b_pad: int,
+    quantized: bool = False,
 ):
+    # Quantized caches carry per-row f32 scale pages (L, n_pages, Hkv, PS)
+    # streamed alongside the int8 tiles; scale math folds into the score /
+    # probability matrices (see ops/quant_kv.py docstring).
+    if quantized:
+        (ks_ref, vs_ref, knew_ref, vnew_ref, o_ref,
+         k_buf, v_buf, ks_buf, vs_buf,
+         k_sems, v_sems, ks_sems, vs_sems) = rest
+    else:
+        (knew_ref, vnew_ref, o_ref, k_buf, v_buf, k_sems, v_sems) = rest
+        ks_ref = vs_ref = ks_buf = vs_buf = ks_sems = vs_sems = None
     core = pl.program_id(0)
     layer = layer_ref[0]
     my_count = count_ref[core]           # live batch elements on this core
@@ -92,51 +105,75 @@ def _kernel(
         off = jnp.where(is_p, 0, (j % blocks_per_page) * _BLOCK_D)
         return is_p, page_of(bl, p_idx), pl.multiple_of(off, _BLOCK_D)
 
+    def _copies(bl, i, slot, full):
+        """The (start-able, wait-able) async copies of block i."""
+        _, page, off = coords(bl, i)
+        if full:
+            ksel = kall_ref.at[layer, page]
+            vsel = vall_ref.at[layer, page]
+            kdst = k_buf.at[slot]
+            vdst = v_buf.at[slot]
+        else:
+            ksel = kall_ref.at[layer, page, :, pl.ds(off, _BLOCK_D), :]
+            vsel = vall_ref.at[layer, page, :, pl.ds(off, _BLOCK_D), :]
+            kdst = k_buf.at[slot, :, pl.ds(0, _BLOCK_D), :]
+            vdst = v_buf.at[slot, :, pl.ds(0, _BLOCK_D), :]
+        copies = [
+            pltpu.make_async_copy(ksel, kdst, k_sems.at[slot]),
+            pltpu.make_async_copy(vsel, vdst, v_sems.at[slot]),
+        ]
+        if quantized:
+            if full:
+                copies += [
+                    pltpu.make_async_copy(
+                        ks_ref.at[layer, page], ks_buf.at[slot],
+                        ks_sems.at[slot],
+                    ),
+                    pltpu.make_async_copy(
+                        vs_ref.at[layer, page], vs_buf.at[slot],
+                        vs_sems.at[slot],
+                    ),
+                ]
+            else:
+                copies += [
+                    pltpu.make_async_copy(
+                        ks_ref.at[layer, page, :, pl.ds(off, _BLOCK_D)],
+                        ks_buf.at[slot, :, pl.ds(0, _BLOCK_D)],
+                        ks_sems.at[slot],
+                    ),
+                    pltpu.make_async_copy(
+                        vs_ref.at[layer, page, :, pl.ds(off, _BLOCK_D)],
+                        vs_buf.at[slot, :, pl.ds(0, _BLOCK_D)],
+                        vs_sems.at[slot],
+                    ),
+                ]
+        return copies
+
     def start(bl, i, slot):
-        is_p, page, off = coords(bl, i)
+        is_p = coords(bl, i)[0]
 
         @pl.when(is_p)
         def _():
-            pltpu.make_async_copy(
-                kall_ref.at[layer, page], k_buf.at[slot], k_sems.at[slot]
-            ).start()
-            pltpu.make_async_copy(
-                vall_ref.at[layer, page], v_buf.at[slot], v_sems.at[slot]
-            ).start()
+            for c in _copies(bl, i, slot, True):
+                c.start()
 
         @pl.when(jnp.logical_not(is_p))
         def _():
-            pltpu.make_async_copy(
-                kall_ref.at[layer, page, :, pl.ds(off, _BLOCK_D), :],
-                k_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], k_sems.at[slot],
-            ).start()
-            pltpu.make_async_copy(
-                vall_ref.at[layer, page, :, pl.ds(off, _BLOCK_D), :],
-                v_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], v_sems.at[slot],
-            ).start()
+            for c in _copies(bl, i, slot, False):
+                c.start()
 
     def wait(bl, i, slot):
-        is_p, page, off = coords(bl, i)
+        is_p = coords(bl, i)[0]
 
         @pl.when(is_p)
         def _():
-            pltpu.make_async_copy(
-                kall_ref.at[layer, page], k_buf.at[slot], k_sems.at[slot]
-            ).wait()
-            pltpu.make_async_copy(
-                vall_ref.at[layer, page], v_buf.at[slot], v_sems.at[slot]
-            ).wait()
+            for c in _copies(bl, i, slot, True):
+                c.wait()
 
         @pl.when(jnp.logical_not(is_p))
         def _():
-            pltpu.make_async_copy(
-                kall_ref.at[layer, page, :, pl.ds(off, _BLOCK_D), :],
-                k_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], k_sems.at[slot],
-            ).wait()
-            pltpu.make_async_copy(
-                vall_ref.at[layer, page, :, pl.ds(off, _BLOCK_D), :],
-                v_buf.at[slot, :, pl.ds(0, _BLOCK_D), :], v_sems.at[slot],
-            ).wait()
+            for c in _copies(bl, i, slot, False):
+                c.wait()
 
     def next_coords(bl, i):
         last = i + 1 >= n_blocks(bl)
@@ -165,16 +202,20 @@ def _kernel(
         q = q_ref[0, bl].astype(jnp.bfloat16)             # (Hkv, QPAD, D)
         hkv, _, d = q.shape
 
-        def tile_update(carry, k, v, row_base, limit, width):
+        def tile_update(carry, k, v, row_base, limit, width, ks=None, vs=None):
             """Online-softmax update over one (Hkv, width, D) tile whose
             rows are compact indices [row_base, row_base+width) valid
-            while < limit."""
+            while < limit.  Quantized tiles carry per-row scales ``ks`` /
+            ``vs`` (Hkv, width): scores scale columnwise after the matmul
+            and value scales fold into the probability matrix."""
             m_prev, l_prev, acc = carry
             s = jax.lax.dot_general(
                 q, k.astype(jnp.bfloat16),
                 (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )                                              # (Hkv, QPAD, width)
+            if quantized:
+                s = s * ks[:, None, :]
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + row_base
             s = jnp.where(rows < limit, s, _MASK_VALUE)
 
@@ -185,8 +226,9 @@ def _kernel(
             l_next = alpha * l_prev + jnp.broadcast_to(
                 jnp.sum(p, axis=2, keepdims=True), l_prev.shape
             )
+            pw = p * vs[:, None, :] if quantized else p
             pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                pw.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
                 (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
@@ -213,6 +255,8 @@ def _kernel(
                 return tile_update(
                     c, k_buf[slot], v_buf[slot],
                     i * page_size, plen, page_size,
+                    ks_buf[slot] if quantized else None,
+                    vs_buf[slot] if quantized else None,
                 )
 
             def on_decode(c):
@@ -221,6 +265,8 @@ def _kernel(
                     k_buf[slot, :, : _BLOCK_D, :],
                     v_buf[slot, :, : _BLOCK_D, :],
                     j * _BLOCK_D, dcount, _BLOCK_D,
+                    ks_buf[slot, :, : _BLOCK_D] if quantized else None,
+                    vs_buf[slot, :, : _BLOCK_D] if quantized else None,
                 )
 
             m, l, acc = jax.lax.cond(
@@ -256,27 +302,13 @@ def _kernel(
     jax.lax.while_loop(lambda st: st[0] < my_count, b_loop, (0, 0))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("scale", "interpret"),
-)
-def decode_attention_paged(
-    q: jax.Array,            # (B, Hq, D)
-    kall: jax.Array,         # (L, n_pages, Hkv, page_size, D)
-    vall: jax.Array,
-    k_new: jax.Array,        # (B, Hkv, 1, D)
-    v_new: jax.Array,
-    layer: jax.Array,
-    page_table: jax.Array,   # (B, max_pages) int32 physical page ids
-    prompt_len: jax.Array,   # (B,) valid prompt rows
-    decode_count: jax.Array, # (B,) valid decode rows already in cache
-    scale: float | None = None,
-    interpret: bool = False,
-) -> jax.Array:
-    """Paged flash-decode over a page-pool KV cache.
-
-    ``page_size`` (from ``kall.shape[3]``) must be a multiple of 128.
-    """
+def _paged_call(
+    q, kall, vall, ks, vs, k_new, v_new, layer, page_table, prompt_len,
+    decode_count, scale, interpret,
+):
+    """Shared host-side wiring for the bf16 and int8 page-pool variants
+    (``ks``/``vs`` are the per-row scale pools, None for bf16)."""
+    quantized = ks is not None
     B, hq, D = q.shape
     hkv, page_size = kall.shape[2], kall.shape[3]
     max_pages = page_table.shape[1]
@@ -318,31 +350,46 @@ def decode_attention_paged(
         ((0, b_pad - B), (0, 0)),
     ).reshape(-1)
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, per_core, hkv, _QPAD, D), lambda c, *_: (c, 0, 0, 0, 0)
+        ),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    operands = [kall, vall]
+    scratch = [
+        pltpu.VMEM((_NBUF, hkv, page_size, D), kall.dtype),
+        pltpu.VMEM((_NBUF, hkv, page_size, D), vall.dtype),
+    ]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        operands += [ks, vs]
+        scratch += [
+            pltpu.VMEM((_NBUF, hkv, page_size), jnp.float32),
+            pltpu.VMEM((_NBUF, hkv, page_size), jnp.float32),
+        ]
+    in_specs += [
+        pl.BlockSpec(
+            (1, per_core, hkv, 1, D), lambda c, *_: (c, 0, 0, 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, per_core, hkv, 1, D), lambda c, *_: (c, 0, 0, 0, 0)
+        ),
+    ]
+    scratch += [pltpu.SemaphoreType.DMA((_NBUF,))] * (4 if quantized else 2)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(cores,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, per_core, hkv, _QPAD, D), lambda c, *_: (c, 0, 0, 0, 0)
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(
-                (1, per_core, hkv, 1, D), lambda c, *_: (c, 0, 0, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, per_core, hkv, 1, D), lambda c, *_: (c, 0, 0, 0, 0)
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, per_core, hkv, _QPAD, D), lambda c, *_: (c, 0, 0, 0, 0)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((_NBUF, hkv, page_size, D), kall.dtype),
-            pltpu.VMEM((_NBUF, hkv, page_size, D), vall.dtype),
-            pltpu.SemaphoreType.DMA((_NBUF,)),
-            pltpu.SemaphoreType.DMA((_NBUF,)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         functools.partial(
@@ -351,6 +398,7 @@ def decode_attention_paged(
             max_pages=max_pages,
             per_core=per_core,
             b_pad=b_pad,
+            quantized=quantized,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (cores, per_core, hkv, _QPAD, D), jnp.float32
@@ -367,10 +415,63 @@ def decode_attention_paged(
         dcount_p,
         counts,
         qg,
-        kall,
-        vall,
+        *operands,
         knew_p,
         vnew_p,
     )
     out = out.reshape(b_pad, hkv, _QPAD, D)[:B, :, :group, :]
     return out.reshape(B, hq, D).astype(q.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret"),
+)
+def decode_attention_paged(
+    q: jax.Array,            # (B, Hq, D)
+    kall: jax.Array,         # (L, n_pages, Hkv, page_size, D)
+    vall: jax.Array,
+    k_new: jax.Array,        # (B, Hkv, 1, D)
+    v_new: jax.Array,
+    layer: jax.Array,
+    page_table: jax.Array,   # (B, max_pages) int32 physical page ids
+    prompt_len: jax.Array,   # (B,) valid prompt rows
+    decode_count: jax.Array, # (B,) valid decode rows already in cache
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Paged flash-decode over a page-pool KV cache.
+
+    ``page_size`` (from ``kall.shape[3]``) must be a multiple of 128.
+    """
+    return _paged_call(
+        q, kall, vall, None, None, k_new, v_new, layer, page_table,
+        prompt_len, decode_count, scale, interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret"),
+)
+def decode_attention_paged_q8(
+    q: jax.Array,            # (B, Hq, D)
+    kall: dict,              # {"q": int8 (L, n_pages, Hkv, PS, D),
+                             #  "s": f32 (L, n_pages, Hkv, PS)}
+    vall: dict,
+    k_new: jax.Array,        # (B, Hkv, 1, D) — fresh rows stay bf16
+    v_new: jax.Array,
+    layer: jax.Array,
+    page_table: jax.Array,
+    prompt_len: jax.Array,
+    decode_count: jax.Array,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 page-pool variant: streams half the KV bytes per step plus
+    tiny per-row scale pages; equals the bf16 kernel over the dequantized
+    pool to bf16 tolerance (ops/quant_kv.py scale folding)."""
+    return _paged_call(
+        q, kall["q"], vall["q"], kall["s"], vall["s"], k_new, v_new,
+        layer, page_table, prompt_len, decode_count, scale, interpret,
+    )

@@ -192,17 +192,17 @@ def kv_write_span_batch(
     )(slots.astype(jnp.int32), rows.astype(cache.dtype), cache)
 
 
-def _kernel_paged(pages_ref, offs_ref, rows_ref, cache_ref, out_ref, buf, sem):
+def _kernel_paged(pages_ref, offs_ref, rows_ref, cache_ref, out_ref, buf, sem, *, tile):
     # Paged cache (L, n_pages, H, PS, D): grid (L, B); each cell
-    # read-modify-writes the 8-row tile of sequence b's current page.
+    # read-modify-writes the ``tile``-row tile of sequence b's current page.
     layer = pl.program_id(0)
     b = pl.program_id(1)
     page = pages_ref[b]
     off = offs_ref[b]
-    aligned = (off // 8) * 8
+    aligned = (off // tile) * tile
     in_tile = off - aligned
 
-    tile_src = out_ref.at[layer, page, :, pl.ds(aligned, 8), :]
+    tile_src = out_ref.at[layer, page, :, pl.ds(aligned, tile), :]
     fetch = pltpu.make_async_copy(tile_src, buf, sem)
     fetch.start()
     fetch.wait()
@@ -226,6 +226,7 @@ def kv_write_rows_paged(
     (page, offset) — the paged engine's decode-step writer."""
     L, n_pages, H, PS, D = cache.shape
     B = rows.shape[1]
+    tile = _tile_rows(cache.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(L, B),
@@ -237,12 +238,12 @@ def kv_write_rows_paged(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((H, 8, D), cache.dtype),
+            pltpu.VMEM((H, tile, D), cache.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
-        _kernel_paged,
+        functools.partial(_kernel_paged, tile=tile),
         out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
         grid_spec=grid_spec,
         input_output_aliases={3: 0},  # (pages, offs, rows, cache)

@@ -46,6 +46,7 @@ from ..models.decoder import (
     embed_tokens,
     init_kv_cache,
 )
+from ..ops.quant_kv import is_quantized_kv, quantize_kv
 from ..ops.sampling import (
     RECENT_PAD_ID,
     apply_repetition_penalty,
@@ -152,6 +153,21 @@ class DecodeEngine:
         self._eos_ids = generator._eos_ids
 
         dtype = jnp.result_type(generator.params["final_norm"])
+        # RuntimeConfig.kv_cache_dtype = "int8": the persistent slot cache
+        # stores int8 rows + per-row f32 scales ({"q", "s"} pytrees,
+        # ops/quant_kv.py) — the dominant decode-time read stream halves
+        # and the same KV budget holds twice the slots.  Prompt K/V is
+        # quantized once at admission; fresh rows quantize on write.
+        self.kv_dtype = getattr(generator.runtime, "kv_cache_dtype", "bf16")
+
+        def alloc_cache(shape):
+            if self.kv_dtype == "int8":
+                return {
+                    "q": jnp.zeros(shape, jnp.int8),
+                    "s": jnp.ones(shape[:-1], jnp.float32),
+                }
+            return jnp.zeros(shape, dtype)
+
         self.paged = paged
         if paged:
             # Page-pool cache: each slot owns only the pages its prompt +
@@ -176,17 +192,26 @@ class DecodeEngine:
                 L, n_pages, self.cfg.num_key_value_heads,
                 page_size, self.cfg.head_dim,
             )
-            self._keys = jnp.zeros(shape, dtype)
-            self._values = jnp.zeros(shape, dtype)
+            self._keys = alloc_cache(shape)
+            self._values = alloc_cache(shape)
             self._page_table = np.zeros((n_slots, self.max_pages), np.int32)
             self._free_pages: list[int] = list(range(n_pages - 1, 0, -1))
             self._pp = np.zeros(n_slots, np.int32)        # prompt pages
             self._dp_alloc = np.zeros(n_slots, np.int32)  # decode pages
             self._paused = np.zeros(n_slots, bool)        # out-of-pages
         else:
-            self._keys, self._values = init_kv_cache(
-                self.cfg, n_slots, self.cache_len, dtype
-            )
+            if self.kv_dtype == "int8":
+                shape = (
+                    self.cfg.num_hidden_layers, n_slots,
+                    self.cfg.num_key_value_heads, self.cache_len,
+                    self.cfg.head_dim,
+                )
+                self._keys = alloc_cache(shape)
+                self._values = alloc_cache(shape)
+            else:
+                self._keys, self._values = init_kv_cache(
+                    self.cfg, n_slots, self.cache_len, dtype
+                )
         self._tokens = jnp.zeros((n_slots, token_bucket), jnp.int32)
 
         # Control state lives in TWO places:
@@ -364,8 +389,18 @@ class DecodeEngine:
     ):
         """Write a prefill group's prompt K/V + first token into its slots."""
         pb_g = kg.shape[3]
-        keys = keys.at[:, slots, :, :pb_g, :].set(kg.astype(keys.dtype))
-        values = values.at[:, slots, :, :pb_g, :].set(vg.astype(values.dtype))
+
+        def put(cache, grp):
+            if is_quantized_kv(cache):
+                qg = quantize_kv(grp)
+                return {
+                    "q": cache["q"].at[:, slots, :, :pb_g, :].set(qg["q"]),
+                    "s": cache["s"].at[:, slots, :, :pb_g].set(qg["s"]),
+                }
+            return cache.at[:, slots, :, :pb_g, :].set(grp.astype(cache.dtype))
+
+        keys = put(keys, kg)
+        values = put(values, vg)
         tokens = tokens.at[slots, :].set(0)
         tokens = tokens.at[slots, 0].set(first_tokens)
         counts = counts.at[slots].set(1)
@@ -523,14 +558,27 @@ class DecodeEngine:
         L, Bg, H, pb_g, D = kg.shape
         PS = self.page_size
         npg = pb_g // PS
-        src_k = kg.reshape(L, Bg, H, npg, PS, D).transpose(
-            0, 1, 3, 2, 4, 5
-        ).reshape(L, Bg * npg, H, PS, D)
-        src_v = vg.reshape(L, Bg, H, npg, PS, D).transpose(
-            0, 1, 3, 2, 4, 5
-        ).reshape(L, Bg * npg, H, PS, D)
-        keys = keys.at[:, dst_pages].set(src_k.astype(keys.dtype))
-        values = values.at[:, dst_pages].set(src_v.astype(values.dtype))
+
+        def put(pool, grp):
+            if is_quantized_kv(pool):
+                qg = quantize_kv(grp)
+                src_q = qg["q"].reshape(L, Bg, H, npg, PS, D).transpose(
+                    0, 1, 3, 2, 4, 5
+                ).reshape(L, Bg * npg, H, PS, D)
+                src_s = qg["s"].reshape(L, Bg, H, npg, PS).transpose(
+                    0, 1, 3, 2, 4
+                ).reshape(L, Bg * npg, H, PS)
+                return {
+                    "q": pool["q"].at[:, dst_pages].set(src_q),
+                    "s": pool["s"].at[:, dst_pages].set(src_s),
+                }
+            src = grp.reshape(L, Bg, H, npg, PS, D).transpose(
+                0, 1, 3, 2, 4, 5
+            ).reshape(L, Bg * npg, H, PS, D)
+            return pool.at[:, dst_pages].set(src.astype(pool.dtype))
+
+        keys = put(keys, kg)
+        values = put(values, vg)
         tokens = tokens.at[slots, :].set(0)
         tokens = tokens.at[slots, 0].set(first_tokens)
         counts = counts.at[slots].set(1)
