@@ -193,6 +193,13 @@ class Qwen3ASR:
         self._fused_prefill = jax.jit(
             self._fused_prefill_impl, static_argnames=("n_frames", "cache_len")
         )
+        self._cold_pipeline = jax.jit(
+            self._cold_pipeline_impl,
+            static_argnames=(
+                "n_frames", "cache_len", "token_bucket", "mode",
+                "rep_window", "k_subset",
+            ),
+        )
 
     def _fused_prefill_impl(
         self, enc_params, dec_params, padded, n_valid_frames, ids,
@@ -216,6 +223,41 @@ class Qwen3ASR:
         return self._generator._prefill_impl(
             dec_params, features, ids, n_audio, prompt_len, cache_len
         )
+
+    def _cold_pipeline_impl(
+        self, enc_params, dec_params, padded, n_valid_frames, ids,
+        n_audio, prompt_len, max_new, seed, temperature, top_k, top_p,
+        repetition_penalty, repetition_context,
+        n_frames, cache_len, token_bucket, mode, rep_window, k_subset,
+    ):
+        """The ENTIRE first transcription as one device program: fused
+        prefill + first token + a fixed-``token_bucket - 1``-step scan
+        decode (token-identical to the while program — post-done
+        iterations are write-masked, same body closure).
+
+        Why one program: on the axon backend each distinct program's
+        first per-process execution pays a server-side compile round with
+        60-500 s shared-service variance that the client's persistent
+        cache cannot avoid (measured in docs/PERFORMANCE.md round-3 cold
+        start) — TTFT is the number of rounds on the first-call path
+        times that variance, so prefill + decode fused into one program
+        halves it.  Returns (tokens, counts).
+        """
+        kv, first_logits = self._fused_prefill_impl(
+            enc_params, dec_params, padded, n_valid_frames, ids,
+            n_audio, prompt_len, n_frames, cache_len,
+        )
+        gen = self._generator
+        state, body, _ = gen._decode_setup(
+            dec_params, kv, first_logits, prompt_len, max_new, seed,
+            temperature, top_k, top_p, repetition_penalty,
+            repetition_context, token_bucket, mode, rep_window, k_subset,
+        )
+        state, _ = jax.lax.scan(
+            lambda c, _: (body(c), None), state, None,
+            length=token_bucket - 1,
+        )
+        return state[1], state[2]
 
     # ------------------------------------------------------------------
 
@@ -544,7 +586,92 @@ class Qwen3ASR:
                 audio_token_bucket, max(prompt_lens), max(max_tokens_list),
                 batch=B,
             )
-            ids = gen.pack_prompts(prompts, prompt_bucket)
+            # Prefill runs only the 64-aligned length covering the real
+            # prompts; the cache keeps the 256-aligned bucket geometry
+            # (the fresh-prefill path pads the built cache to cache_len).
+            run_len = self._runtime.plan_prefill_run(
+                max(prompt_lens), prompt_bucket
+            )
+            ids = gen.pack_prompts(prompts, run_len)
+
+        # Fused cold pipeline: while the steady-state decode program is
+        # not yet warm, single-group requests run the ENTIRE pipeline as
+        # one program — one backend compile round instead of two
+        # (prefill + decode); see Generator.cold_plan.
+        gs_cold = self._runtime.prefill_group_size or B
+        cold = None
+        if gs_cold >= B:
+            cold = gen.cold_plan(
+                B, cache_len, token_bucket, temperature, top_k,
+                repetition_penalty, repetition_context_size,
+            )
+        if cold is not None:
+            key, statics, kv_shape, kv_dtype = cold
+            with stage_timer(stats, "cold_pipeline"):
+                padded = host_pad_batch(transport, bucket, N_FFT, HOP_LENGTH)
+                n_valid_np = np.asarray(n_valid, np.int32)
+                tokens, counts = self._cold_pipeline(
+                    self._encoder_params,
+                    self._decoder_params,
+                    jax.device_put(padded),
+                    jax.device_put(n_valid_np),
+                    jax.device_put(ids),
+                    jax.device_put(np.asarray(n_audio, np.int32)),
+                    jax.device_put(np.asarray(prompt_lens, np.int32)),
+                    jax.device_put(
+                        np.asarray(
+                            [min(m, token_bucket) for m in max_tokens_list],
+                            np.int32,
+                        )
+                    ),
+                    jnp.uint32(seed),
+                    jnp.float32(temperature),
+                    jnp.int32(top_k),
+                    jnp.float32(top_p),
+                    jnp.float32(repetition_penalty),
+                    jnp.int32(repetition_context_size),
+                    n_frames=bucket,
+                    cache_len=cache_len,
+                    token_bucket=statics[0],
+                    mode=statics[1],
+                    rep_window=statics[2],
+                    k_subset=statics[3],
+                )
+                token_lists = gen.harvest(
+                    tokens, counts, B, list(max_tokens_list), token_bucket
+                )
+
+            # When the background warm spawns (2nd cold-served call), it
+            # also warms the standalone fused prefill this request shape
+            # needs once the while program takes over.
+            pad_shape, pad_dtype = padded.shape, padded.dtype
+            ids_arr = ids
+
+            def _warm_prefill():
+                out = self._fused_prefill(
+                    self._encoder_params,
+                    self._decoder_params,
+                    jnp.zeros(pad_shape, pad_dtype),
+                    jnp.ones((B,), jnp.int32),
+                    jax.device_put(ids_arr),
+                    jnp.ones((B,), jnp.int32),
+                    jnp.full((B,), max(prompt_lens), jnp.int32),
+                    bucket,
+                    cache_len,
+                )
+                np.asarray(out[1])
+                logger.info("standalone fused prefill warm for B=%d", B)
+
+            gen.note_cold(
+                key, B, statics, kv_shape, kv_dtype,
+                extra_warm=_warm_prefill,
+            )
+            token_lists = token_lists[:n_real]
+            stats.n_generated_tokens = sum(len(t) for t in token_lists)
+            logger.debug(
+                "transcribe stats (batch=%d, cold): %s", B, stats.as_dict()
+            )
+            return token_lists, stats
 
         with stage_timer(stats, "prefill"):
             # The prefill runs in sub-groups dispatched back-to-back WITHOUT
@@ -720,7 +847,8 @@ class Qwen3ASR:
         atb = bucket // self._config.audio_encoder.chunk_frames * \
             self._config.audio_encoder.tokens_per_chunk
         pb_g = gen.plan(atb, max(prompt_lens), 1)[0]
-        ids = gen.pack_prompts(prompts, pb_g)
+        run_g = self._runtime.plan_prefill_run(max(prompt_lens), pb_g)
+        ids = gen.pack_prompts(prompts, run_g)
         padded = host_pad_batch(transport, bucket, N_FFT, HOP_LENGTH)
         kv, first_logits = self._fused_prefill(
             self._encoder_params,

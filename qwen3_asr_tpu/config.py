@@ -294,12 +294,36 @@ class RuntimeConfig:
     # bridge's seconds-scale reload.
     progressive_decode: str = "auto"
     bridge_steps: int = 16
+    # Fused cold pipeline (round-3 cold-start finding): on the axon
+    # backend every DISTINCT program pays a server-side compile round at
+    # its first per-process execution (60-500 s shared-service variance,
+    # unaffected by the client's persistent cache), so TTFT ~= service
+    # rounds on the first-call path.  When enabled, the first
+    # transcription per shape runs mel->encoder->prefill->first-token->
+    # fixed-length-scan-decode as ONE program (one round instead of
+    # prefill + bridge), and keeps serving until the background
+    # while-program warm lands.  Applies to single-prefill-group bf16
+    # single-chip requests with token budgets <= cold_scan_max_steps
+    # (a fixed-length scan always runs its full budget; at B=1 a 2048-
+    # step tail costs ~11 s — noise next to the saved compile round).
+    cold_fused_first_call: bool = True
+    cold_scan_max_steps: int = 2048
     # Pad the batch dimension of transcribe_batch to a bucket (powers of
     # two below 8, multiples of 8 above; exact multiples of 8 pass
     # through unpadded).  Bounds the number of compiled decode-program
     # batch widths a server with varying batch sizes can hit — without
     # it, every never-seen width pays a full XLA compile mid-traffic.
     batch_bucketing: bool = True
+    # Prefill run-length granularity.  The KV cache's prompt region is
+    # 256-aligned (flash tiling / decode-kernel blocks), but the prefill
+    # FORWARD only needs to cover the real prompt: running it over a
+    # finer 64-aligned length skips the padded tail's dense matmuls
+    # (~20% of prefill FLOPs at the 30 s bucket: 408 real of 512 rows —
+    # docs/PERFORMANCE.md round-3 model).  Trimmed lengths above 1024
+    # round to 256 instead (single-tile flash is VMEM-bounded); 0
+    # disables trimming (prefill always runs the full prompt bucket).
+    # Each distinct trimmed length compiles once (persistently cached).
+    prefill_run_granularity: int = 64
 
     def pick_bucket(self, value: int, buckets: tuple[int, ...]) -> int:
         for b in buckets:
@@ -326,3 +350,17 @@ class RuntimeConfig:
         """Static candidate-pool size covering the request's ``top_k``."""
         want = min(max(top_k, 0), vocab_size)
         return self.pick_bucket(want, self.top_k_subset_buckets)
+
+    def plan_prefill_run(self, max_prompt_len: int, prompt_bucket: int) -> int:
+        """Prefill forward length covering ``max_prompt_len`` at the
+        configured granularity (<= ``prompt_bucket``; cache geometry is
+        unaffected — the fresh-prefill cache pads to the full bucket)."""
+        g = self.prefill_run_granularity
+        if not g:
+            return prompt_bucket
+        run = -(-max_prompt_len // g) * g
+        if run > 1024:
+            # Long prompts stay 256-aligned: the flash kernel's
+            # single-tile fallback for non-256-multiples is VMEM-bounded.
+            run = -(-max_prompt_len // 256) * 256
+        return min(max(run, g), prompt_bucket)

@@ -79,6 +79,21 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu" and not _SPMD
 
 
+#: KV-cache row writers: "auto" = aliased Pallas writers on TPU (in-place,
+#: no full-cache copy), "xla" = plain XLA scatters/updates (XLA copies the
+#: cache per step — ~0.3 ms at B=1, ~4 ms at B=32).  The XLA mode exists
+#: for first-flight programs: on the axon backend, decode programs
+#: containing scalar-prefetch/aliased Pallas calls stall for minutes at
+#: their first per-process execution even on a persistent-cache hit
+#: (docs/PERFORMANCE.md cold start), while pallas-free programs execute
+#: immediately.
+KV_WRITER_MODE = __import__("os").environ.get("QWEN3_ASR_KV_WRITER", "auto")
+
+
+def _use_pallas_writer() -> bool:
+    return _use_pallas() and KV_WRITER_MODE != "xla"
+
+
 def _spmd_kernels_env() -> str:
     """QWEN3_ASR_SPMD_KERNELS: "auto" (kernels on real TPU meshes), "0"
     (force the XLA paths), "interpret" (force the shard_map kernel path
@@ -399,9 +414,12 @@ def decoder_forward(
 
     if attn_impl == "auto":
         if fresh_prefill:
+            # 256-multiples use the tiled grid; 64-aligned trimmed runs
+            # (RuntimeConfig.prefill_run_granularity) up to 1024 take the
+            # kernel's single-tile fallback.
             flash_ok = (
                 PREFILL_FLASH_ENABLED
-                and T % 256 == 0
+                and (T % 256 == 0 or (T % 64 == 0 and T <= 1024))
                 and cfg.head_dim % 128 == 0
                 and _use_pallas()
             )
@@ -660,7 +678,7 @@ def decoder_forward(
         # is read by attention earlier in the same iteration, defeating its
         # aliasing analysis; xprof measured ~4 ms/step at batch 32).
         def write_dense(cache, rows):
-            if _use_pallas():
+            if _use_pallas_writer():
                 from ..ops.pallas.kv_write import (
                     kv_write_rows,
                     kv_write_rows_batch,
@@ -775,7 +793,7 @@ def decoder_forward(
 
         def write_span(cache, rows):
             # rows (L, B, nkv, T, D) at slots ws_b .. ws_b + T per lane.
-            if _use_pallas():
+            if _use_pallas_writer():
                 from ..ops.pallas.kv_write import kv_write_span_batch
 
                 return kv_write_span_batch(cache, rows, ws_b)
@@ -982,7 +1000,7 @@ def decoder_paged_step(
         # row — a pool copy here is ~100 us at peak, noise vs the step).
         if kv_q8:
             qr = quantize_kv(rows)
-            if on_tpu:
+            if _use_pallas_writer():
                 from ..ops.pallas.kv_write import kv_write_rows_paged
 
                 qpages = kv_write_rows_paged(
@@ -996,7 +1014,7 @@ def decoder_paged_step(
                 jnp.moveaxis(qr["s"][:, :, :, 0], 1, 0)
             )
             return {"q": qpages, "s": spages}
-        if on_tpu:
+        if _use_pallas_writer():
             from ..ops.pallas.kv_write import kv_write_rows_paged
 
             return kv_write_rows_paged(pool, rows, write_pages, write_offsets)

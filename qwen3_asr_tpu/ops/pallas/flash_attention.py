@@ -120,7 +120,17 @@ def flash_attention_causal(
     while block_k > 128 and T % block_k:
         block_k //= 2
     if T % block_q or T % block_k:
-        raise ValueError(f"T={T} not a multiple of blocks ({block_q}, {block_k})")
+        # Trimmed prefill runs (RuntimeConfig.prefill_run_granularity) are
+        # 64-aligned, not 256-aligned.  For those, one (T, T) tile per
+        # (batch, head) keeps full-width MXU matmuls — a 64-row block grid
+        # would halve MXU row occupancy instead.  VMEM: the f32 score tile
+        # is T*T*4 B (4 MB at the 1024 cap).
+        if T <= 1024 and T % 8 == 0:
+            block_q = block_k = T
+        else:
+            raise ValueError(
+                f"T={T} not a multiple of blocks ({block_q}, {block_k})"
+            )
     kv_tiles = T // block_k
 
     grid = (B, hq, T // block_q, kv_tiles)

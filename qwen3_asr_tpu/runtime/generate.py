@@ -62,8 +62,12 @@ class Generator:
         # The KV cache (arg 1) is donated: the decode loop reuses the
         # prefill's buffer in place instead of holding input + carry copies
         # (2 x 2.8 GB at the 20-minute bucket — the difference between
-        # fitting and OOM on a 16 GB chip).
-        donate = (1,) if jax.default_backend() == "tpu" else ()
+        # fitting and OOM on a 16 GB chip).  QWEN3_ASR_DONATE=0 disables
+        # (first-execution stall diagnosis, docs/PERFORMANCE.md).
+        import os as _os
+
+        donate_ok = _os.environ.get("QWEN3_ASR_DONATE", "1") != "0"
+        donate = (1,) if donate_ok and jax.default_backend() == "tpu" else ()
         self._decode = jax.jit(
             self._decode_impl,
             static_argnames=("token_bucket", "mode", "rep_window", "k_subset"),
@@ -94,7 +98,7 @@ class Generator:
                 "bridge_steps",
             ),
             donate_argnums=(
-                tuple(range(1, 8)) if jax.default_backend() == "tpu" else ()
+                tuple(range(1, 8)) if donate else ()
             ),
         )
         # Speculative greedy decode (RuntimeConfig.speculative="ngram").
@@ -110,15 +114,13 @@ class Generator:
         # are donated so peak memory never holds both copies.
         self._quantize_cache = jax.jit(
             quantize_kv_cache,
-            donate_argnums=(
-                (0,) if jax.default_backend() == "tpu" else ()
-            ),
+            donate_argnums=((0,) if donate else ()),
         )
         import threading
 
         self._compiled_keys: set = set()
         self._compiling_keys: set = set()
-        self._bridge_seen: dict = {}   # key -> (kv_specs, B, statics, hits)
+        self._bridge_seen: dict = {}   # key -> (kv_specs, B, statics, hits, extra_warm)
         self._compile_lock = threading.Lock()
 
     # -- prefill ----------------------------------------------------------
@@ -497,10 +499,14 @@ class Generator:
                 return None
         return key
 
-    def _spawn_warm_compile(self, key, kv_specs, B: int, statics) -> None:
+    def _spawn_warm_compile(
+        self, key, kv_specs, B: int, statics, extra_warm=None
+    ) -> None:
         """Compile the steady-state while program in a daemon thread (a
         dummy max_new=1 run seeds the jit cache — AOT lower().compile()
-        does not).  One thread per key."""
+        does not).  One thread per key.  ``extra_warm`` (optional
+        callable) runs afterwards in the same thread — used by the cold
+        pipeline to warm the standalone fused prefill too."""
         import threading
 
         with self._compile_lock:
@@ -530,6 +536,8 @@ class Generator:
                 with self._compile_lock:
                     self._compiled_keys.add(key)
                 logger.info("decode while-program ready for %s", key[:2])
+                if extra_warm is not None:
+                    extra_warm()
             except Exception as exc:  # noqa: BLE001 — bridge keeps serving
                 logger.warning("background decode compile failed: %s", exc)
             finally:
@@ -550,8 +558,10 @@ class Generator:
                 (k, v) for k, v in self._bridge_seen.items()
                 if k not in self._compiled_keys
             ]
-        for key, (kv_specs, B, statics, _) in pending:
-            self._spawn_warm_compile(key, kv_specs, B, statics)
+        for key, (kv_specs, B, statics, _, extra_warm) in pending:
+            self._spawn_warm_compile(
+                key, kv_specs, B, statics, extra_warm=extra_warm
+            )
         deadline = None if timeout is None else time.monotonic() + timeout
         while True:
             with self._compile_lock:
@@ -589,8 +599,8 @@ class Generator:
         # that blocks the NEXT process for its full duration (measured:
         # a 1500 s stall).  wait_ready() force-spawns for servers/benches.
         with self._compile_lock:
-            hits = self._bridge_seen.get(key, (None, None, None, 0))[3] + 1
-            self._bridge_seen[key] = (kv_specs, B, statics, hits)
+            hits = self._bridge_seen.get(key, (None, None, None, 0, None))[3] + 1
+            self._bridge_seen[key] = (kv_specs, B, statics, hits, None)
         may_spawn = hits >= 2
         while steps < token_bucket - 1 and not bool(done_host.all()):
             state = self._decode_resume(
@@ -604,6 +614,78 @@ class Generator:
         if may_spawn and not spawned:
             self._spawn_warm_compile(key, kv_specs, B, statics)
         return state[1], state[2]
+
+    # -- fused cold pipeline routing ---------------------------------------
+
+    def cold_plan(
+        self, B: int, cache_len: int, token_bucket: int,
+        temperature: float, top_k: int, repetition_penalty: float,
+        repetition_context_size: int,
+    ):
+        """(key, statics, kv_shape, kv_dtype) when the api's fused
+        cold-pipeline program should serve this request, else None.
+
+        Round-3 cold-start finding (docs/PERFORMANCE.md): on the axon
+        backend every DISTINCT program pays a server-side compile round
+        at its first per-process execution — 60-500 s of shared-service
+        variance that the client's persistent cache cannot avoid.  TTFT
+        is therefore ~(service rounds on the first-call path); fusing
+        mel->encoder->prefill->fixed-length-scan-decode into ONE program
+        halves it.  The cold program keeps serving until the
+        steady-state while program is warm (spawned via note_cold),
+        so repeat calls never stall on a bridge compile either.
+        """
+        rt = self.runtime
+        prog = rt.progressive_decode
+        enabled = prog == "on" or (
+            prog == "auto" and jax.default_backend() == "tpu"
+        )
+        if not (enabled and rt.cold_fused_first_call):
+            return None
+        if rt.kv_cache_dtype != "bf16" or rt.speculative == "ngram":
+            return None
+        if rt.dp * rt.tp > 1:
+            return None
+        if token_bucket - 1 > rt.cold_scan_max_steps:
+            return None
+        mode, rep_window, k_subset = self.plan_statics(
+            token_bucket, temperature, top_k, repetition_penalty,
+            repetition_context_size,
+        )
+        statics = (token_bucket, mode, rep_window, k_subset)
+        kv_dtype = jnp.result_type(self.params["final_norm"])
+        kv_shape = (
+            self.cfg.num_hidden_layers, B, self.cfg.num_key_value_heads,
+            cache_len, self.cfg.head_dim,
+        )
+        key = (B, (tuple(kv_shape), str(jnp.dtype(kv_dtype))), *statics)
+        with self._compile_lock:
+            if key in self._compiled_keys:
+                return None
+        return key, statics, kv_shape, kv_dtype
+
+    def note_cold(
+        self, key, B: int, statics, kv_shape, kv_dtype, extra_warm=None,
+    ) -> None:
+        """Bookkeeping after a cold-pipeline-served request: same
+        hits-counting as the bridge (the background while-program warm is
+        spawned only once the process has shown it is long-lived — a
+        one-shot CLI exiting mid-compile orphans a server-side compile
+        that blocks the NEXT process).  ``extra_warm`` runs in the warm
+        thread after the while program lands (the api passes a dummy
+        fused-prefill run so the steady-state path is fully warm before
+        any foreground call needs it)."""
+        treedef = jax.tree_util.tree_structure((0, 0))
+        kv_specs = (
+            [(kv_shape, kv_dtype), (kv_shape, kv_dtype)], treedef
+        )
+        with self._compile_lock:
+            hits = self._bridge_seen.get(key, (None, None, None, 0, None))[3] + 1
+            self._bridge_seen[key] = (kv_specs, B, statics, hits, extra_warm)
+        if hits >= 2:
+            self._spawn_warm_compile(
+                key, kv_specs, B, statics, extra_warm=extra_warm
+            )
 
     # -- public API -------------------------------------------------------
 
@@ -671,7 +753,11 @@ class Generator:
         prompt_bucket, token_bucket, cache_len = self.plan(
             features.shape[1], max(prompt_lens), max(max_tokens)
         )
-        ids = self.pack_prompts(input_ids, prompt_bucket)
+        # The prefill forward covers only the trimmed 64-aligned run; the
+        # cache itself keeps the 256-aligned bucket geometry (padded by
+        # the fresh-prefill path).
+        run_len = self.runtime.plan_prefill_run(max(prompt_lens), prompt_bucket)
+        ids = self.pack_prompts(input_ids, run_len)
 
         kv, first_logits = self._prefill(
             self.params,
@@ -746,34 +832,20 @@ class Generator:
             ids[b, : len(seq)] = seq
         return ids
 
-    def decode(
-        self,
-        kv,
-        first_logits,
-        prompt_lens: list[int],
-        max_tokens: list[int],
-        token_bucket: int,
-        temperature: float = 0.0,
-        top_p: float = 1.0,
-        top_k: int = 0,
-        repetition_penalty: float = 1.0,
-        repetition_context_size: int = 100,
-        seed: int = 0,
-    ) -> list[list[int]]:
-        """Run the compiled decode loop and fetch per-sequence token lists."""
+    def plan_statics(
+        self, token_bucket: int, temperature: float, top_k: int,
+        repetition_penalty: float, repetition_context_size: int,
+    ) -> tuple[str, int, int]:
+        """(mode, rep_window, k_subset) — the per-request static sizing.
+
+        The smallest compiled window/subset bucket covering the request
+        (one compile per bucket ever hit).  Parity: the reference honors
+        arbitrary repetition_context_size and top_k (generate.py:88-141);
+        only values beyond the largest configured bucket still clamp,
+        with a logged warning.
+        """
         from ..utils.telemetry import logger
 
-        # Opt-in int8 cache (ops/quant_kv.py): quantize the freshly
-        # prefilled bf16 cache once; the decode programs then stream half
-        # the KV bytes per step and write fresh rows quantized.
-        if self.runtime.kv_cache_dtype == "int8" and not is_quantized_kv(kv[0]):
-            kv = self._quantize_cache(kv)
-
-        # Per-request static sizing: the smallest compiled window/subset
-        # bucket covering the request (one compile per bucket ever hit).
-        # Parity: the reference honors arbitrary repetition_context_size
-        # and top_k (generate.py:88-141); only values beyond the largest
-        # configured bucket still clamp, with a logged warning.
         rep_window = self.runtime.rep_window
         if repetition_penalty != 1.0:
             rep_window = self.runtime.pick_rep_window(
@@ -798,6 +870,64 @@ class Generator:
                     top_k, k_subset,
                 )
         mode = "greedy" if temperature == 0.0 else "sample"
+        return mode, rep_window, k_subset
+
+    def harvest(
+        self, tokens, counts, n: int, max_tokens: list[int],
+        token_bucket: int,
+    ) -> list[list[int]]:
+        """Fetch per-sequence token lists + budget-exhaustion warning."""
+        from ..utils.telemetry import logger
+
+        tokens_host = np.asarray(tokens)
+        counts_host = np.asarray(counts)
+        out = [tokens_host[b, : counts_host[b]].tolist() for b in range(n)]
+        # A sequence that used every slot without emitting EOS was
+        # silently truncated (possible for token-dense audio when
+        # max_tokens was clamped by max_decode_slots).
+        for b, toks in enumerate(out):
+            budget = min(max_tokens[b], token_bucket)
+            if (
+                len(toks) >= budget
+                and toks
+                and toks[-1] not in self._eos_ids
+                and max_tokens[b] > token_bucket
+            ):
+                logger.warning(
+                    "sequence %d exhausted its %d-token decode budget without "
+                    "EOS (requested max_tokens=%d was clamped by "
+                    "max_decode_slots=%d); transcript may be truncated",
+                    b, budget, max_tokens[b], self.runtime.max_decode_slots,
+                )
+        return out
+
+    def decode(
+        self,
+        kv,
+        first_logits,
+        prompt_lens: list[int],
+        max_tokens: list[int],
+        token_bucket: int,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
+        repetition_context_size: int = 100,
+        seed: int = 0,
+    ) -> list[list[int]]:
+        """Run the compiled decode loop and fetch per-sequence token lists."""
+        from ..utils.telemetry import logger
+
+        # Opt-in int8 cache (ops/quant_kv.py): quantize the freshly
+        # prefilled bf16 cache once; the decode programs then stream half
+        # the KV bytes per step and write fresh rows quantized.
+        if self.runtime.kv_cache_dtype == "int8" and not is_quantized_kv(kv[0]):
+            kv = self._quantize_cache(kv)
+
+        mode, rep_window, k_subset = self.plan_statics(
+            token_bucket, temperature, top_k, repetition_penalty,
+            repetition_context_size,
+        )
         dyn = (
             jax.device_put(np.asarray(prompt_lens, np.int32)),
             jax.device_put(
@@ -846,26 +976,6 @@ class Generator:
             tokens, counts, _ = self._decode(
                 self.params, kv, first_logits, *dyn, *statics
             )
-        tokens_host = np.asarray(tokens)
-        counts_host = np.asarray(counts)
-        out = [
-            tokens_host[b, : counts_host[b]].tolist() for b in range(len(prompt_lens))
-        ]
-        # Budget-exhaustion check: a sequence that used every slot without
-        # emitting EOS was silently truncated (possible for token-dense
-        # audio when max_tokens was clamped by max_decode_slots).
-        for b, toks in enumerate(out):
-            budget = min(max_tokens[b], token_bucket)
-            if (
-                len(toks) >= budget
-                and toks
-                and toks[-1] not in self._eos_ids
-                and max_tokens[b] > token_bucket
-            ):
-                logger.warning(
-                    "sequence %d exhausted its %d-token decode budget without "
-                    "EOS (requested max_tokens=%d was clamped by "
-                    "max_decode_slots=%d); transcript may be truncated",
-                    b, budget, max_tokens[b], self.runtime.max_decode_slots,
-                )
-        return out
+        return self.harvest(
+            tokens, counts, len(prompt_lens), max_tokens, token_bucket
+        )

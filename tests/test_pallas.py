@@ -29,6 +29,21 @@ def test_flash_matches_oracle_gqa(hq, hkv):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
+@pytest.mark.parametrize("T", [64, 448])
+def test_flash_single_tile_trimmed_run(T):
+    """64-aligned trimmed prefill runs (prefill_run_granularity) take the
+    single-(T, T)-tile fallback — full-width MXU matmuls, same math."""
+    B, hq, hkv, D = 2, 4, 2, 64
+    rng = jax.random.PRNGKey(9)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, T, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, hkv, T, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, hkv, T, D), jnp.float32)
+
+    out = flash_attention_causal(q, k, v, interpret=True)
+    ref = causal_oracle(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
 def test_flash_multiple_kv_tiles():
     """Online-softmax correction across >2 KV tiles."""
     B, H, T, D = 1, 2, 512, 64

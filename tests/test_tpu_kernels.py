@@ -233,3 +233,64 @@ def test_q8_decode_kernel_and_int8_writer_on_tpu():
         out = kv_write_rows(cache8, rows8, jnp.int32(slot))
         expected = cache8.at[:, :, :, slot : slot + 1, :].set(rows8)
         assert np.array_equal(np.asarray(out), np.asarray(expected)), slot
+
+
+def test_paged_q8_kernel_and_paged_int8_writer_on_tpu():
+    """int8 page-pool kernel + int8 paged row writer on real hardware
+    (engine int8 support; CPU covers both in interpreter mode)."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_paged import (
+        decode_attention_paged,
+        decode_attention_paged_q8,
+    )
+    from qwen3_asr_tpu.ops.pallas.kv_write import kv_write_rows_paged
+    from qwen3_asr_tpu.ops.quant_kv import dequantize_kv, quantize_kv
+
+    L, B, hq, hkv, D, PS = 2, 3, 16, 8, 128, 256
+    n_pages = 16
+    rng = np.random.default_rng(5)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    q = mk(B, hq, D)
+    kall, vall = mk(L, n_pages, hkv, PS, D), mk(L, n_pages, hkv, PS, D)
+    k_new, v_new = mk(B, hkv, 1, D), mk(B, hkv, 1, D)
+    table = jnp.asarray([[7, 2, 11, 0], [5, 9, 1, 14], [6, 0, 0, 0]], jnp.int32)
+    plen = jnp.asarray([300, 256, 100], jnp.int32)
+    dcount = jnp.asarray([37, 300, 0], jnp.int32)
+    kq, vq = quantize_kv(kall), quantize_kv(vall)
+
+    out = decode_attention_paged_q8(
+        q, kq, vq, k_new, v_new, jnp.int32(1), table, plen, dcount
+    )
+    ref = decode_attention_paged(
+        q, dequantize_kv(kq, jnp.float32), dequantize_kv(vq, jnp.float32),
+        k_new, v_new, jnp.int32(1), table, plen, dcount
+    )
+    d = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert d < 5e-3, d
+
+    cache8 = kq["q"]
+    rows8 = jnp.asarray(rng.integers(-127, 128, (L, B, hkv, 1, D)), jnp.int8)
+    pages = jnp.asarray([7, 9, 6], jnp.int32)
+    offs = jnp.asarray([3, 37, 255], jnp.int32)
+    out = kv_write_rows_paged(cache8, rows8, pages, offs)
+    expected = cache8.at[
+        :, pages, :, offs, :
+    ].set(jnp.moveaxis(rows8[:, :, :, 0, :], 1, 0))
+    assert np.array_equal(np.asarray(out), np.asarray(expected))
+
+
+def test_flash_single_tile_on_tpu():
+    """64-aligned trimmed-run flash fallback (one (T, T) tile) on real
+    hardware vs the jnp causal oracle."""
+    from qwen3_asr_tpu.ops.pallas.flash_attention import flash_attention_causal
+    from tests.test_pallas import causal_oracle
+
+    B, hq, hkv, T, D = 2, 16, 8, 448, 128
+    rng = np.random.default_rng(7)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.bfloat16)
+    q, k, v = mk(B, hq, T, D), mk(B, hkv, T, D), mk(B, hkv, T, D)
+    out = flash_attention_causal(q, k, v)
+    ref = causal_oracle(q, k, v)
+    d = np.abs(
+        np.asarray(out, np.float32) - np.asarray(ref, np.float32)
+    ).max()
+    assert d < 3e-2, d
