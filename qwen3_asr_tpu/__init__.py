@@ -32,6 +32,7 @@ from .serving.server import (
     ReplicatedTranscriptionServer,
     TranscriptionServer,
 )
+from .incremental import IncrementalSession
 from .streaming import StreamingTranscriber, StreamSegment
 from .tokenizer import Tokenizer, build_detect_prompt, build_prompt, parse_output
 from .utils.telemetry import RequestStats
@@ -63,6 +64,7 @@ __all__ = [
     "TranscriptionServer",
     "ContinuousTranscriptionServer",
     "ReplicatedTranscriptionServer",
+    "IncrementalSession",
     "StreamingTranscriber",
     "StreamSegment",
     "RequestStats",

@@ -743,6 +743,19 @@ class Qwen3ASR:
 
     # -- continuous-batching engine hooks ------------------------------
 
+    def incremental_session(self, **kwargs):
+        """Open an :class:`~qwen3_asr_tpu.incremental.IncrementalSession`:
+        live-stream transcription where completed 8 s encoder windows are
+        encoded and advanced into a persistent decoder-prefix KV cache
+        exactly once, so ``preview()`` costs one tail-window encode + a
+        short cached advance + the decode loop instead of a full
+        re-prefill of the whole tail.  See incremental.py for the
+        exactness contract (token-identical to ``transcribe`` of the
+        same prefix, including the global mel-clamp reconciliation)."""
+        from .incremental import IncrementalSession
+
+        return IncrementalSession(self, **kwargs)
+
     def make_engine(
         self,
         n_slots: int = 8,

@@ -123,6 +123,43 @@ class Generator:
         self._bridge_seen: dict = {}   # key -> (kv_specs, B, statics, hits, extra_warm)
         self._compile_lock = threading.Lock()
 
+    # -- incremental prompt advance (streaming sessions) -------------------
+
+    def advance(self, kv, embeds, positions, write_slot, last_index):
+        """Append ``T`` prompt tokens to an existing cache (multi-token
+        cached forward): K/V rows land at slots ``[write_slot,
+        write_slot + T)`` and the returned logits are taken at
+        ``last_index`` within the new span.  Used by incremental
+        streaming sessions (incremental.py) to extend the decoder prefix
+        one encoder window at a time instead of re-prefilling the whole
+        tail; the monolithic paths never call this."""
+        if not hasattr(self, "_advance_jit"):
+            self._advance_jit = jax.jit(self._advance_impl)
+        return self._advance_jit(
+            self.params, kv, embeds,
+            jnp.asarray(positions, jnp.int32),
+            jnp.int32(write_slot), jnp.int32(last_index),
+        )
+
+    def _advance_impl(self, params, kv, embeds, positions, write_slot, last_index):
+        B = embeds.shape[0]
+        hidden, kv = decoder_forward(
+            params, self.cfg, embeds, positions, kv,
+            write_slots=jnp.broadcast_to(write_slot, (B,)),
+            uniform_write=True,
+            attn_impl="cache",
+        )
+        last = hidden[jnp.arange(B), last_index]
+        logits = decoder_logits(params, self.cfg, last[:, None, :])[:, 0]
+        return kv, logits
+
+    def embed_ids(self, ids):
+        """Embedded token ids (B, T, H) — tiny compiled helper for the
+        incremental sessions' prefix/suffix spans."""
+        if not hasattr(self, "_embed_jit"):
+            self._embed_jit = jax.jit(embed_tokens)
+        return self._embed_jit(self.params, jnp.asarray(ids, jnp.int32))
+
     # -- prefill ----------------------------------------------------------
 
     def _prefill_impl(self, params, features, ids, n_audio, prompt_len, cache_len):

@@ -76,6 +76,7 @@ class StreamingTranscriber:
         segment_duration: float = 30.0,
         search_duration: float = 5.0,
         server=None,
+        incremental: bool = True,
         **options,
     ) -> None:
         if segment_duration <= search_duration:
@@ -118,6 +119,29 @@ class StreamingTranscriber:
         self._consumed = 0          # samples finalized so far
         self._segments: list[StreamSegment] = []
         self._closed = False
+        # Incremental preview (incremental.py): completed 8 s encoder
+        # windows of the live tail are encoded + advanced into a
+        # persistent decoder-prefix cache once, so partial() costs one
+        # tail-window pass instead of re-running the whole tail.  Falls
+        # back silently when the runtime excludes it (int8 cache,
+        # speculative decoding).
+        self._inc = None
+        if incremental:
+            try:
+                self._inc = model.incremental_session(
+                    max_duration=(self._segment + self._search) / SAMPLE_RATE
+                    + 1.0,
+                    **{
+                        k: v for k, v in options.items()
+                        if k in (
+                            "language", "max_tokens", "temperature",
+                            "top_p", "top_k", "repetition_penalty",
+                            "repetition_context_size", "seed",
+                        )
+                    },
+                )
+            except ValueError:
+                self._inc = None
 
     # -- session API -------------------------------------------------------
 
@@ -130,9 +154,8 @@ class StreamingTranscriber:
             samples = samples.astype(np.float32) / 32768.0
         if samples.ndim != 1:
             raise ValueError("streaming audio must be 1-D mono")
-        self._buffer = np.concatenate(
-            [self._buffer, samples.astype(np.float32)]
-        )
+        delta = samples.astype(np.float32)
+        self._buffer = np.concatenate([self._buffer, delta])
         out: list[StreamSegment] = []
         # Finalize while the buffer covers a boundary plus its full search
         # window (the split choice is then identical to the offline rule —
@@ -140,6 +163,7 @@ class StreamingTranscriber:
         while len(self._buffer) >= self._segment + self._search:
             split = self._next_split()
             out.append(self._finalize(split))
+        self._sync_inc(delta, finalized=bool(out))
         return out
 
     def feed_nowait(self, samples: np.ndarray) -> list:
@@ -162,12 +186,12 @@ class StreamingTranscriber:
             samples = samples.astype(np.float32) / 32768.0
         if samples.ndim != 1:
             raise ValueError("streaming audio must be 1-D mono")
-        self._buffer = np.concatenate(
-            [self._buffer, samples.astype(np.float32)]
-        )
+        delta = samples.astype(np.float32)
+        self._buffer = np.concatenate([self._buffer, delta])
         out = []
         while len(self._buffer) >= self._segment + self._search:
             out.append(self._submit_segment(self._next_split()))
+        self._sync_inc(delta, finalized=bool(out))
         return out
 
     def flush(self) -> list[StreamSegment]:
@@ -196,12 +220,36 @@ class StreamingTranscriber:
         self._closed = True
         return out
 
+    def _sync_inc(self, delta: np.ndarray, finalized: bool) -> None:
+        """Keep the incremental preview session aligned with the
+        un-finalized buffer: plain feeds extend it with the delta; a
+        finalization consumed audio from the front, so the session
+        rebuilds from the remaining buffer (once per segment)."""
+        if self._inc is None:
+            return
+        if finalized:
+            self._inc.reset()
+            if len(self._buffer):
+                self._inc.feed(self._buffer)
+        elif len(delta):
+            self._inc.feed(delta)
+
     def partial(self) -> StreamSegment:
-        """Preview transcript of the un-finalized tail (state untouched)."""
+        """Preview transcript of the un-finalized tail (state untouched).
+
+        With the (default) incremental session, completed 8 s encoder
+        windows of the tail are encoded and advanced into a persistent
+        decoder-prefix cache exactly once, so each call pays only the
+        incomplete tail window + a short cached advance + the decode —
+        token-identical to re-transcribing the whole tail
+        (incremental.py; pinned by tests/test_incremental.py)."""
         start = self._consumed / SAMPLE_RATE
         if len(self._buffer) == 0:
             return StreamSegment("", start, start, final=False)
-        res = self._transcribe_segment(self._buffer)
+        if self._inc is not None:
+            res = self._inc.preview()
+        else:
+            res = self._transcribe_segment(self._buffer)
         return StreamSegment(
             res.text, start, start + len(self._buffer) / SAMPLE_RATE,
             final=False, language=res.language,
