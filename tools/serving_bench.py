@@ -97,11 +97,16 @@ def main() -> int:
     ap.add_argument("--chunk-steps", type=int, default=32)
     ap.add_argument("--wave-size", type=int, default=4)
     ap.add_argument("--wave-interval", type=float, default=0.5)
+    ap.add_argument(
+        "--kv-dtype", choices=("bf16", "int8"), default="bf16",
+        help="engine KV-cache storage (int8 halves the decode read stream)",
+    )
     args = ap.parse_args()
 
     print("[serving-bench] loading 1.7B zero-init", file=sys.stderr, flush=True)
     model = Qwen3ASR.from_random(
-        ModelConfig(), tokenizer=StubTok(), runtime=RuntimeConfig(), seed=None
+        ModelConfig(), tokenizer=StubTok(),
+        runtime=RuntimeConfig(kv_cache_dtype=args.kv_dtype), seed=None
     )
     long_c = clip(args.long_sec, 220.0)
     shorts = [clip(args.short_sec, 300.0 + 20 * i) for i in range(args.n_short)]
