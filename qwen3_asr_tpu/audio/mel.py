@@ -111,6 +111,38 @@ def _stft_power(frames_signal: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray
     return real * real + imag * imag
 
 
+def _mel_raw(padded: jnp.ndarray, n_fft: int, hop: int, n_mels: int) -> jnp.ndarray:
+    """UNCLAMPED log10 mel over one pre-padded signal buffer.
+
+    The raw stage shared by the offline pipeline (:func:`_mel_core`
+    applies the clip-global clamp immediately) and the incremental
+    streaming sessions (incremental.py caches raw windows and applies
+    the clamp lazily once the clip max is known).
+
+    ``padded`` may be int16 PCM: it is converted on device with the exact
+    reference scaling (x / 32768, audio.py:147) — int16 transport halves
+    the host->device payload with bit-identical results for PCM sources.
+    """
+    if padded.dtype == jnp.int16:
+        padded = padded.astype(jnp.float32) * (1.0 / 32768.0)
+    power = _stft_power(padded, n_fft, hop)                 # (n_freqs, n_frames)
+    fb = jnp.asarray(mel_filterbank(n_fft, n_mels))
+    mel = jnp.dot(fb, power, precision=jax.lax.Precision.HIGHEST)
+    return jnp.log10(jnp.maximum(mel, _LOG_FLOOR))
+
+
+def _mel_finalize(
+    raw: jnp.ndarray, n_valid: jnp.ndarray, global_max: jnp.ndarray
+) -> jnp.ndarray:
+    """Dynamic-range clamp + (x+4)/4 normalization + invalid-frame zeroing
+    (the clip-global half of the reference pipeline, audio.py:274-276)."""
+    n_frames = raw.shape[1]
+    frame_idx = jax.lax.broadcasted_iota(jnp.int32, (1, n_frames), 1)
+    valid = frame_idx < n_valid
+    out = (jnp.maximum(raw, global_max - 8.0) + 4.0) / 4.0
+    return jnp.where(valid, out, 0.0)
+
+
 def _mel_core(
     padded: jnp.ndarray,
     n_valid: jnp.ndarray,
@@ -125,24 +157,12 @@ def _mel_core(
     ``n_valid`` is the (traced) count of frames carrying real audio.
     Returns (n_mels, n_frames) float32 with invalid frames zeroed.  The
     dynamic-range clamp maxes over valid frames only, per clip.
-
-    ``padded`` may be int16 PCM: it is converted on device with the exact
-    reference scaling (x / 32768, audio.py:147) — int16 transport halves
-    the host->device payload with bit-identical results for PCM sources.
     """
-    if padded.dtype == jnp.int16:
-        padded = padded.astype(jnp.float32) * (1.0 / 32768.0)
-    power = _stft_power(padded, n_fft, hop)                 # (n_freqs, n_frames)
-    fb = jnp.asarray(mel_filterbank(n_fft, n_mels))
-    mel = jnp.dot(fb, power, precision=jax.lax.Precision.HIGHEST)
-    log_spec = jnp.log10(jnp.maximum(mel, _LOG_FLOOR))
-
+    log_spec = _mel_raw(padded, n_fft, hop, n_mels)
     frame_idx = jax.lax.broadcasted_iota(jnp.int32, (1, n_frames), 1)
     valid = frame_idx < n_valid                              # (1, n_frames)
     global_max = jnp.max(jnp.where(valid, log_spec, -jnp.inf))
-    log_spec = jnp.maximum(log_spec, global_max - 8.0)
-    log_spec = (log_spec + 4.0) / 4.0
-    return jnp.where(valid, log_spec, 0.0)
+    return _mel_finalize(log_spec, n_valid, global_max)
 
 
 @partial(jax.jit, static_argnames=("n_frames", "n_fft", "hop", "n_mels"))

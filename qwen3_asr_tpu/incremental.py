@@ -44,9 +44,8 @@ from .audio.mel import (
     N_FFT,
     N_MELS,
     SAMPLE_RATE,
-    _LOG_FLOOR,
-    _stft_power,
-    mel_filterbank,
+    _mel_finalize,
+    _mel_raw,
 )
 
 #: Encoder attention window: 800 mel frames = 8 s = 104 audio tokens.
@@ -67,13 +66,9 @@ def _mel_window_raw(padded, n_valid, n_frames):
     ``(n_frames - 1) * hop + n_fft``): real neighboring samples where the
     stream has them, the reference's reflect padding at the stream edges
     — so every valid frame is bit-identical to the offline pipeline's.
+    Raw stage shared with the offline path (audio.mel._mel_raw).
     """
-    if padded.dtype == jnp.int16:
-        padded = padded.astype(jnp.float32) * (1.0 / 32768.0)
-    power = _stft_power(padded, N_FFT, HOP_LENGTH)
-    fb = jnp.asarray(mel_filterbank(N_FFT, N_MELS))
-    mel = jnp.dot(fb, power, precision=jax.lax.Precision.HIGHEST)
-    raw = jnp.log10(jnp.maximum(mel, _LOG_FLOOR))
+    raw = _mel_raw(padded, N_FFT, HOP_LENGTH, N_MELS)
     frame_idx = jax.lax.broadcasted_iota(jnp.int32, (1, n_frames), 1)
     valid = frame_idx < n_valid
     vmax = jnp.max(jnp.where(valid, raw, -jnp.inf))
@@ -83,12 +78,9 @@ def _mel_window_raw(padded, n_valid, n_frames):
 
 @jax.jit
 def _normalize_window(raw, n_valid, global_max):
-    """Apply the clip-global clamp + (x+4)/4 normalization to one cached
-    raw window (invalid frames zeroed, mirroring audio.mel._mel_core)."""
-    clamped = jnp.maximum(raw, global_max - 8.0)
-    out = (clamped + 4.0) / 4.0
-    frame_idx = jax.lax.broadcasted_iota(jnp.int32, (1, raw.shape[1]), 1)
-    return jnp.where(frame_idx < n_valid, out, 0.0)
+    """Clip-global clamp + normalization of one cached raw window
+    (shared finalize stage: audio.mel._mel_finalize)."""
+    return _mel_finalize(raw, n_valid, global_max)
 
 
 class IncrementalSession:
@@ -124,10 +116,24 @@ class IncrementalSession:
                 "incremental sessions require the bf16 cache and "
                 "non-speculative decoding"
             )
+        if rt.dp * rt.tp > 1:
+            raise ValueError(
+                "incremental sessions are single-chip (the per-session "
+                "prefix cache is unsharded); use the continuous server "
+                "on meshes"
+            )
         self._model = model
         self._gen = gen
         self._cfg = model._config
+        want_frames = int(max_duration * SAMPLE_RATE) // HOP_LENGTH
         bucket = model._mel.bucket_for(int(max_duration * SAMPLE_RATE))
+        if want_frames > bucket:
+            # bucket_for clamps to the largest bucket; failing here beats
+            # a surprise ValueError from feed() mid-stream.
+            raise ValueError(
+                f"max_duration {max_duration:.0f}s exceeds the largest "
+                f"frame bucket ({bucket / 100:.0f}s)"
+            )
         if bucket % WINDOW_FRAMES:
             raise ValueError("frame buckets must be multiples of 800")
         self._max_frames = bucket
@@ -215,20 +221,33 @@ class IncrementalSession:
 
         buffer[j] = reflect_padded_signal[w*WINDOW_SAMPLES + j] — real
         samples inside the stream, the offline reflect at its edges,
-        zeros past the reflection (only read by invalid frames).
+        zeros past the reflection (only read by invalid frames).  Built
+        from a LOCAL slice (plus up to 200 reflected edge samples), not
+        by reflect-padding the whole history — previews/commits stay
+        O(window), not O(stream).
         """
         pad = N_FFT // 2
         buf_len = (WINDOW_FRAMES - 1) * HOP_LENGTH + N_FFT
         sig = self._samples
-        if len(sig) >= 2:
-            refl = np.pad(sig, pad, mode="reflect")
-        else:
-            refl = np.pad(sig, pad, mode="constant")
-        start = w * WINDOW_SAMPLES
+        n = len(sig)
+        lo = w * WINDOW_SAMPLES - pad          # signal coords of buf[0]
         buf = np.zeros(buf_len, np.float32)
-        avail = min(buf_len, len(refl) - start)
-        if avail > 0:
-            buf[:avail] = refl[start : start + avail]
+        # Real samples.
+        s0, s1 = max(lo, 0), min(lo + buf_len, n)
+        if s1 > s0:
+            buf[s0 - lo : s1 - lo] = sig[s0:s1]
+        # Left reflect (first window only): signal[-i] = signal[i].
+        if lo < 0 and n >= 2:
+            k = -lo                             # samples needed before 0
+            take = min(k, n - 1)
+            buf[k - take : k] = sig[1 : take + 1][::-1]
+        # Right reflect: up to ``pad`` mirrored samples past the end, then
+        # zeros (the exact offline rule, audio.mel._host_pad).
+        t0 = n - lo
+        if n >= 2 and 0 <= t0 < buf_len:
+            tail_len = min(buf_len - t0, n - 1, pad)
+            if tail_len > 0:
+                buf[t0 : t0 + tail_len] = sig[n - 2 : n - 2 - tail_len : -1]
         return buf
 
     def _ingest_window(self, w: int, n_frames: int) -> None:

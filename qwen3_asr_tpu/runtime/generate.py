@@ -134,7 +134,15 @@ class Generator:
         one encoder window at a time instead of re-prefilling the whole
         tail; the monolithic paths never call this."""
         if not hasattr(self, "_advance_jit"):
-            self._advance_jit = jax.jit(self._advance_impl)
+            # The cache is donated (on TPU) so the append aliases the
+            # session's buffer instead of materializing a second full
+            # copy per advance.
+            self._advance_jit = jax.jit(
+                self._advance_impl,
+                donate_argnums=(
+                    (1,) if jax.default_backend() == "tpu" else ()
+                ),
+            )
         return self._advance_jit(
             self.params, kv, embeds,
             jnp.asarray(positions, jnp.int32),
@@ -636,8 +644,11 @@ class Generator:
         # that blocks the NEXT process for its full duration (measured:
         # a 1500 s stall).  wait_ready() force-spawns for servers/benches.
         with self._compile_lock:
-            hits = self._bridge_seen.get(key, (None, None, None, 0, None))[3] + 1
-            self._bridge_seen[key] = (kv_specs, B, statics, hits, None)
+            prev = self._bridge_seen.get(key, (None, None, None, 0, None))
+            hits = prev[3] + 1
+            # Keep a cold-pipeline-seeded extra_warm (standalone prefill
+            # warm) if the same key is later served by the bridge.
+            self._bridge_seen[key] = (kv_specs, B, statics, hits, prev[4])
         may_spawn = hits >= 2
         while steps < token_bucket - 1 and not bool(done_host.all()):
             state = self._decode_resume(
@@ -646,10 +657,14 @@ class Generator:
             steps += K
             done_host = np.asarray(state[3])   # sync every chunk (cheap)
             if may_spawn and not spawned:
-                self._spawn_warm_compile(key, kv_specs, B, statics)
+                self._spawn_warm_compile(
+                    key, kv_specs, B, statics, extra_warm=prev[4]
+                )
                 spawned = True
         if may_spawn and not spawned:
-            self._spawn_warm_compile(key, kv_specs, B, statics)
+            self._spawn_warm_compile(
+                key, kv_specs, B, statics, extra_warm=prev[4]
+            )
         return state[1], state[2]
 
     # -- fused cold pipeline routing ---------------------------------------

@@ -76,7 +76,7 @@ class StreamingTranscriber:
         segment_duration: float = 30.0,
         search_duration: float = 5.0,
         server=None,
-        incremental: bool = True,
+        incremental: bool | None = None,
         **options,
     ) -> None:
         if segment_duration <= search_duration:
@@ -122,9 +122,15 @@ class StreamingTranscriber:
         # Incremental preview (incremental.py): completed 8 s encoder
         # windows of the live tail are encoded + advanced into a
         # persistent decoder-prefix cache once, so partial() costs one
-        # tail-window pass instead of re-running the whole tail.  Falls
-        # back silently when the runtime excludes it (int8 cache,
-        # speculative decoding).
+        # tail-window pass instead of re-running the whole tail.  Default
+        # (None): enabled only WITHOUT a server — the session pins a
+        # per-stream device KV cache and runs on the local model, which
+        # would bypass a shared engine's slots and contend for its HBM;
+        # pass incremental=True to opt in anyway.  Falls back silently
+        # when the runtime excludes it (int8 cache, speculative decoding,
+        # mesh sharding, oversized segments).
+        if incremental is None:
+            incremental = server is None
         self._inc = None
         if incremental:
             try:
