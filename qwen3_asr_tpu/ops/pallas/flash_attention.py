@@ -111,6 +111,17 @@ def flash_attention_causal(
     group = hq // hkv
     if scale is None:
         scale = D ** -0.5
+    # Short prompts (<= 1024 rows): ONE (T, T) tile per (batch, head).
+    # Measured on v5e (tools/flash_sweep.py, B=32 bench shape): 0.73 ms
+    # vs 1.91 ms for the tiled (256, 512) grid at T=512 — at these sizes
+    # the grid's per-cell overhead dominates and the causal tile skip
+    # saves nothing.  Also the only tiling for the 64-aligned trimmed
+    # runs (RuntimeConfig.prefill_run_granularity), which are not
+    # 256-divisible.  VMEM: the f32 score tile is T*T*4 B (4 MB at the
+    # 1024 cap).  Explicit block_q/block_k arguments are honored.
+    defaults = block_q == 256 and block_k == 512
+    if defaults and T <= 1024 and T % 8 == 0:
+        block_q = block_k = T
     # Adapt tile sizes downward until they divide T (prompt buckets are
     # multiples of 256, but not necessarily of the default 512 block_k).
     block_q = min(block_q, T)
@@ -120,11 +131,6 @@ def flash_attention_causal(
     while block_k > 128 and T % block_k:
         block_k //= 2
     if T % block_q or T % block_k:
-        # Trimmed prefill runs (RuntimeConfig.prefill_run_granularity) are
-        # 64-aligned, not 256-aligned.  For those, one (T, T) tile per
-        # (batch, head) keeps full-width MXU matmuls — a 64-row block grid
-        # would halve MXU row occupancy instead.  VMEM: the f32 score tile
-        # is T*T*4 B (4 MB at the 1024 cap).
         if T <= 1024 and T % 8 == 0:
             block_q = block_k = T
         else:

@@ -29,7 +29,7 @@ def test_flash_matches_oracle_gqa(hq, hkv):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
-@pytest.mark.parametrize("T", [64, 448])
+@pytest.mark.parametrize("T", [64, 448, 512])
 def test_flash_single_tile_trimmed_run(T):
     """64-aligned trimmed prefill runs (prefill_run_granularity) take the
     single-(T, T)-tile fallback — full-width MXU matmuls, same math."""
