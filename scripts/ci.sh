@@ -28,6 +28,27 @@ EOF
 echo "== tests (fast tier)"
 python -m pytest tests/ -q -m "not slow"
 
+echo "== package build check"
+# Parity with the reference's publish workflow (publish.yml: build +
+# twine check).  No `build`/`twine` in this image; pip wheel +
+# metadata/content assertions cover the same failure modes offline.
+PKG_DIR="$(mktemp -d)"
+python -m pip wheel . --no-deps --no-build-isolation -w "$PKG_DIR" -q
+python - "$PKG_DIR" <<'EOF'
+import sys, zipfile
+from pathlib import Path
+
+whl = next(Path(sys.argv[1]).glob("qwen3_asr_tpu-*.whl"))
+names = zipfile.ZipFile(whl).namelist()
+meta = next(n for n in names if n.endswith("METADATA"))
+text = zipfile.ZipFile(whl).read(meta).decode()
+assert "Name: qwen3-asr-tpu" in text and "Version: " in text, "bad metadata"
+assert any(n.endswith("qwen3_asr_tpu/api.py") for n in names), "package missing"
+assert any(n.endswith("audio/csrc/audio.cc") for n in names), "csrc missing"
+print(f"package ok: {whl.name} ({len(names)} files)")
+EOF
+rm -rf "$PKG_DIR"
+
 echo "== multichip dryrun"
 JAX_PLATFORMS=cpu XLA_FLAGS="--xla_force_host_platform_device_count=8" \
 python - <<'EOF'
