@@ -34,6 +34,7 @@ echo "== package build check"
 # metadata/content assertions cover the same failure modes offline.
 PKG_DIR="$(mktemp -d)"
 python -m pip wheel . --no-deps --no-build-isolation -w "$PKG_DIR" -q
+rm -rf build qwen3_asr_tpu.egg-info   # setuptools side-products
 python - "$PKG_DIR" <<'EOF'
 import sys, zipfile
 from pathlib import Path
