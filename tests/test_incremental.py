@@ -133,3 +133,14 @@ def test_streaming_partial_uses_incremental_and_matches(model):
         assert inc.partial().text == ref.partial().text
     assert [s.text for s in inc.flush()] == [s.text for s in ref.flush()]
     assert inc.text == ref.text
+
+
+def test_preview_detect_mode_matches_offline(model):
+    """language="detect": the session builds the unprimed suffix and
+    parses the model-emitted language, matching the offline path."""
+    audio = _speech_like(5.0, seed=7)
+    sess = model.incremental_session(max_tokens=8, language="detect")
+    sess.feed(audio)
+    got = sess.preview()
+    ref = model.transcribe(audio, max_tokens=8, language="detect")
+    assert (got.text, got.language) == (ref.text, ref.language)
