@@ -239,6 +239,13 @@ class IncrementalSession:
         # Left reflect (first window only): signal[-i] = signal[i].
         if lo < 0 and n >= 2:
             k = -lo                             # samples needed before 0
+            if n <= pad:
+                # Tiny stream: the offline rule wraps the reflection
+                # multiple times (np.pad semantics; audio.mel._host_pad).
+                refl = np.pad(sig, pad, mode="reflect")
+                m = min(buf_len, len(refl))
+                buf[:m] = refl[:m]
+                return buf
             take = min(k, n - 1)
             buf[k - take : k] = sig[1 : take + 1][::-1]
         # Right reflect: up to ``pad`` mirrored samples past the end, then

@@ -144,3 +144,13 @@ def test_preview_detect_mode_matches_offline(model):
     got = sess.preview()
     ref = model.transcribe(audio, max_tokens=8, language="detect")
     assert (got.text, got.language) == (ref.text, ref.language)
+
+
+def test_preview_tiny_prefix_matches_offline(model):
+    """Sub-200-sample streams hit the offline multi-wrap reflection rule."""
+    audio = _speech_like(0.011, seed=8)       # 176 samples, 1 mel frame
+    sess = model.incremental_session(max_tokens=4, language="English")
+    sess.feed(audio)
+    got = sess.preview()
+    ref = model.transcribe(audio, max_tokens=4, language="English")
+    assert got.text == ref.text
