@@ -40,6 +40,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="streaming mode: feed each file incrementally and print "
         "segments as they finalize at low-energy boundaries",
     )
+    p.add_argument(
+        "--live",
+        type=float,
+        metavar="REFRESH_SECONDS",
+        default=None,
+        help="live-caption mode: feed each file incrementally and print "
+        "a refreshed preview every REFRESH_SECONDS of audio (incremental "
+        "decoder-prefix cache; token-identical to offline)",
+    )
     return p
 
 
@@ -74,6 +83,28 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(record))
         else:
             print(f"{path}: {result.text}")
+
+    if args.live is not None:
+        from .audio.io import SAMPLE_RATE, load_audio
+
+        for path in args.audio:
+            audio = load_audio(path)
+            piece = max(1, int(args.live * SAMPLE_RATE))
+            session = model.incremental_session(
+                max_duration=max(30.0, len(audio) / SAMPLE_RATE + 1.0),
+                **opts,
+            )
+            for i in range(0, len(audio), piece):
+                session.feed(audio[i : i + piece])
+                p = session.preview()
+                if args.json:
+                    print(json.dumps({
+                        "file": str(path), "t": session.duration,
+                        "text": p.text, "final": False,
+                    }))
+                else:
+                    print(f"{path} [{session.duration:6.1f}s] {p.text}")
+        return 0
 
     if args.stream is not None:
         from .audio.io import SAMPLE_RATE, load_audio

@@ -35,3 +35,42 @@ def test_stream_flag():
     )
     assert args.stream == 30.0
     assert build_parser().parse_args(["a.wav", "--model", "/m"]).stream is None
+
+
+def test_live_flag():
+    args = build_parser().parse_args(
+        ["a.wav", "--model", "/m", "--live", "1.0"]
+    )
+    assert args.live == 1.0
+    assert build_parser().parse_args(["a.wav", "--model", "/m"]).live is None
+
+
+def test_live_mode_end_to_end(tmp_path, monkeypatch, capsys):
+    """--live drives IncrementalSession through the CLI on a tiny model."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from qwen3_asr_tpu import cli
+    from qwen3_asr_tpu.api import Qwen3ASR
+    from qwen3_asr_tpu.config import RuntimeConfig
+    from tests.test_api import TINY_CFG, StubTokenizer
+    from tests.test_native_audio import _write_wav
+
+    model = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(),
+        runtime=RuntimeConfig(frame_buckets=(800, 1600, 3200), token_buckets=(32,)),
+        dtype=jnp.float32,
+    )
+    monkeypatch.setattr(
+        Qwen3ASR, "from_pretrained", classmethod(lambda cls, *a, **k: model)
+    )
+    wav = tmp_path / "clip.wav"
+    t = np.arange(int(2.5 * 16000)) / 16000
+    _write_wav(wav, (0.1 * np.sin(2 * np.pi * 330 * t)).astype(np.float32))
+    rc = cli.main([str(wav), "--model", "/ignored", "--live", "1.0",
+                   "--max-tokens", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3                       # one refresh per fed second
+    assert all("clip.wav" in line for line in out)
