@@ -291,6 +291,98 @@ def bench_step(B=32):
     print(f"  stats: {stats}")
 
 
+def bench_encoder(B=64, seconds=30.0):
+    """Encoder device-time split: conv stem vs transformer vs projection
+    (rep-count differencing; the prefill64 section showed the encoder at
+    ~33% of its FLOP bound — this finds where)."""
+    from qwen3_asr_tpu.config import ModelConfig
+    from qwen3_asr_tpu.models.encoder import (
+        _conv_stem,
+        encoder_forward,
+        init_encoder_params,
+    )
+
+    cfg = ModelConfig().audio_encoder
+    params = init_encoder_params(cfg, None, jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    frames = 3200
+    n_chunks = frames // cfg.chunk_frames
+    mel = jnp.asarray(
+        rng.standard_normal((B, cfg.num_mel_bins, frames)) * 0.3, jnp.float32
+    )
+    nv = jnp.full((B,), frames, jnp.int32)
+    chunks = jnp.asarray(
+        rng.standard_normal(
+            (B * n_chunks, cfg.num_mel_bins, cfg.chunk_frames, 1)
+        ),
+        jnp.bfloat16,
+    )
+    total = n_chunks * cfg.tokens_per_chunk
+    tokens = jnp.asarray(
+        rng.standard_normal((B, total, cfg.d_model)) * 0.1, jnp.bfloat16
+    )
+
+    import jax.numpy as jnp_  # noqa: F401
+
+    from qwen3_asr_tpu.models.encoder import _LN_EPS, layer_norm, windowed_self_attention
+
+    token_valid = jnp.ones((B, total), bool)
+    window = cfg.window_tokens
+    nq = cfg.encoder_attention_heads
+    d = cfg.d_model
+    hd = d // nq
+    scale = hd ** -0.5
+
+    def layers_fn(h):
+        def layer_fn(h, lp):
+            x = layer_norm(h, lp["ln1_w"], lp["ln1_b"], _LN_EPS)
+            q = (x @ lp["wq"] + lp["bq"]).reshape(B, total, nq, hd).transpose(0, 2, 1, 3)
+            k = (x @ lp["wk"] + lp["bk"]).reshape(B, total, nq, hd).transpose(0, 2, 1, 3)
+            v = (x @ lp["wv"] + lp["bv"]).reshape(B, total, nq, hd).transpose(0, 2, 1, 3)
+            attn = windowed_self_attention(
+                q, k, v, window=window, valid_mask=token_valid, scale=scale
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, total, d)
+            h = h + attn @ lp["wo"] + lp["bo"]
+            x = layer_norm(h, lp["ln2_w"], lp["ln2_b"], _LN_EPS)
+            x = jax.nn.gelu(x @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
+            return h + x @ lp["fc2_w"] + lp["fc2_b"], None
+        out, _ = jax.lax.scan(layer_fn, h, params["layers"])
+        return out
+
+    def attn_only(h):
+        def layer_fn(h, lp):
+            x = layer_norm(h, lp["ln1_w"], lp["ln1_b"], _LN_EPS)
+            q = (x @ lp["wq"] + lp["bq"]).reshape(B, total, nq, hd).transpose(0, 2, 1, 3)
+            k = (x @ lp["wk"] + lp["bk"]).reshape(B, total, nq, hd).transpose(0, 2, 1, 3)
+            v = (x @ lp["wv"] + lp["bv"]).reshape(B, total, nq, hd).transpose(0, 2, 1, 3)
+            attn = windowed_self_attention(
+                q, k, v, window=window, valid_mask=token_valid, scale=scale
+            )
+            return h + attn.transpose(0, 2, 1, 3).reshape(B, total, d) @ lp["wo"], None
+        out, _ = jax.lax.scan(layer_fn, h, params["layers"])
+        return out
+
+    def rep(fn, x, n):
+        def body(c, i):
+            out = fn(x + jnp.asarray(i, x.dtype) * jnp.asarray(1e-30, x.dtype))
+            return c + out.astype(jnp.float32).ravel()[0], None
+        return jax.jit(lambda x: jax.lax.scan(body, jnp.float32(0), jnp.arange(n))[0])
+
+    for label, fn, x in (
+        ("full encoder", lambda m: encoder_forward(params, cfg, m, nv)[0], mel),
+        ("conv stem", lambda c: _conv_stem(params, c), chunks),
+        ("24 layers", layers_fn, tokens),
+        ("attn-only", attn_only, tokens),
+    ):
+        lo_f, hi_f = rep(fn, x, 1), rep(fn, x, 4)
+        t_lo, _ = timeit(lo_f, x, n=5, warmup=2)
+        t_hi, _ = timeit(hi_f, x, n=5, warmup=2)
+        dev = (t_hi - t_lo) / 3
+        print(f"  {label:12s} device {dev*1e3:8.1f} ms "
+              f"(lo {t_lo*1e3:.0f} hi {t_hi*1e3:.0f})")
+
+
 if __name__ == "__main__":
     sections = sys.argv[1:] or ["h2d", "stream", "kernel"]
     print("devices:", jax.devices())
@@ -316,3 +408,5 @@ if __name__ == "__main__":
         bench_step()
     if "step64" in sections:
         bench_step(B=64)
+    if "encoder" in sections:
+        bench_encoder()
