@@ -101,10 +101,14 @@ def main() -> None:
 
     t_compile = run(1)
     log(f"single-stream compile+first run: {t_compile:.1f}s")
-    # Progressive decode may have served the first run on the bridge
+    # Progressive decode may have served the first run on the cold/bridge
     # program; the timed repeats measure the steady-state while-loop
-    # path, so block until its background compile lands.
-    model.wait_ready()
+    # path, so block until its background compile lands.  Bounded: the
+    # backend compile service has high-variance rounds (docs/PERFORMANCE
+    # cold start) — on timeout the repeats run the (token-identical,
+    # slightly slower) cold path rather than hanging the bench.
+    if not model.wait_ready(timeout=1800):
+        log("wait_ready timed out; continuing on the first-flight path")
     singles = [run(1) for _ in range(REPEATS)]
     single_best = min(singles)
     log(
@@ -114,7 +118,8 @@ def main() -> None:
 
     t_compile_b = run(BATCH)
     log(f"batch-{BATCH} compile+first run: {t_compile_b:.1f}s")
-    model.wait_ready()
+    if not model.wait_ready(timeout=1800):
+        log("wait_ready timed out; continuing on the first-flight path")
     batched = [run(BATCH) for _ in range(REPEATS)]
     batch_best = min(batched)
     rtfx = AUDIO_SECONDS * BATCH / batch_best
