@@ -131,17 +131,62 @@ def valid_token_count(cfg: AudioEncoderConfig, n_valid_frames: jax.Array) -> jax
     return full * cfg.tokens_per_chunk + rem_tokens
 
 
+#: Conv-stem lowering: "conv" (default, lax.conv implicit GEMM) or "taps"
+#: (each 3x3 stride-2 conv as 9 shifted strided-slice matmuls — pure MXU
+#: GEMMs with K = N = 480; same math, different f32 accumulation order).
+#: The stem measured ~36% MXU as lax.conv (120 ms of the 247 ms encoder
+#: at B=64 — docs/PERFORMANCE.md); "taps" is the candidate rewrite,
+#: opt-in until measured on hardware.
+CONV_STEM_MODE = __import__("os").environ.get("QWEN3_ASR_CONV_STEM", "conv")
+
+
+def _conv2d_s2_taps(x: jax.Array, w: jax.Array) -> jax.Array:
+    """3x3 stride-2 pad-1 conv as 9 shifted matmuls, (N,H,W,C)->(N,H',W',O).
+
+    out[h, w] = sum_{dy, dx} xpad[2h + dy, 2w + dx] @ k[dy, dx] — each tap
+    is a strided slice (relayout) feeding one (N*H'*W', C) x (C, O) GEMM,
+    which the MXU runs at full width instead of the conv's small spatial
+    tiles.  Identical math to ``lax.conv_general_dilated`` modulo f32
+    accumulation order (pinned by tests/test_encoder.py).
+    """
+    N, H, W, C = x.shape
+    Ho, Wo = (H - 1) // 2 + 1, (W - 1) // 2 + 1
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            sl = jax.lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (N, dy + 2 * (Ho - 1) + 1, dx + 2 * (Wo - 1) + 1, C),
+                (1, 2, 2, 1),
+            )
+            part = jax.lax.dot_general(
+                sl, w[dy, dx],
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = part if out is None else out + part
+    return out.astype(x.dtype)
+
+
 def _conv_stem(params: EncoderParams, chunks: jax.Array) -> jax.Array:
     """3x strided conv + GELU over (N, mel, time, 1) chunks -> (N, t', flat)."""
     x = chunks
     for i in (1, 2, 3):
-        x = jax.lax.conv_general_dilated(
-            x,
-            params[f"conv{i}_w"].astype(x.dtype),
-            window_strides=(2, 2),
-            padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        w = params[f"conv{i}_w"].astype(x.dtype)
+        if CONV_STEM_MODE == "taps" and i > 1:
+            # conv1 has C_in = 1 (K = 9 GEMMs would be VPU-bound); the
+            # FLOPs live in conv2/conv3 at 480 x 480.
+            x = _conv2d_s2_taps(x, w)
+        else:
+            x = jax.lax.conv_general_dilated(
+                x,
+                w,
+                window_strides=(2, 2),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         x = jax.nn.gelu(x + params[f"conv{i}_b"].astype(x.dtype), approximate=False)
     # (N, freq', time', ch) -> channel-major flatten (N, time', ch * freq').
     n, freq, time, ch = x.shape

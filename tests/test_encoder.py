@@ -159,3 +159,53 @@ def test_gqa_broadcast_matches_repeated_heads():
     v_rep = jnp.repeat(v, Hq // Hkv, axis=1)
     out_rep = sdpa(q, k_rep, v_rep)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_rep), atol=1e-5)
+
+
+def test_conv_stem_taps_matches_conv():
+    """The taps lowering (9 shifted matmuls per stride-2 conv) must equal
+    lax.conv to f32 accumulation-order tolerance, including odd spatial
+    sizes (W=25 -> 13)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_asr_tpu.models.encoder import _conv2d_s2_taps
+
+    rng = np.random.default_rng(0)
+    for H, W, C, O in ((64, 50, 12, 8), (32, 25, 8, 12), (7, 9, 4, 4)):
+        x = jnp.asarray(rng.standard_normal((3, H, W, C)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, C, O)) * 0.1, jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = _conv2d_s2_taps(x, w)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4,
+            err_msg=f"H={H} W={W}",
+        )
+
+
+def test_encoder_forward_taps_mode_matches(monkeypatch):
+    """QWEN3_ASR_CONV_STEM=taps end-to-end equivalence on the tiny config."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_asr_tpu.models import encoder as enc
+
+    cfg = TINY
+    params = enc.init_encoder_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(
+        rng.standard_normal((2, cfg.num_mel_bins, 800)) * 0.3, jnp.float32
+    )
+    nv = jnp.asarray([800, 350], jnp.int32)
+    ref, _ = enc.encoder_forward(params, cfg, mel, nv)
+    monkeypatch.setattr(enc, "CONV_STEM_MODE", "taps")
+    out, _ = enc.encoder_forward(params, cfg, mel, nv)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
