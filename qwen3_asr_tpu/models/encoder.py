@@ -134,9 +134,11 @@ def valid_token_count(cfg: AudioEncoderConfig, n_valid_frames: jax.Array) -> jax
 #: Conv-stem lowering: "conv" (default, lax.conv implicit GEMM) or "taps"
 #: (each 3x3 stride-2 conv as 9 shifted strided-slice matmuls — pure MXU
 #: GEMMs with K = N = 480; same math, different f32 accumulation order).
-#: The stem measured ~36% MXU as lax.conv (120 ms of the 247 ms encoder
-#: at B=64 — docs/PERFORMANCE.md); "taps" is the candidate rewrite,
-#: opt-in until measured on hardware.
+#: MEASURED NEGATIVE on v5e (micro_bench.py encoder, B=64): taps stem
+#: 178.8 ms vs lax.conv 114.6 ms — the 9 strided re-reads of the input
+#: cost more HBM traffic than the full-width GEMMs save; XLA's implicit-
+#: GEMM conv wins.  Kept as a documented experiment, like the kernel
+#: attic (docs/PERFORMANCE.md).
 CONV_STEM_MODE = __import__("os").environ.get("QWEN3_ASR_CONV_STEM", "conv")
 
 
