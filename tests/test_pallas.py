@@ -583,3 +583,27 @@ def test_decode_attention_sched_garbage_immunity():
         q, k2, v2, k_new, v_new, jnp.int32(1), plen, dend, Pb, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+
+
+def test_conv_stem_kernel_matches_conv_gelu():
+    """Fused conv+bias+GELU stem kernel (interpret) vs lax.conv oracle,
+    incl. the real stem's odd spatial sizes."""
+    from qwen3_asr_tpu.ops.pallas.conv_stem import conv_s2_gelu
+
+    rng = jax.random.PRNGKey(11)
+    for H, W, C, O in ((64, 50, 16, 8), (32, 25, 8, 16), (10, 9, 4, 4)):
+        x = jax.random.normal(jax.random.fold_in(rng, H), (3, H, W, C), jnp.float32)
+        w = jax.random.normal(jax.random.fold_in(rng, W), (3, 3, C, O)) * 0.1
+        b = jax.random.normal(jax.random.fold_in(rng, C), (O,)) * 0.1
+        ref = jax.nn.gelu(
+            jax.lax.conv_general_dilated(
+                x, w, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b,
+            approximate=False,
+        )
+        out = conv_s2_gelu(x, w, b, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4,
+            err_msg=f"H={H} W={W}",
+        )

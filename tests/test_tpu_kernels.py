@@ -294,3 +294,25 @@ def test_flash_single_tile_on_tpu():
         np.asarray(out, np.float32) - np.asarray(ref, np.float32)
     ).max()
     assert d < 3e-2, d
+
+
+def test_conv_stem_kernel_on_tpu():
+    """Fused stem kernel vs lax.conv+gelu on real hardware (experiment:
+    not yet wired into the encoder — docs/PERFORMANCE.md)."""
+    from qwen3_asr_tpu.ops.pallas.conv_stem import conv_s2_gelu
+
+    N, H, W, C = 64, 64, 50, 480
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((N, H, W, C)) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.05, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+    ref = jax.nn.gelu(
+        jax.lax.conv_general_dilated(
+            x, w, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b.astype(jnp.bfloat16),
+        approximate=False,
+    )
+    out = conv_s2_gelu(x, w, b)
+    d = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
+    assert d < 3e-2, d
