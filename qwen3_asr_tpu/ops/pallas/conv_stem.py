@@ -12,8 +12,9 @@ relayout in VMEM instead of HBM:
   * the kernel DMAs one chunk's four phase blocks to VMEM and runs the
     nine taps as contiguous-slice GEMMs ``acc += slice(phase) @ k[dy,dx]``
     — every matmul is (Ho*Wo, C) x (C, O) at full MXU width;
-  * bias + exact GELU fuse into the epilogue before the single output
-    write.
+  * bias fuses into the epilogue; the exact GELU stays OUTSIDE the
+    kernel (Mosaic implements neither erf nor erfc) — XLA applies it to
+    the small conv output, numerically identical to the lax.conv stem.
 
 Tap/phase algebra: with ``xpad`` 1-padded, ``out[h, w] = sum_{dy,dx}
 xpad[2h+dy, 2w+dx] @ k[dy,dx]``; substituting ``2h+dy = 2(h+dy//2) +
@@ -36,20 +37,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(p00_ref, p01_ref, p10_ref, p11_ref, w_ref, b_ref, o_ref, *, Ho, Wo):
     phases = ((p00_ref, p01_ref), (p10_ref, p11_ref))
+    Wp = p00_ref.shape[2]
+    C = p00_ref.shape[3]
     acc = None
     for dy in range(3):
         for dx in range(3):
             ph = phases[dy % 2][dx % 2][0]          # (Hp, Wp, C)
-            sl = ph[dy // 2 : dy // 2 + Ho, dx // 2 : dx // 2 + Wo, :]
+            # H-slice (leading dim — layout-free), then a CONTIGUOUS
+            # reshape over the full phase width; the tap's W offset is
+            # applied on the small f32 result instead (a sublane slice —
+            # a mid-width slice before the reshape is an unsupported
+            # Mosaic shape cast).  Costs Wp/Wo ~ +4% MXU work.
+            sl = ph[dy // 2 : dy // 2 + Ho].reshape(Ho * Wp, C)
             part = jax.lax.dot_general(
-                sl.reshape(Ho * Wo, sl.shape[-1]),
-                w_ref[dy, dx],
+                sl, w_ref[dy, dx],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            ).reshape(Ho, Wp, -1)[:, dx // 2 : dx // 2 + Wo, :]
             acc = part if acc is None else acc + part
-    out = jax.nn.gelu(acc + b_ref[...].astype(jnp.float32), approximate=False)
-    o_ref[0] = out.reshape(Ho, Wo, -1).astype(o_ref.dtype)
+    out = acc + b_ref[...].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_n"))
@@ -60,7 +67,11 @@ def conv_s2_gelu(
     interpret: bool = False,
     block_n: int = 1,
 ) -> jax.Array:
-    """GELU(conv2d(x, w, stride 2, pad 1) + b) -> (N, H', W', O)."""
+    """GELU(conv2d(x, w, stride 2, pad 1) + b) -> (N, H', W', O).
+
+    The conv+bias runs in the Pallas kernel; the exact GELU is applied by
+    XLA on the (small) output.
+    """
     N, H, W, C = x.shape
     O = w.shape[-1]
     Ho, Wo = (H - 1) // 2 + 1, (W - 1) // 2 + 1
@@ -88,7 +99,7 @@ def conv_s2_gelu(
     if block_n != 1:
         raise NotImplementedError("block_n=1 only (one chunk per cell)")
     spec_in = pl.BlockSpec((1, Hp, Wp, C), lambda n: (n, 0, 0, 0))
-    return pl.pallas_call(
+    y = pl.pallas_call(
         functools.partial(_kernel, Ho=Ho, Wo=Wo),
         out_shape=jax.ShapeDtypeStruct((N, Ho, Wo, O), x.dtype),
         grid=grid,
@@ -103,3 +114,4 @@ def conv_s2_gelu(
         ),
         interpret=interpret,
     )(*phases, w.astype(x.dtype), b.astype(jnp.float32))
+    return jax.nn.gelu(y, approximate=False)
