@@ -134,11 +134,13 @@ def valid_token_count(cfg: AudioEncoderConfig, n_valid_frames: jax.Array) -> jax
 #: Conv-stem lowering: "conv" (default, lax.conv implicit GEMM) or "taps"
 #: (each 3x3 stride-2 conv as 9 shifted strided-slice matmuls — pure MXU
 #: GEMMs with K = N = 480; same math, different f32 accumulation order).
-#: MEASURED NEGATIVE on v5e (micro_bench.py encoder, B=64): taps stem
-#: 178.8 ms vs lax.conv 114.6 ms — the 9 strided re-reads of the input
-#: cost more HBM traffic than the full-width GEMMs save; XLA's implicit-
-#: GEMM conv wins.  Kept as a documented experiment, like the kernel
-#: attic (docs/PERFORMANCE.md).
+#: MEASURED NEGATIVE on v5e (micro_bench.py encoder, B=64), BOTH forms:
+#: XLA taps 178.8 ms and the fused Pallas tap-GEMM kernel ("pallas",
+#: ops/pallas/conv_stem.py) 365.3 ms vs lax.conv's 114.6 ms — the taps
+#: re-read the activations (9x through HBM, or 9 phase re-fetches per
+#: chunk in-kernel) and the per-chunk GEMMs are too small to win the
+#: MXU back.  XLA's implicit-GEMM conv stands; both rewrites are kept
+#: as documented experiments (docs/PERFORMANCE.md).
 CONV_STEM_MODE = __import__("os").environ.get("QWEN3_ASR_CONV_STEM", "conv")
 
 
@@ -177,6 +179,16 @@ def _conv_stem(params: EncoderParams, chunks: jax.Array) -> jax.Array:
     x = chunks
     for i in (1, 2, 3):
         w = params[f"conv{i}_w"].astype(x.dtype)
+        if (
+            CONV_STEM_MODE == "pallas" and i > 1
+            and jax.default_backend() == "tpu"
+        ):
+            # Fused tap-GEMM kernel (ops/pallas/conv_stem.py); conv1 has
+            # C_in = 1 (no MXU work to win) and keeps lax.conv.
+            from ..ops.pallas.conv_stem import conv_s2_gelu
+
+            x = conv_s2_gelu(x, w, params[f"conv{i}_b"].astype(jnp.float32))
+            continue
         if CONV_STEM_MODE == "taps" and i > 1:
             # conv1 has C_in = 1 (K = 9 GEMMs would be VPU-bound); the
             # FLOPs live in conv2/conv3 at 480 x 480.
