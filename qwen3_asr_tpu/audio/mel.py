@@ -223,7 +223,12 @@ def _host_pad_into(buf: np.ndarray, audio: np.ndarray, n_fft: int) -> None:
     tail_start = pad + n
     tail_len = min(buf_len - tail_start, n - 1, pad)
     if tail_len > 0:
-        buf[tail_start : tail_start + tail_len] = audio[n - 2 : n - 2 - tail_len : -1]
+        # audio[n-2], audio[n-3], ..., audio[n-1-tail_len].  Written as a
+        # forward slice + reverse: the negative-step form
+        # audio[n-2 : n-2-tail_len : -1] is EMPTY when tail_len == n - 1
+        # (stop lands on -1, which numpy reads as "end"), i.e. for clips
+        # of exactly pad + 1 = 201 samples.
+        buf[tail_start : tail_start + tail_len] = audio[n - 1 - tail_len : n - 1][::-1]
 
 
 def _host_pad(audio: np.ndarray, n_frames: int, n_fft: int, hop: int) -> np.ndarray:

@@ -52,6 +52,17 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _emit_live_seg(args, path, seg) -> None:
+    """Finalized-segment record for the --live long-audio fallback."""
+    if args.json:
+        print(json.dumps({
+            "file": str(path), "start": seg.start,
+            "end": seg.end, "text": seg.text, "final": True,
+        }))
+    else:
+        print(f"{path} [{seg.start:.1f}-{seg.end:.1f}s]: {seg.text}")
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -90,10 +101,39 @@ def main(argv: list[str] | None = None) -> int:
         for path in args.audio:
             audio = load_audio(path)
             piece = max(1, int(args.live * SAMPLE_RATE))
-            session = model.incremental_session(
-                max_duration=max(30.0, len(audio) / SAMPLE_RATE + 1.0),
-                **opts,
-            )
+            try:
+                session = model.incremental_session(
+                    max_duration=max(30.0, len(audio) / SAMPLE_RATE + 1.0),
+                    **opts,
+                )
+            except ValueError as exc:
+                # Audio longer than the largest frame bucket (20 min by
+                # default) cannot ride one incremental session; fall back
+                # to --stream-style segmented previews instead of
+                # crashing (plain transcribe chunks long files the same
+                # way).
+                print(
+                    f"{path}: {exc}; falling back to segmented streaming",
+                    file=sys.stderr,
+                )
+                from .audio.mel import HOP_LENGTH
+                from .streaming import StreamingTranscriber
+
+                bucket_s = (
+                    model._runtime.frame_buckets[-1] * HOP_LENGTH
+                    / SAMPLE_RATE
+                )
+                stream = StreamingTranscriber(
+                    model,
+                    segment_duration=max(6.0, min(30.0, bucket_s - 6.0)),
+                    **opts,
+                )
+                for i in range(0, len(audio), piece):
+                    for seg in stream.feed(audio[i : i + piece]):
+                        _emit_live_seg(args, path, seg)
+                for seg in stream.flush():
+                    _emit_live_seg(args, path, seg)
+                continue
             for i in range(0, len(audio), piece):
                 session.feed(audio[i : i + piece])
                 p = session.preview()

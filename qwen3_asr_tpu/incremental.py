@@ -190,10 +190,19 @@ class IncrementalSession:
         self._win_floor: list[float] = []
         self._global_max = -np.inf
         self._committed = 0          # committed windows advanced into kv
+        self._invalid = False        # poisoned by a mid-preview failure
+
+    def _check_valid(self) -> None:
+        if self._invalid:
+            raise RuntimeError(
+                "session invalidated by a failed preview (the donated KV "
+                "cache may be gone); call reset() to start over"
+            )
 
     # -- audio ingestion ----------------------------------------------------
 
     def feed(self, samples: np.ndarray) -> None:
+        self._check_valid()
         samples = np.asarray(samples)
         if samples.dtype == np.int16:
             samples = samples.astype(np.float32) / 32768.0
@@ -254,7 +263,10 @@ class IncrementalSession:
         if n >= 2 and 0 <= t0 < buf_len:
             tail_len = min(buf_len - t0, n - 1, pad)
             if tail_len > 0:
-                buf[t0 : t0 + tail_len] = sig[n - 2 : n - 2 - tail_len : -1]
+                # Forward slice + reverse: the negative-step form is empty
+                # when tail_len == n - 1 (stop == -1 means "end" to numpy)
+                # — streams of exactly pad + 1 = 201 samples hit it.
+                buf[t0 : t0 + tail_len] = sig[n - 1 - tail_len : n - 1][::-1]
         return buf
 
     def _ingest_window(self, w: int, n_frames: int) -> None:
@@ -304,12 +316,28 @@ class IncrementalSession:
         token-identical to ``model.transcribe`` of the same prefix)."""
         from .api import TranscriptionResult
 
+        self._check_valid()
         n_total_frames = len(self._samples) // HOP_LENGTH
         if n_total_frames == 0:
             return TranscriptionResult(
                 text="", language="Unknown",
                 duration=len(self._samples) / SAMPLE_RATE,
             )
+        try:
+            return self._preview_impl(n_total_frames)
+        except Exception:
+            # The advance/decode programs DONATE the session cache on
+            # TPU: a failure mid-preview (OOM, interrupt, compile error)
+            # may leave self._kv aliasing a deleted buffer and the
+            # window floors half-updated.  Poison the session so later
+            # calls fail with a clear message instead of an opaque
+            # deleted-array error; reset() rebuilds the cache.
+            self._invalid = True
+            raise
+
+    def _preview_impl(self, n_total_frames: int):
+        from .api import TranscriptionResult
+
         W = len(self._win_raw)
         tail_frames = n_total_frames - W * WINDOW_FRAMES
         gmax = self._global_max
@@ -323,7 +351,6 @@ class IncrementalSession:
         floor = gmax - 8.0
         self._reconcile(floor)
 
-        kv = self._kv
         n_audio = W * self._wtok
         gen = self._gen
         if tail_raw is not None:
@@ -337,9 +364,13 @@ class IncrementalSession:
             tail_tokens = self._model._n_audio_tokens(tail_frames)
             slot = 9 + n_audio
             kv, _ = gen.advance(
-                kv, feats.astype(jnp.result_type(kv[0])),
+                self._kv, feats.astype(jnp.result_type(self._kv[0])),
                 (slot + np.arange(self._wtok))[None], slot, self._wtok - 1,
             )
+            # Reassign immediately: advance donated the old buffer, and
+            # the new one still holds the committed prefix (the advance
+            # wrote only scratch rows past it).
+            self._kv = kv
             n_audio += tail_tokens
 
         # Suffix advance (scratch rows beyond the suffix stay invisible:
@@ -349,8 +380,10 @@ class IncrementalSession:
         slot = 9 + n_audio
         pos = (slot + np.arange(SUFFIX_PAD))[None]
         kv, first_logits = gen.advance(
-            kv, gen.embed_ids(sfx), pos, slot, len(self._suffix_ids) - 1
+            self._kv, gen.embed_ids(sfx), pos, slot,
+            len(self._suffix_ids) - 1,
         )
+        self._kv = kv
         prompt_len = slot + len(self._suffix_ids)
 
         o = self._opts
@@ -367,7 +400,7 @@ class IncrementalSession:
         )
         budget = min(want, self._token_bucket)
         tokens, counts, kv = gen._decode(
-            gen.params, kv, first_logits,
+            gen.params, self._kv, first_logits,
             jnp.asarray([prompt_len], jnp.int32),
             jnp.asarray([budget], jnp.int32),
             jnp.uint32(o["seed"]), jnp.float32(o["temperature"]),
@@ -391,10 +424,24 @@ class IncrementalSession:
         return len(self._samples) / SAMPLE_RATE
 
     def reset(self) -> None:
-        """Drop all audio and cached state (the KV buffer is reused)."""
+        """Drop all audio and cached state (the KV buffer is reused,
+        unless a failed preview invalidated it — then it is rebuilt)."""
         self._samples = np.zeros(0, np.float32)
         self._win_raw.clear()
         self._win_min.clear()
         self._win_floor.clear()
         self._global_max = -np.inf
         self._committed = 0
+        if self._invalid:
+            from .models.decoder import init_kv_cache
+
+            gen = self._gen
+            dtype = jnp.result_type(gen.params["final_norm"])
+            self._kv = init_kv_cache(gen.cfg, 1, self._cache_len, dtype)
+            ids = np.zeros((1, PREFIX_PAD), np.int32)
+            ids[0, :9] = self._prefix_ids
+            self._kv, _ = gen.advance(
+                self._kv, gen.embed_ids(ids), np.arange(PREFIX_PAD)[None],
+                0, 8,
+            )
+            self._invalid = False

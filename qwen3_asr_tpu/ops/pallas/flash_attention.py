@@ -131,7 +131,11 @@ def flash_attention_causal(
     while block_k > 128 and T % block_k:
         block_k //= 2
     if T % block_q or T % block_k:
-        if T <= 1024 and T % 8 == 0:
+        # Only the DEFAULT blocks may silently fall back to one (T, T)
+        # tile; explicitly requested non-dividing blocks raise so tuning
+        # callers (tools/flash_sweep.py) never measure a different tiling
+        # than they asked for.
+        if defaults and T <= 1024 and T % 8 == 0:
             block_q = block_k = T
         else:
             raise ValueError(

@@ -252,6 +252,16 @@ def test_host_pad_piecewise_matches_np_pad():
         got = _host_pad(audio, n_frames, 400, 160)
         np.testing.assert_array_equal(got, ref, err_msg=f"n={n}")
 
+        # Bucket-padded buffer (buf_len >> clip): the full right
+        # reflection fits.  n = 201 is the regression case — tail_len
+        # == n - 1 made the old negative-step slice empty (ValueError).
+        buf_len_b = (100 - 1) * 160 + 400
+        ref_b = np.zeros(buf_len_b, np.float32)
+        take_b = min(len(reflected), buf_len_b)
+        ref_b[:take_b] = reflected[:take_b]
+        got_b = _host_pad(audio, 100, 400, 160)
+        np.testing.assert_array_equal(got_b, ref_b, err_msg=f"n={n} bucketed")
+
     # batched path, int16 dtype preserved
     clips = [
         (rng.standard_normal(16000) * 4000).astype(np.int16),

@@ -74,3 +74,41 @@ def test_live_mode_end_to_end(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 3                       # one refresh per fed second
     assert all("clip.wav" in line for line in out)
+
+
+def test_live_mode_long_audio_falls_back_to_streaming(
+    tmp_path, monkeypatch, capsys
+):
+    """--live with audio longer than the largest frame bucket must not
+    crash: it falls back to segmented streaming previews."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from qwen3_asr_tpu import cli
+    from qwen3_asr_tpu.api import Qwen3ASR
+    from qwen3_asr_tpu.config import RuntimeConfig
+    from tests.test_api import TINY_CFG, StubTokenizer
+    from tests.test_native_audio import _write_wav
+
+    model = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(),
+        runtime=RuntimeConfig(
+            frame_buckets=(800, 1600, 3200), token_buckets=(32,)
+        ),
+        dtype=jnp.float32,
+    )
+    monkeypatch.setattr(
+        Qwen3ASR, "from_pretrained", classmethod(lambda cls, *a, **k: model)
+    )
+    wav = tmp_path / "long.wav"
+    t = np.arange(int(40.0 * 16000)) / 16000       # > 32 s largest bucket
+    _write_wav(wav, (0.1 * np.sin(2 * np.pi * 330 * t)).astype(np.float32))
+    rc = cli.main([str(wav), "--model", "/ignored", "--live", "10.0",
+                   "--max-tokens", "4"])
+    assert rc == 0
+    err = capsys.readouterr()
+    assert "falling back to segmented streaming" in err.err
+    # Finalized segments were printed for the whole clip.
+    lines = [ln for ln in err.out.strip().splitlines() if "long.wav" in ln]
+    assert lines

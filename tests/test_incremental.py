@@ -154,3 +154,46 @@ def test_preview_tiny_prefix_matches_offline(model):
     got = sess.preview()
     ref = model.transcribe(audio, max_tokens=4, language="English")
     assert got.text == ref.text
+
+
+def test_preview_201_sample_stream_matches_offline(model):
+    """Exactly N_FFT//2 + 1 = 201 samples: the right-reflect tail covers
+    the full pad and tail_len == n - 1 — the old negative-step slice was
+    empty there and preview() raised ValueError."""
+    audio = _speech_like(201 / 16_000, seed=9)[:201]
+    assert len(audio) == 201
+    sess = model.incremental_session(max_tokens=4, language="English")
+    sess.feed(audio)
+    got = sess.preview()
+    ref = model.transcribe(audio, max_tokens=4, language="English")
+    assert got.text == ref.text
+
+
+def test_failed_preview_invalidates_session(model, monkeypatch):
+    """A failure inside preview() (where the cache may have been donated
+    away) poisons the session with a clear error; reset() rebuilds it."""
+    audio = _speech_like(3.0, seed=10)
+    sess = model.incremental_session(max_tokens=4, language="English")
+    sess.feed(audio)
+    baseline = sess.preview().text
+
+    boom = RuntimeError("injected advance failure")
+
+    def exploding_advance(*a, **k):
+        raise boom
+
+    monkeypatch.setattr(sess._gen, "advance", exploding_advance)
+    with pytest.raises(RuntimeError, match="injected"):
+        sess.preview()
+    monkeypatch.undo()
+
+    # Poisoned: both entry points refuse with a clear message.
+    with pytest.raises(RuntimeError, match="reset"):
+        sess.preview()
+    with pytest.raises(RuntimeError, match="reset"):
+        sess.feed(audio)
+
+    # reset() rebuilds the prefix cache and the session works again.
+    sess.reset()
+    sess.feed(audio)
+    assert sess.preview().text == baseline

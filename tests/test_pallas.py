@@ -607,3 +607,22 @@ def test_conv_stem_kernel_matches_conv_gelu():
             np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4,
             err_msg=f"H={H} W={W}",
         )
+
+
+def test_flash_explicit_nondividing_blocks_raise():
+    """Explicitly requested block sizes that don't divide T must raise —
+    not silently fall back to one (T, T) tile — so tuning sweeps never
+    measure a different tiling than requested.  Default blocks still take
+    the single-tile fallback."""
+    B, hq, hkv, D, T = 1, 2, 1, 64, 520
+    rng = jax.random.PRNGKey(11)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, T, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, hkv, T, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, hkv, T, D), jnp.float32)
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        flash_attention_causal(q, k, v, block_q=128, block_k=128, interpret=True)
+
+    out = flash_attention_causal(q, k, v, interpret=True)  # defaults: (T, T)
+    ref = causal_oracle(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
