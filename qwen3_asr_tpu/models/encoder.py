@@ -136,7 +136,7 @@ def valid_token_count(cfg: AudioEncoderConfig, n_valid_frames: jax.Array) -> jax
 #: GEMMs with K = N = 480; same math, different f32 accumulation order).
 #: MEASURED NEGATIVE on v5e (micro_bench.py encoder, B=64), BOTH forms:
 #: XLA taps 178.8 ms and the fused Pallas tap-GEMM kernel ("pallas",
-#: ops/pallas/conv_stem.py) 365.3 ms vs lax.conv's 114.6 ms — the taps
+#: ops/pallas/experiments/conv_stem.py) 365.3 ms vs lax.conv's 114.6 ms — the taps
 #: re-read the activations (9x through HBM, or 9 phase re-fetches per
 #: chunk in-kernel) and the per-chunk GEMMs are too small to win the
 #: MXU back.  XLA's implicit-GEMM conv stands; both rewrites are kept
@@ -183,9 +183,9 @@ def _conv_stem(params: EncoderParams, chunks: jax.Array) -> jax.Array:
             CONV_STEM_MODE == "pallas" and i > 1
             and jax.default_backend() == "tpu"
         ):
-            # Fused tap-GEMM kernel (ops/pallas/conv_stem.py); conv1 has
+            # Fused tap-GEMM kernel (ops/pallas/experiments/conv_stem.py); conv1 has
             # C_in = 1 (no MXU work to win) and keeps lax.conv.
-            from ..ops.pallas.conv_stem import conv_s2_gelu
+            from ..ops.pallas.experiments.conv_stem import conv_s2_gelu
 
             x = conv_s2_gelu(x, w, params[f"conv{i}_b"].astype(jnp.float32))
             continue

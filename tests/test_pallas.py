@@ -464,7 +464,7 @@ def test_decode_attention_hbm5_small_batches():
 def test_build_decode_schedule_covers_exactly():
     """Every valid cache block appears exactly once, in lane order, with
     correct offsets/limits/flags; padded lanes own nothing."""
-    from qwen3_asr_tpu.ops.pallas.decode_attention_sched import (
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_sched import (
         _F_FIRST, _F_LAST, build_decode_schedule,
     )
 
@@ -502,7 +502,7 @@ def test_build_decode_schedule_covers_exactly():
 def test_decode_attention_sched_matches_oracle():
     """v7 at the bench shape (512+128) across decode depths, including
     per-sequence heterogeneous decode ends (continuous batching)."""
-    from qwen3_asr_tpu.ops.pallas.decode_attention_sched import (
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_sched import (
         decode_attention_sched,
     )
 
@@ -536,7 +536,7 @@ def test_decode_attention_sched_matches_oracle():
 
 
 def test_decode_attention_sched_batch1():
-    from qwen3_asr_tpu.ops.pallas.decode_attention_sched import (
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_sched import (
         decode_attention_sched,
     )
 
@@ -558,7 +558,7 @@ def test_decode_attention_sched_batch1():
 
 def test_decode_attention_sched_garbage_immunity():
     """Garbage (incl. non-finite) in dead cache regions must not leak."""
-    from qwen3_asr_tpu.ops.pallas.decode_attention_sched import (
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_sched import (
         decode_attention_sched,
     )
 
@@ -588,7 +588,7 @@ def test_decode_attention_sched_garbage_immunity():
 def test_conv_stem_kernel_matches_conv_gelu():
     """Fused conv+bias+GELU stem kernel (interpret) vs lax.conv oracle,
     incl. the real stem's odd spatial sizes."""
-    from qwen3_asr_tpu.ops.pallas.conv_stem import conv_s2_gelu
+    from qwen3_asr_tpu.ops.pallas.experiments.conv_stem import conv_s2_gelu
 
     rng = jax.random.PRNGKey(11)
     for H, W, C, O in ((64, 50, 16, 8), (32, 25, 8, 16), (10, 9, 4, 4)):

@@ -299,7 +299,7 @@ def test_flash_single_tile_on_tpu():
 def test_conv_stem_kernel_on_tpu():
     """Fused stem kernel vs lax.conv+gelu on real hardware (experiment:
     not yet wired into the encoder — docs/PERFORMANCE.md)."""
-    from qwen3_asr_tpu.ops.pallas.conv_stem import conv_s2_gelu
+    from qwen3_asr_tpu.ops.pallas.experiments.conv_stem import conv_s2_gelu
 
     N, H, W, C = 64, 64, 50, 480
     rng = np.random.default_rng(9)

@@ -108,7 +108,7 @@ def bench_kernel_ab(B=64, S=640, pbucket=512, L=28):
     from qwen3_asr_tpu.ops.pallas.decode_attention_hbm4 import (
         decode_attention_hbm4,
     )
-    from qwen3_asr_tpu.ops.pallas.decode_attention_sched import (
+    from qwen3_asr_tpu.ops.pallas.experiments.decode_attention_sched import (
         decode_attention_sched,
     )
 
