@@ -138,44 +138,20 @@ class Qwen3ASR:
         self._config = config
         self._runtime = runtime or RuntimeConfig()
         _enable_compile_cache(self._runtime.compile_cache_dir)
-        if self._runtime.fuse_qkv and self._runtime.tp == 1:
-            from .models.decoder import fuse_decoder_params
-
-            if "wq" in decoder_params["layers"]:
-                decoder_params = fuse_decoder_params(decoder_params)
-        if self._runtime.quantization == "int8":
-            from .ops.quant import is_quantized, quantize_decoder_params
-
-            if not is_quantized(decoder_params["embedding"]):
-                decoder_params = quantize_decoder_params(decoder_params)
         if self._runtime.dp * self._runtime.tp > 1:
-            # SPMD inference: shard parameters over the (dp, tp) mesh;
-            # GSPMD propagates shardings through every jitted program and
-            # inserts the tp collectives over ICI.  Quantized {"q","s"}
-            # trees shard with the same Megatron rules
-            # (parallel/sharding.py:_quant_specs).
-            from .parallel.mesh import make_mesh
-            from .parallel.sharding import (
-                decoder_param_sharding,
-                encoder_param_sharding,
-                shard_params,
-            )
-
             from .models.decoder import set_spmd
+            from .parallel.mesh import make_mesh
 
             self._mesh = make_mesh(self._runtime.dp, self._runtime.tp)
             # Mesh execution: decode attention + KV writers run the Pallas
             # kernels per-shard via shard_map (decoder._hbm4_shard_map);
             # everything else shards through GSPMD.
             set_spmd(True, self._mesh)
-            decoder_params = shard_params(
-                decoder_params, decoder_param_sharding(decoder_params, self._mesh)
-            )
-            encoder_params = shard_params(
-                encoder_params, encoder_param_sharding(encoder_params, self._mesh)
-            )
         else:
             self._mesh = None
+        encoder_params, decoder_params = self._transform_params(
+            encoder_params, decoder_params
+        )
         self._encoder_params = encoder_params
         self._decoder_params = decoder_params
         self._tokenizer = tokenizer
@@ -200,6 +176,66 @@ class Qwen3ASR:
                 "rep_window", "k_subset",
             ),
         )
+
+    def _transform_params(self, encoder_params, decoder_params):
+        """Storage-layout transforms applied to freshly loaded params:
+        QKV/MLP fusion, optional int8 weight quantization, SPMD
+        sharding over ``self._mesh``.  Shared by ``__init__`` and
+        :meth:`_install_weights` (background-warm loading) so a
+        later weight install reproduces the construction layout
+        exactly — same pytree, same shapes, same shardings — and every
+        already-compiled program stays valid."""
+        if self._runtime.fuse_qkv and self._runtime.tp == 1:
+            from .models.decoder import fuse_decoder_params
+
+            if "wq" in decoder_params["layers"]:
+                decoder_params = fuse_decoder_params(decoder_params)
+        if self._runtime.quantization == "int8":
+            from .ops.quant import is_quantized, quantize_decoder_params
+
+            if not is_quantized(decoder_params["embedding"]):
+                decoder_params = quantize_decoder_params(decoder_params)
+        if self._mesh is not None:
+            # SPMD inference: shard parameters over the (dp, tp) mesh;
+            # GSPMD propagates shardings through every jitted program and
+            # inserts the tp collectives over ICI.  Quantized {"q","s"}
+            # trees shard with the same Megatron rules
+            # (parallel/sharding.py:_quant_specs).
+            from .parallel.sharding import (
+                decoder_param_sharding,
+                encoder_param_sharding,
+                shard_params,
+            )
+
+            decoder_params = shard_params(
+                decoder_params, decoder_param_sharding(decoder_params, self._mesh)
+            )
+            encoder_params = shard_params(
+                encoder_params, encoder_param_sharding(encoder_params, self._mesh)
+            )
+        return encoder_params, decoder_params
+
+    def _install_weights(self, encoder_params, decoder_params) -> None:
+        """Swap freshly loaded checkpoint weights into a live model.
+
+        Used by ``from_pretrained(warm="background")``: the model is
+        constructed zero-initialized (same shapes/dtypes as the
+        checkpoint) so program compilation can start immediately, the
+        checkpoint load overlaps it, and this swap retargets every
+        compiled program at the real weights — jit caches key on
+        shape/dtype, not buffer identity, so nothing recompiles."""
+        encoder_params, decoder_params = self._transform_params(
+            encoder_params, decoder_params
+        )
+        # No lock: before from_pretrained returns, the only in-flight
+        # calls are the warm thread's own (outputs discarded), so a
+        # mid-call swap can at worst mix zero/real params in a warm run.
+        # Taking the model lock here would instead serialize the install
+        # behind the warm call's full client compile — the exact wait
+        # background warming exists to remove.
+        self._encoder_params = encoder_params
+        self._decoder_params = decoder_params
+        self._generator.params = decoder_params
 
     def _fused_prefill_impl(
         self, enc_params, dec_params, padded, n_valid_frames, ids,
@@ -267,9 +303,30 @@ class Qwen3ASR:
         model_id_or_path: str | Path,
         runtime: RuntimeConfig | None = None,
         dtype=jnp.bfloat16,
+        warm: str = "off",
+        warm_deployment: dict | None = None,
         **kwargs,
     ) -> "Qwen3ASR":
-        """Load from a local directory or a HuggingFace Hub repo id."""
+        """Load from a local directory or a HuggingFace Hub repo id.
+
+        ``warm="background"`` takes the client-side program compile off
+        the cold-start critical path: the model is constructed
+        zero-initialized (checkpoint shapes are known from the config
+        alone), a daemon thread immediately starts :meth:`warm_up` for
+        ``warm_deployment`` (default: one 30 s clip, batch 1, 128
+        tokens), and the checkpoint read/upload overlaps that compile;
+        the real weights are swapped in when the load finishes (jit
+        caches key on shape/dtype, so nothing recompiles).  TTFT then
+        ≈ max(compile, load) + one backend round instead of their sum —
+        and with a pre-seeded persistent compile cache
+        (tools/seed_compile_cache.py) the compile term collapses to a
+        seconds-scale cache reload, leaving ≈ load + one backend round.
+        The reference's analog is its seconds-scale ``warm_up``
+        (model.py:252-259); on this backend the compile round is the
+        cold-start cost, so overlap is the lever.
+        """
+        if warm not in ("off", "background"):
+            raise ValueError(f"warm must be 'off' or 'background', got {warm!r}")
         path = Path(model_id_or_path)
         if not path.is_dir():
             from huggingface_hub import snapshot_download
@@ -277,8 +334,33 @@ class Qwen3ASR:
             path = Path(snapshot_download(repo_id=str(model_id_or_path), **kwargs))
 
         config = ModelConfig.from_pretrained(path)
-        enc, dec = load_checkpoint(path, config, dtype=dtype)
         tokenizer = Tokenizer(path)
+        if warm == "background":
+            model = cls.from_random(
+                config, tokenizer=tokenizer, runtime=runtime, dtype=dtype,
+                seed=None,
+            )
+            dep = warm_deployment or {
+                "durations": (30.0,), "batch_sizes": (1,),
+                "max_tokens": (128,),
+            }
+
+            def _warm() -> None:
+                try:
+                    model.warm_up(deployment=dep)
+                except Exception as exc:  # noqa: BLE001 — warm is advisory
+                    logger.warning("background warm_up failed: %s", exc)
+
+            t = threading.Thread(
+                target=_warm, name="qwen3-asr-warm", daemon=True
+            )
+            t.start()
+            model._warm_thread = t
+            # The checkpoint read + device upload overlaps the compile.
+            enc, dec = load_checkpoint(path, config, dtype=dtype)
+            model._install_weights(enc, dec)
+            return model
+        enc, dec = load_checkpoint(path, config, dtype=dtype)
         return cls(config, enc, dec, tokenizer, runtime)
 
     @classmethod
@@ -455,6 +537,16 @@ class Qwen3ASR:
         # by the bridge; a warm-up's contract is steady-state readiness.
         self.wait_ready()
         logger.info("warm_up complete: %d program shapes compiled", len(cells))
+
+    def wait_warm(self, timeout: float | None = None) -> bool:
+        """Block until a ``from_pretrained(warm="background")`` warm-up
+        thread finishes (no-op when not background-warmed).  Returns
+        False on timeout."""
+        t = getattr(self, "_warm_thread", None)
+        if t is None:
+            return True
+        t.join(timeout)
+        return not t.is_alive()
 
     def wait_ready(self, timeout: float | None = None) -> bool:
         """Block until background decode-program compiles finish

@@ -109,6 +109,31 @@ class Generator:
             ),
             donate_argnums=donate,
         )
+        # Spec scan-bridge programs (round-4): the speculative while
+        # program is pallas-in-while like the plain one, so its first
+        # per-shape call used to eat an unmitigated 60-500 s backend
+        # compile round.  These fixed-K scans of the SAME spec body are
+        # token-identical, compile fast, reload from the persistent
+        # cache, and serve while the while program warms in a thread —
+        # the same progressive-compile scheme as _decode_start/_resume.
+        self._spec_start = jax.jit(
+            self._spec_start_impl,
+            static_argnames=(
+                "token_bucket", "rep_window", "gamma", "ngram_n",
+                "bridge_steps",
+            ),
+            donate_argnums=donate,
+        )
+        self._spec_resume = jax.jit(
+            self._spec_resume_impl,
+            static_argnames=(
+                "token_bucket", "rep_window", "gamma", "ngram_n",
+                "bridge_steps",
+            ),
+            donate_argnums=(
+                tuple(range(1, 8)) if donate else ()
+            ),
+        )
         # Post-prefill int8 cache conversion (RuntimeConfig.kv_cache_dtype
         # = "int8"): one fused read-convert-write pass; the bf16 buffers
         # are donated so peak memory never holds both copies.
@@ -475,6 +500,54 @@ class Generator:
         )
         return tokens, counts, step, kv
 
+    def _spec_start_impl(
+        self, params, kv, first_logits, prompt_len, max_new, seed,
+        repetition_penalty, repetition_context,
+        token_bucket, rep_window=REP_WINDOW, gamma=3, ngram_n=2,
+        bridge_steps=16,
+    ):
+        """First token + ``bridge_steps`` fixed speculative iterations.
+
+        lax.scan of the spec body instead of lax.while_loop: post-done
+        iterations are no-ops on the visible state (``chain = ~done`` is
+        all-False, every token/count write is emit-masked, and the kv
+        rows rewritten at the frozen write slot recompute identically
+        from the unchanged ``cur``/cache prefix), so the emitted stream
+        is exactly the while program's.  Returns the resumable state."""
+        state, _, _ = self._decode_setup(
+            params, kv, first_logits, prompt_len, max_new, seed,
+            jnp.float32(0.0), jnp.int32(0), jnp.float32(1.0),
+            repetition_penalty, repetition_context, token_bucket,
+            "greedy", rep_window, 1024,
+        )
+        body, _ = self._spec_machinery(
+            params, first_logits.shape[0], kv_seq_len(kv[0]), prompt_len,
+            max_new, repetition_penalty, repetition_context, token_bucket,
+            rep_window, gamma, ngram_n,
+        )
+        state, _ = jax.lax.scan(
+            lambda c, _: (body(c), None), state, None, length=bridge_steps
+        )
+        return state
+
+    def _spec_resume_impl(
+        self, params, kv, tokens, counts, done, cur, rng, step,
+        prompt_len, max_new, repetition_penalty, repetition_context,
+        token_bucket, rep_window=REP_WINDOW, gamma=3, ngram_n=2,
+        bridge_steps=16,
+    ):
+        """``bridge_steps`` more speculative iterations from a state."""
+        body, _ = self._spec_machinery(
+            params, tokens.shape[0], kv_seq_len(kv[0]), prompt_len,
+            max_new, repetition_penalty, repetition_context, token_bucket,
+            rep_window, gamma, ngram_n,
+        )
+        state = (kv, tokens, counts, done, cur, rng, step)
+        state, _ = jax.lax.scan(
+            lambda c, _: (body(c), None), state, None, length=bridge_steps
+        )
+        return state
+
     # -- bridge (progressive-compile) decode programs ---------------------
 
     def _decode_start_impl(
@@ -523,15 +596,17 @@ class Generator:
 
     # -- progressive-compile routing --------------------------------------
 
-    def _use_bridge(self, kv, B: int, statics):
+    def _use_bridge(self, kv, B: int, statics, spec=None):
         """The (shape, statics) key when the while-loop program is not
         yet compiled and the bridge should serve this request, else
-        None.  The background warm compile is spawned LATER by
-        :meth:`_decode_bridged` — only after the bridge program itself
-        has compiled and produced its first chunk, because compiles can
-        serialize on the backend's compile service and spawning first
-        would queue the fast bridge compile behind the slow while-loop
-        one (measured: exactly inverted cold-start behavior)."""
+        None.  ``spec`` = (gamma, ngram_n) keys the SPECULATIVE while
+        program separately from the plain one.  The background warm
+        compile is spawned LATER by :meth:`_decode_bridged` — only after
+        the bridge program itself has compiled and produced its first
+        chunk, because compiles can serialize on the backend's compile
+        service and spawning first would queue the fast bridge compile
+        behind the slow while-loop one (measured: exactly inverted
+        cold-start behavior)."""
         prog = self.runtime.progressive_decode
         enabled = prog == "on" or (
             prog == "auto" and jax.default_backend() == "tpu"
@@ -539,19 +614,29 @@ class Generator:
         if not enabled:
             return None
         key = (B, kv_spec(kv[0]), *statics)
+        if spec is not None:
+            key = (*key, "spec", *spec)
         with self._compile_lock:
             if key in self._compiled_keys:
                 return None
         return key
 
+    def _plan_spec(self, mode: str):
+        """(gamma, ngram_n) when this request decodes speculatively
+        (greedy + RuntimeConfig.speculative="ngram"), else None."""
+        if self.runtime.speculative == "ngram" and mode == "greedy":
+            return (self.runtime.spec_gamma, self.runtime.spec_ngram)
+        return None
+
     def _spawn_warm_compile(
-        self, key, kv_specs, B: int, statics, extra_warm=None
+        self, key, kv_specs, B: int, statics, extra_warm=None, spec=None
     ) -> None:
         """Compile the steady-state while program in a daemon thread (a
         dummy max_new=1 run seeds the jit cache — AOT lower().compile()
         does not).  One thread per key.  ``extra_warm`` (optional
         callable) runs afterwards in the same thread — used by the cold
-        pipeline to warm the standalone fused prefill too."""
+        pipeline to warm the standalone fused prefill too.  ``spec`` =
+        (gamma, ngram_n) warms the speculative while program instead."""
         import threading
 
         with self._compile_lock:
@@ -568,15 +653,25 @@ class Generator:
                 dummy_kv = jax.tree_util.tree_unflatten(
                     treedef, [jnp.zeros(s, d) for s, d in specs]
                 )
-                out = self._decode(
-                    self.params, dummy_kv,
-                    jnp.zeros((B, vocab), jnp.float32),
-                    jnp.zeros((B,), jnp.int32),
-                    jnp.ones((B,), jnp.int32),   # max_new=1: 0 loop trips
-                    jnp.uint32(0), jnp.float32(0.0), jnp.int32(0),
-                    jnp.float32(1.0), jnp.float32(1.0), jnp.int32(0),
-                    *statics,
-                )
+                if spec is not None:
+                    out = self._spec_decode(
+                        self.params, dummy_kv,
+                        jnp.zeros((B, vocab), jnp.float32),
+                        jnp.zeros((B,), jnp.int32),
+                        jnp.ones((B,), jnp.int32),  # max_new=1: 0 trips
+                        jnp.uint32(0), jnp.float32(1.0), jnp.int32(0),
+                        statics[0], statics[2], spec[0], spec[1],
+                    )
+                else:
+                    out = self._decode(
+                        self.params, dummy_kv,
+                        jnp.zeros((B, vocab), jnp.float32),
+                        jnp.zeros((B,), jnp.int32),
+                        jnp.ones((B,), jnp.int32),   # max_new=1: 0 loop trips
+                        jnp.uint32(0), jnp.float32(0.0), jnp.int32(0),
+                        jnp.float32(1.0), jnp.float32(1.0), jnp.int32(0),
+                        *statics,
+                    )
                 np.asarray(out[1])  # force the run through the tunnel
                 with self._compile_lock:
                     self._compiled_keys.add(key)
@@ -603,9 +698,9 @@ class Generator:
                 (k, v) for k, v in self._bridge_seen.items()
                 if k not in self._compiled_keys
             ]
-        for key, (kv_specs, B, statics, _, extra_warm) in pending:
+        for key, (kv_specs, B, statics, _, extra_warm, spec) in pending:
             self._spawn_warm_compile(
-                key, kv_specs, B, statics, extra_warm=extra_warm
+                key, kv_specs, B, statics, extra_warm=extra_warm, spec=spec
             )
         deadline = None if timeout is None else time.monotonic() + timeout
         while True:
@@ -644,11 +739,11 @@ class Generator:
         # that blocks the NEXT process for its full duration (measured:
         # a 1500 s stall).  wait_ready() force-spawns for servers/benches.
         with self._compile_lock:
-            prev = self._bridge_seen.get(key, (None, None, None, 0, None))
+            prev = self._bridge_seen.get(key, (None, None, None, 0, None, None))
             hits = prev[3] + 1
             # Keep a cold-pipeline-seeded extra_warm (standalone prefill
             # warm) if the same key is later served by the bridge.
-            self._bridge_seen[key] = (kv_specs, B, statics, hits, prev[4])
+            self._bridge_seen[key] = (kv_specs, B, statics, hits, prev[4], None)
         may_spawn = hits >= 2
         while steps < token_bucket - 1 and not bool(done_host.all()):
             state = self._decode_resume(
@@ -664,6 +759,53 @@ class Generator:
         if may_spawn and not spawned:
             self._spawn_warm_compile(
                 key, kv_specs, B, statics, extra_warm=prev[4]
+            )
+        return state[1], state[2]
+
+    def _spec_bridged(self, kv, first_logits, dyn, statics, key, spec):
+        """Serve one SPECULATIVE decode on the fixed-K scan bridge while
+        the spec while program compiles in the background (same
+        progressive-compile scheme and hits-counting as
+        :meth:`_decode_bridged`).  Token-identical to the spec while
+        program; every live lane emits at least one token per iteration,
+        so ``ceil(token_bucket / K)`` chunks always suffice."""
+        token_bucket = statics[0]
+        gamma, ngram_n = spec
+        B = first_logits.shape[0]
+        leaves, treedef = jax.tree_util.tree_flatten(kv)
+        kv_specs = ([(a.shape, a.dtype) for a in leaves], treedef)
+        K = max(1, min(self.runtime.bridge_steps, token_bucket))
+        spec_statics = (token_bucket, statics[2], gamma, ngram_n)
+        state = self._spec_start(
+            self.params, kv, first_logits, dyn[0], dyn[1], dyn[2],
+            dyn[6], dyn[7], *spec_statics, bridge_steps=K,
+        )
+        done_host = np.asarray(state[3])       # sync: start compiled & ran
+        chunks = 1
+        spawned = False
+        with self._compile_lock:
+            prev = self._bridge_seen.get(key, (None, None, None, 0, None, None))
+            hits = prev[3] + 1
+            self._bridge_seen[key] = (
+                kv_specs, B, statics, hits, prev[4], spec
+            )
+        may_spawn = hits >= 2
+        max_chunks = -(-token_bucket // K)
+        while chunks < max_chunks and not bool(done_host.all()):
+            state = self._spec_resume(
+                self.params, *state, dyn[0], dyn[1], dyn[6], dyn[7],
+                *spec_statics, bridge_steps=K,
+            )
+            chunks += 1
+            done_host = np.asarray(state[3])
+            if may_spawn and not spawned:
+                self._spawn_warm_compile(
+                    key, kv_specs, B, statics, extra_warm=prev[4], spec=spec
+                )
+                spawned = True
+        if may_spawn and not spawned:
+            self._spawn_warm_compile(
+                key, kv_specs, B, statics, extra_warm=prev[4], spec=spec
             )
         return state[1], state[2]
 
@@ -694,7 +836,7 @@ class Generator:
         )
         if not (enabled and rt.cold_fused_first_call):
             return None
-        if rt.kv_cache_dtype != "bf16" or rt.speculative == "ngram":
+        if rt.kv_cache_dtype != "bf16":
             return None
         if rt.dp * rt.tp > 1:
             return None
@@ -711,6 +853,13 @@ class Generator:
             cache_len, self.cfg.head_dim,
         )
         key = (B, (tuple(kv_shape), str(jnp.dtype(kv_dtype))), *statics)
+        # Speculative greedy requests cold-start on the SAME fused plain-
+        # scan program (spec greedy is token-identical to plain greedy by
+        # construction) but key — and background-warm — the SPEC while
+        # program, so the steady-state handoff lands on the fast path.
+        spec = self._plan_spec(mode)
+        if spec is not None:
+            key = (*key, "spec", *spec)
         with self._compile_lock:
             if key in self._compiled_keys:
                 return None
@@ -731,12 +880,17 @@ class Generator:
         kv_specs = (
             [(kv_shape, kv_dtype), (kv_shape, kv_dtype)], treedef
         )
+        # Spec-keyed cold requests warm the SPEC while program (the key
+        # carries the ("spec", gamma, ngram) suffix from cold_plan).
+        spec = self._plan_spec(statics[1])
         with self._compile_lock:
-            hits = self._bridge_seen.get(key, (None, None, None, 0, None))[3] + 1
-            self._bridge_seen[key] = (kv_specs, B, statics, hits, extra_warm)
+            hits = self._bridge_seen.get(key, (None, None, None, 0, None, None))[3] + 1
+            self._bridge_seen[key] = (
+                kv_specs, B, statics, hits, extra_warm, spec
+            )
         if hits >= 2:
             self._spawn_warm_compile(
-                key, kv_specs, B, statics, extra_warm=extra_warm
+                key, kv_specs, B, statics, extra_warm=extra_warm, spec=spec
             )
 
     # -- public API -------------------------------------------------------
@@ -994,18 +1148,28 @@ class Generator:
         )
         statics = (token_bucket, mode, rep_window, k_subset)
         # Speculative greedy decode (opt-in): greedy requests only, and
-        # not composable with the int8 cache (the verify forward is a
-        # multi-token pass; the q8 kernel is single-token).  Bypasses the
-        # progressive-compile bridge — its own program is the whole path.
-        if (
-            self.runtime.speculative == "ngram"
-            and mode == "greedy"
-            and not is_quantized_kv(kv[0])
-        ):
+        # not composable with the int8 CACHE (the verify forward is a
+        # multi-token pass; the q8 kernel is single-token).  int8
+        # WEIGHTS compose fine — the verify forward dispatches through
+        # qlinear like every other path (tools/spec_bench.py --quant
+        # measures the pairing).  First calls per shape ride the spec
+        # scan bridge while the spec while program warms in the
+        # background — same progressive-compile scheme as plain decode.
+        spec = self._plan_spec(mode)
+        if spec is not None and not is_quantized_kv(kv[0]):
+            key = self._use_bridge(kv, first_logits.shape[0], statics, spec)
+            if key is not None:
+                tokens, counts = self._spec_bridged(
+                    kv, first_logits, dyn, statics, key, spec
+                )
+                return self.harvest(
+                    tokens, counts, len(prompt_lens), max_tokens,
+                    token_bucket,
+                )
             tokens, counts, iters, _ = self._spec_decode(
                 self.params, kv, first_logits, dyn[0], dyn[1], dyn[2],
                 dyn[6], dyn[7], token_bucket, rep_window,
-                self.runtime.spec_gamma, self.runtime.spec_ngram,
+                spec[0], spec[1],
             )
             counts_host = np.asarray(counts)
             logger.debug(

@@ -253,3 +253,49 @@ def test_transcribe_batch_bucketing_pads_and_slices(model):
     assert model._batch_bucket(13) == 16
     assert model._batch_bucket(48) == 48
     assert model._batch_bucket(1) == 1
+
+
+def test_from_pretrained_background_warm(tmp_path, monkeypatch):
+    """from_pretrained(warm="background"): programs compile on a
+    zero-init stand-in while the checkpoint loads, then the real weights
+    swap in — the result must transcribe identically to a plain load."""
+    import dataclasses
+    import json
+
+    from qwen3_asr_tpu import api as api_mod
+    from qwen3_asr_tpu.models.decoder import init_decoder_params
+    from qwen3_asr_tpu.models.encoder import init_encoder_params
+    from qwen3_asr_tpu.models.params import save_checkpoint
+
+    rng = jax.random.PRNGKey(3)
+    enc = init_encoder_params(TINY_CFG.audio_encoder, rng, dtype=jnp.float32)
+    dec = init_decoder_params(TINY_CFG.text_decoder, rng, dtype=jnp.float32)
+    save_checkpoint(tmp_path, enc, dec)
+    # HF schema: decoder fields top-level, encoder nested (config.py).
+    (tmp_path / "config.json").write_text(json.dumps({
+        **dataclasses.asdict(TINY_CFG.text_decoder),
+        "audio_encoder_config": dataclasses.asdict(TINY_CFG.audio_encoder),
+    }))
+    monkeypatch.setattr(api_mod, "Tokenizer", lambda path: StubTokenizer())
+
+    def rt():
+        return RuntimeConfig(frame_buckets=(800, 1600), token_buckets=(16, 32))
+
+    m_bg = Qwen3ASR.from_pretrained(
+        tmp_path, runtime=rt(), dtype=jnp.float32, warm="background",
+        warm_deployment={
+            "durations": (0.5,), "batch_sizes": (1,), "max_tokens": (4,),
+        },
+    )
+    assert m_bg.wait_warm(timeout=180)
+    m_off = Qwen3ASR.from_pretrained(tmp_path, runtime=rt(), dtype=jnp.float32)
+
+    clip = sine(1.0, 440.0)
+    a = m_bg.transcribe(clip, max_tokens=8)
+    b = m_off.transcribe(clip, max_tokens=8)
+    assert a.text == b.text
+
+    with pytest.raises(ValueError, match="warm"):
+        Qwen3ASR.from_pretrained(
+            tmp_path, runtime=rt(), dtype=jnp.float32, warm="nonsense"
+        )

@@ -64,17 +64,53 @@ def test_cold_serves_until_while_ready_then_hands_over():
     assert r3.text == r1.text
 
 
-def test_cold_excluded_for_int8_and_speculative():
+def test_cold_excluded_for_int8_included_for_speculative():
     gen_int8 = _model(kv_cache_dtype="int8")._generator
     assert gen_int8.cold_plan(1, 96, 32, 0.0, 0, 1.2, 100) is None
+    # Speculative greedy COLD-STARTS on the fused plain-scan program
+    # (token-identical) under a spec-suffixed key, so the background
+    # warm targets the spec while program (round-4 wiring).
     gen_spec = _model(speculative="ngram")._generator
-    assert gen_spec.cold_plan(1, 96, 32, 0.0, 0, 1.2, 100) is None
+    plan = gen_spec.cold_plan(1, 96, 32, 0.0, 0, 1.2, 100)
+    assert plan is not None and plan[0][-3:] == ("spec", 3, 2)
     gen = _model()._generator
     assert gen.cold_plan(1, 96, 32, 0.0, 0, 1.2, 100) is not None
     # Budget beyond the fixed-scan cap -> standard path.
     assert gen.cold_plan(
         1, 96, gen.runtime.cold_scan_max_steps * 2, 0.0, 0, 1.2, 100
     ) is None
+
+
+def test_cold_pipeline_serves_spec_then_hands_to_spec_while():
+    """speculative="ngram" first calls ride the fused cold program
+    (plain-scan decode — token-identical to spec greedy); once warm, the
+    handoff lands on the SPEC while program, still token-identical."""
+    model = _model(speculative="ngram")
+    plain = _model(progressive_decode="off", cold_fused_first_call=False)
+    gen = model._generator
+    clip = sine(1.1, 440.0)
+    kw = dict(max_tokens=8, repetition_penalty=1.2)
+    ref = plain.transcribe(clip, **kw)
+
+    r1 = model.transcribe(clip, **kw)
+    assert "cold_pipeline" in model.last_stats.stages
+    assert r1.text == ref.text
+    r2 = model.transcribe(clip, **kw)          # hits >= 2: warm spawns
+    assert "cold_pipeline" in model.last_stats.stages
+    assert r2.text == ref.text
+    assert model.wait_ready(timeout=120)
+    with gen._compile_lock:
+        assert any(
+            isinstance(k, tuple) and "spec" in k for k in gen._compiled_keys
+        )
+    spy = {"n": 0}
+    orig = gen._spec_decode
+    gen._spec_decode = lambda *a, **k: (
+        spy.__setitem__("n", spy["n"] + 1), orig(*a, **k)
+    )[1]
+    r3 = model.transcribe(clip, **kw)
+    assert "cold_pipeline" not in model.last_stats.stages
+    assert spy["n"] == 1 and r3.text == ref.text
 
 
 def test_cold_pipeline_batch_identity():

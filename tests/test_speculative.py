@@ -224,3 +224,108 @@ def test_spec_ignored_for_sampled_requests():
             temperature=0.8, seed=9, top_k=8,
         )
     assert outs["off"] == outs["ngram"]
+
+
+def test_spec_bridge_matches_while_program():
+    """progressive_decode="on" + speculative="ngram": the spec scan
+    bridge serves the first calls token-identically to the spec while
+    program (and to plain greedy), including mid-chunk finishes and
+    budget exhaustion with chunk overshoot."""
+    params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    feats = _tiny_features(4)
+    ids = _tiny_prompt(4)
+
+    rt_plain = RuntimeConfig(token_buckets=(32, 64), progressive_decode="off")
+    g_plain = Generator(params, TINY, rt_plain, eos_ids=frozenset({500}))
+
+    rt_on = RuntimeConfig(
+        token_buckets=(32, 64), speculative="ngram",
+        progressive_decode="on", bridge_steps=3,
+    )
+    g_on = Generator(params, TINY, rt_on, eos_ids=frozenset({500}))
+    calls = {"start": 0, "resume": 0, "while": 0}
+    orig_start, orig_resume = g_on._spec_start, g_on._spec_resume
+    orig_while = g_on._spec_decode
+    g_on._spec_start = lambda *a, **k: (
+        calls.__setitem__("start", calls["start"] + 1), orig_start(*a, **k)
+    )[1]
+    g_on._spec_resume = lambda *a, **k: (
+        calls.__setitem__("resume", calls["resume"] + 1), orig_resume(*a, **k)
+    )[1]
+    g_on._spec_decode = lambda *a, **k: (
+        calls.__setitem__("while", calls["while"] + 1), orig_while(*a, **k)
+    )[1]
+
+    for kw in (
+        dict(max_tokens=24, repetition_penalty=1.2),
+        dict(max_tokens=5),                       # budget < one chunk span
+        dict(max_tokens=30),
+    ):
+        a = g_plain.generate(feats, 4, ids, **kw)
+        b = g_on.generate(feats, 4, ids, **kw)
+        assert a == b, (kw, a, b)
+    # The first two requests definitely rode the bridge (the warm spawn
+    # needs hits >= 2, so nothing could have been compiled before call
+    # 2 finished its first chunk); later calls may race the background
+    # warm either way.
+    assert calls["start"] >= 2
+
+    # Force the spec while program warm; the next call must route direct.
+    assert g_on.wait_background_compiles(timeout=120)
+    with g_on._compile_lock:
+        assert any(
+            isinstance(k, tuple) and "spec" in k for k in g_on._compiled_keys
+        )
+    # (the warm thread's dummy max_new=1 run also goes through the spied
+    # _spec_decode — count the DELTA from the foreground call only)
+    warm_calls = calls["while"]
+    c = g_on.generate(feats, 4, ids, max_tokens=24, repetition_penalty=1.2)
+    assert c == g_plain.generate(feats, 4, ids, max_tokens=24,
+                                 repetition_penalty=1.2)
+    assert calls["while"] == warm_calls + 1
+
+
+def test_spec_bridge_batched_heterogeneous_budgets():
+    """Bridged speculative batch: lanes finishing at different chunk
+    offsets keep their exact plain-greedy outputs."""
+    params = init_decoder_params(TINY, jax.random.PRNGKey(2), dtype=jnp.float32)
+    B, n_audio = 3, 4
+    feats = jnp.concatenate(
+        [_tiny_features(n_audio, seed=s) for s in (1, 2, 3)], axis=0
+    )
+    ids = [_tiny_prompt(n_audio)] * B
+    budgets = [4, 17, 24]
+    rt_off = RuntimeConfig(token_buckets=(32,), progressive_decode="off")
+    rt_on = RuntimeConfig(
+        token_buckets=(32,), speculative="ngram",
+        progressive_decode="on", bridge_steps=2,
+    )
+    a = Generator(params, TINY, rt_off, eos_ids=frozenset({500})).generate_batch(
+        feats, [n_audio] * B, ids, max_tokens=budgets, repetition_penalty=1.1
+    )
+    b = Generator(params, TINY, rt_on, eos_ids=frozenset({500})).generate_batch(
+        feats, [n_audio] * B, ids, max_tokens=budgets, repetition_penalty=1.1
+    )
+    assert a == b
+
+
+def test_spec_composes_with_int8_weights():
+    """int8 WEIGHT quantization + speculative decode: the verify forward
+    dispatches through qlinear, so the pairing must emit the identical
+    stream of the plain int8 greedy loop (int8 weights change the
+    argmaxes vs bf16 — the identity contract is int8-vs-int8)."""
+    from qwen3_asr_tpu.ops.quant import quantize_decoder_params
+
+    params = quantize_decoder_params(
+        init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    )
+    feats = _tiny_features(4)
+    ids = _tiny_prompt(4)
+    outs = {}
+    for spec in ("off", "ngram"):
+        rt = RuntimeConfig(token_buckets=(32, 64), speculative=spec)
+        gen = Generator(params, TINY, rt, eos_ids=frozenset({500}))
+        outs[spec] = gen.generate(
+            feats, 4, ids, max_tokens=24, repetition_penalty=1.1
+        )
+    assert outs["off"] == outs["ngram"]

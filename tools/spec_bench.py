@@ -57,6 +57,12 @@ def main():
         "accepts — the full-acceptance UPPER BOUND; random-init barely "
         "repeats — near the no-acceptance floor",
     )
+    ap.add_argument(
+        "--quant", choices=("none", "int8"), default="none",
+        help="int8 weight-only quantization (composes with spec: the "
+        "verify forward dispatches through qlinear) — run with/without "
+        "to fill the bf16/int8 x plain/spec matrix",
+    )
     args = ap.parse_args()
 
     cfg = TextDecoderConfig()
@@ -67,11 +73,17 @@ def main():
             jnp.bfloat16,
         )
     )
+    if args.quant == "int8":
+        from qwen3_asr_tpu.ops.quant import quantize_decoder_params
+
+        params = quantize_decoder_params(params)
     B, steps = args.batch, args.steps
     lo = max(8, steps // 4)
 
     for spec in ("off", "ngram"):
-        rt = RuntimeConfig(speculative=spec, spec_gamma=args.gamma)
+        rt = RuntimeConfig(
+            speculative=spec, spec_gamma=args.gamma, quantization=args.quant
+        )
         gen = Generator(params, cfg, rt)
         iters = {"n": 0}
         if spec == "ngram":
@@ -95,6 +107,7 @@ def main():
         fwd = iters["n"] if spec == "ngram" else steps
         print(json.dumps({
             "mode": spec,
+            "quant": args.quant,
             "batch": B,
             "gamma": args.gamma if spec == "ngram" else 0,
             "ms_per_token": round(per_tok * 1000, 3),
