@@ -46,6 +46,130 @@ def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def device_side_rtfx(model, clips, batch: int) -> dict:
+    """Tunnel-independent device-compute RTFx via rep-diff timing.
+
+    The wall-clock headline moves 40% run-to-run with the dev tunnel's
+    audio-transfer weather (docs/PERFORMANCE.md round-3 caveat), so the
+    official bench also emits a device-side number built from two
+    differential measurements that cancel launch/transfer constants:
+
+      * prefill: the fused mel->encoder->prefill body scanned 1x vs 4x
+        IN-PROGRAM over device-resident inputs (an index-dependent
+        perturbation per rep defeats loop hoisting) — the wall
+        difference / 3 is pure device compute;
+      * decode: the already-compiled steady-state decode program run at
+        max_new=16 vs max_new=128 — identical launch/fetch/transfer, so
+        the difference / 112 is per-step device time.
+
+    Returns {"device_rtfx", "prefill_ms", "step_ms"}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_asr_tpu.audio.mel import HOP_LENGTH, N_FFT, host_pad_batch
+    from qwen3_asr_tpu.models.decoder import init_kv_cache
+
+    gen = model._generator
+    cfg = model._config
+    enc_p, dec_p = model._encoder_params, model._decoder_params
+
+    bucket = model._mel.bucket_for(len(clips[0]))
+    n_valid = [len(c) // HOP_LENGTH for c in clips[:batch]]
+    n_audio = [model._n_audio_tokens(v) for v in n_valid]
+    prompts = [
+        model._tokenizer.build_prompt(n, "English") for n in n_audio
+    ]
+    plens = [len(p) for p in prompts]
+    atb = (
+        bucket // cfg.audio_encoder.chunk_frames
+        * cfg.audio_encoder.tokens_per_chunk
+    )
+    pbucket, tbucket, cache_len = gen.plan(
+        atb, max(plens), DECODE_TOKENS, batch=batch
+    )
+    run_len = model._runtime.plan_prefill_run(max(plens), pbucket)
+
+    padded = jax.device_put(
+        host_pad_batch(clips[:batch], bucket, N_FFT, HOP_LENGTH)
+    )
+    nv = jax.device_put(np.asarray(n_valid, np.int32))
+    na = jax.device_put(np.asarray(n_audio, np.int32))
+    pl_ = jax.device_put(np.asarray(plens, np.int32))
+    ids = jax.device_put(gen.pack_prompts(prompts, run_len))
+
+    def prefill_body(x):
+        kv, logits = model._fused_prefill_impl(
+            enc_p, dec_p, x, nv, ids, na, pl_, bucket, cache_len
+        )
+        return logits.astype(jnp.float32).ravel()[0]
+
+    def rep(n):
+        # The input is an ARGUMENT, not a closure capture: captured
+        # device arrays lower as constants and XLA constant-folds the
+        # entire prefill at compile time (measured trap — see memory /
+        # tools/micro_bench.py).
+        def body(c, xi):
+            x, i = xi
+            return c + prefill_body(x + jnp.asarray(i, x.dtype)), None
+
+        return jax.jit(
+            lambda x: jax.lax.scan(
+                lambda c, i: body(c, (x, i)), jnp.float32(0), jnp.arange(n)
+            )[0]
+        )
+
+    lo_f, hi_f = rep(1), rep(4)
+    float(lo_f(padded)); float(hi_f(padded))          # compile both
+    t_lo = min(
+        _bench_once(lambda: float(lo_f(padded))) for _ in range(4)
+    )
+    t_hi = min(
+        _bench_once(lambda: float(hi_f(padded))) for _ in range(4)
+    )
+    prefill_dev = (t_hi - t_lo) / 3
+
+    # Decode per-step device time on the SAME compiled steady-state
+    # program the headline repeats use (identical statics: greedy,
+    # repetition_penalty=1.2/ctx=100 -> rep_window bucket, k_subset).
+    rng = np.random.default_rng(1)
+    logits0 = jnp.asarray(
+        rng.standard_normal((batch, cfg.text_decoder.vocab_size)) * 0.01,
+        jnp.float32,
+    )
+
+    def run_decode(max_new):
+        kv = init_kv_cache(
+            cfg.text_decoder, batch, cache_len, jnp.bfloat16
+        )
+        return gen.decode(
+            kv, logits0, plens, [max_new] * batch, tbucket,
+            repetition_penalty=1.2, repetition_context_size=100,
+        )
+
+    run_decode(16); run_decode(DECODE_TOKENS)          # compile both
+    lo = min(_bench_once(lambda: run_decode(16)) for _ in range(4))
+    hi = min(
+        _bench_once(lambda: run_decode(DECODE_TOKENS)) for _ in range(4)
+    )
+    step_ms = (hi - lo) / (DECODE_TOKENS - 16) * 1e3
+
+    dev_total = prefill_dev + step_ms * 1e-3 * (DECODE_TOKENS - 1)
+    return {
+        "device_rtfx": AUDIO_SECONDS * batch / dev_total,
+        "prefill_ms": prefill_dev * 1e3,
+        "step_ms": step_ms,
+    }
+
+
+def _bench_once(fn) -> float:
+    import time as _time
+
+    t0 = _time.perf_counter()
+    fn()
+    return _time.perf_counter() - t0
+
+
 class _BenchTokenizer:
     """Prompt-protocol-only tokenizer (no vocab files needed)."""
 
@@ -128,6 +252,16 @@ def main() -> None:
         f"stats={model.last_stats.as_dict()}"
     )
 
+    try:
+        dev = device_side_rtfx(model, clips, BATCH)
+        log(
+            f"device-side: prefill {dev['prefill_ms']:.1f} ms, "
+            f"step {dev['step_ms']:.3f} ms, RTFx {dev['device_rtfx']:.1f}"
+        )
+    except Exception as exc:  # noqa: BLE001 — headline must still print
+        log(f"device-side metric failed: {exc}")
+        dev = {"device_rtfx": 0.0}
+
     print(
         json.dumps(
             {
@@ -135,6 +269,11 @@ def main() -> None:
                 "value": round(rtfx, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtfx / 500.0, 3),
+                # Tunnel-independent companion numbers (see
+                # device_side_rtfx): the wall headline above swings with
+                # dev-tunnel transfer weather; device_rtfx does not.
+                "device_rtfx": round(dev["device_rtfx"], 2),
+                "single_stream_rtfx": round(AUDIO_SECONDS / single_best, 2),
             }
         )
     )
