@@ -230,18 +230,40 @@ class RuntimeConfig:
     # quantized once post-prefill and fresh decode rows quantize as
     # they are written.
     kv_cache_dtype: str = "bf16"
-    # Speculative greedy decoding ("ngram"): inside the compiled decode
-    # loop, propose ``spec_gamma`` continuation tokens by n-gram lookup
-    # over the generated stream (ops/speculative.py) and verify them in
-    # ONE multi-token forward — token-identical to plain greedy, because
-    # a draft token is accepted only when it equals the model's own
+    # Speculative greedy decoding: inside the compiled decode loop,
+    # propose ``spec_gamma`` continuation tokens by n-gram lookup over
+    # the generated stream (ops/speculative.py) and verify them in ONE
+    # multi-token forward — token-identical to plain greedy, because a
+    # draft token is accepted only when it equals the model's own
     # argmax.  Wins when decode is weight-stream bound (small batch):
     # verifying gamma+1 positions costs barely more than one token.
-    # "off" (default) keeps the single-token loop.  Greedy requests
-    # only; sampled requests always take the standard loop.
-    speculative: str = "off"
+    # Round-4 matrix on v5e (tools/spec_bench.py, device ms/token at
+    # B=1): 4.80 vs 4.56 at the zero-acceptance floor (-5.4%), 1.27 vs
+    # 4.61 at the full-acceptance ceiling (+3.6x) — near-free downside,
+    # large upside, no accuracy trade.
+    #   "auto" (default) — ngram for greedy requests with batch <=
+    #     ``spec_auto_max_batch``, plain loop otherwise (at large batch
+    #     decode is attention/FLOP-bound and verify positions cost real
+    #     time).
+    #   "ngram" — always (greedy requests; sampled requests take the
+    #     standard loop either way).  "off" — never.
+    speculative: str = "auto"
     spec_gamma: int = 3
     spec_ngram: int = 2
+    spec_auto_max_batch: int = 1
+    # Speculative verify chunks in the continuous engine
+    # (runtime/engine.py): all-greedy chunks run one ngram-draft +
+    # multi-token verify per iteration instead of one token, so serving
+    # inherits the draft win while admission/retirement still happen at
+    # chunk boundaries.  Flat bf16 KV only (the paged step kernel and
+    # the int8 cache have no multi-token verify path).
+    #   "auto" (default) — spec chunks when the engine was built with
+    #     n_slots <= ``spec_engine_max_slots`` (weight-stream-bound
+    #     widths; at wider slots decode turns attention-bound and the
+    #     extra verify positions cost real time).
+    #   "on" — every all-greedy flat-bf16 chunk.  "off" — never.
+    spec_engine: str = "auto"
+    spec_engine_max_slots: int = 8
     # Fuse Q|K|V and gate|up projections into single matmuls (pure
     # re-layout, identical math).  Auto-disabled under tensor parallelism
     # (fused column order misaligns with head sharding).

@@ -621,10 +621,19 @@ class Generator:
                 return None
         return key
 
-    def _plan_spec(self, mode: str):
-        """(gamma, ngram_n) when this request decodes speculatively
-        (greedy + RuntimeConfig.speculative="ngram"), else None."""
-        if self.runtime.speculative == "ngram" and mode == "greedy":
+    def _plan_spec(self, mode: str, batch: int):
+        """(gamma, ngram_n) when this request decodes speculatively,
+        else None.  "ngram" = every greedy request; "auto" (default) =
+        greedy requests at batch <= spec_auto_max_batch — measured
+        near-free at B=1 (-5.4% at the zero-acceptance floor, +3.6x at
+        the ceiling, tools/spec_bench.py) while large batches are
+        attention/FLOP-bound and keep the single-token loop."""
+        if mode != "greedy":
+            return None
+        spec = self.runtime.speculative
+        if spec == "ngram" or (
+            spec == "auto" and batch <= self.runtime.spec_auto_max_batch
+        ):
             return (self.runtime.spec_gamma, self.runtime.spec_ngram)
         return None
 
@@ -857,7 +866,7 @@ class Generator:
         # scan program (spec greedy is token-identical to plain greedy by
         # construction) but key — and background-warm — the SPEC while
         # program, so the steady-state handoff lands on the fast path.
-        spec = self._plan_spec(mode)
+        spec = self._plan_spec(mode, B)
         if spec is not None:
             key = (*key, "spec", *spec)
         with self._compile_lock:
@@ -882,7 +891,7 @@ class Generator:
         )
         # Spec-keyed cold requests warm the SPEC while program (the key
         # carries the ("spec", gamma, ngram) suffix from cold_plan).
-        spec = self._plan_spec(statics[1])
+        spec = self._plan_spec(statics[1], B)
         with self._compile_lock:
             hits = self._bridge_seen.get(key, (None, None, None, 0, None, None))[3] + 1
             self._bridge_seen[key] = (
@@ -1155,7 +1164,7 @@ class Generator:
         # measures the pairing).  First calls per shape ride the spec
         # scan bridge while the spec while program warms in the
         # background — same progressive-compile scheme as plain decode.
-        spec = self._plan_spec(mode)
+        spec = self._plan_spec(mode, first_logits.shape[0])
         if spec is not None and not is_quantized_kv(kv[0]):
             key = self._use_bridge(kv, first_logits.shape[0], statics, spec)
             if key is not None:

@@ -329,3 +329,38 @@ def test_spec_composes_with_int8_weights():
             feats, 4, ids, max_tokens=24, repetition_penalty=1.1
         )
     assert outs["off"] == outs["ngram"]
+
+
+def test_spec_auto_default_gates_on_batch():
+    """speculative="auto" (the default): B=1 greedy routes speculative,
+    larger batches and sampled requests take the plain loop."""
+    params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    gen = Generator(params, TINY, RuntimeConfig(), eos_ids=frozenset({500}))
+    assert gen.runtime.speculative == "auto"
+    assert gen._plan_spec("greedy", 1) == (3, 2)
+    assert gen._plan_spec("greedy", 2) is None
+    assert gen._plan_spec("sample", 1) is None
+    gen.runtime.spec_auto_max_batch = 4
+    assert gen._plan_spec("greedy", 4) == (3, 2)
+    gen.runtime.speculative = "ngram"
+    assert gen._plan_spec("greedy", 64) == (3, 2)
+    gen.runtime.speculative = "off"
+    assert gen._plan_spec("greedy", 1) is None
+
+    # End-to-end: the auto default at B=1 emits the plain-greedy stream
+    # through the spec path.
+    rt_off = RuntimeConfig(token_buckets=(32, 64), speculative="off")
+    g_auto = Generator(
+        params, TINY, RuntimeConfig(token_buckets=(32, 64)),
+        eos_ids=frozenset({500}),
+    )
+    g_off = Generator(params, TINY, rt_off, eos_ids=frozenset({500}))
+    spy = {"n": 0}
+    orig = g_auto._spec_decode
+    g_auto._spec_decode = lambda *a, **k: (
+        spy.__setitem__("n", spy["n"] + 1), orig(*a, **k)
+    )[1]
+    feats, ids = _tiny_features(4), _tiny_prompt(4)
+    a = g_auto.generate(feats, 4, ids, max_tokens=16, repetition_penalty=1.1)
+    b = g_off.generate(feats, 4, ids, max_tokens=16, repetition_penalty=1.1)
+    assert a == b and spy["n"] == 1
