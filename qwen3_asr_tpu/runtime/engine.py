@@ -16,6 +16,13 @@ three operations at **step-chunk boundaries**:
   * ``retire`` — harvest finished sequences and free their slots without
     stopping the batch.
 
+All-greedy chunks on narrow flat-bf16 engines additionally run
+SPECULATIVE verify iterations (RuntimeConfig.spec_engine, default
+"auto"): an in-program n-gram draft plus one multi-token verify forward
+per iteration emits 1..gamma+1 tokens for the cost of ~one step when
+decode is weight-stream bound — token-identical to plain greedy (see
+``_step_chunk_impl``'s ``spec`` branch).
+
 TPU-first design: the device programs are fully static-shaped (``n_slots``
 is the compiled batch), control state lives in tiny host arrays uploaded
 per chunk (a few hundred bytes), and the cache + token buffers are donated
@@ -81,10 +88,25 @@ class EngineStats:
     steps: int = 0
     mid_decode_admissions: int = 0
     occupancy_sum: float = 0.0
+    # Speculative chunk accounting: lane-steps = verify forwards summed
+    # over active lanes; lane-tokens = tokens those lanes emitted.  Their
+    # ratio is the measured tokens-per-forward (1.0 = nothing accepted,
+    # gamma + 1 = every draft accepted).
+    spec_chunks: int = 0
+    spec_lane_steps: int = 0
+    spec_lane_tokens: int = 0
 
     @property
     def mean_occupancy(self) -> float:
         return self.occupancy_sum / self.chunks if self.chunks else 0.0
+
+    @property
+    def spec_tokens_per_forward(self) -> float:
+        return (
+            self.spec_lane_tokens / self.spec_lane_steps
+            if self.spec_lane_steps
+            else 0.0
+        )
 
 
 class DecodeEngine:
@@ -249,7 +271,9 @@ class DecodeEngine:
         donate_steps = tuple(range(1, 8))  # keys..rngs
         self._step_chunk_jit = jax.jit(
             self._step_chunk_paged_impl if paged else self._step_chunk_impl,
-            static_argnames=("k_steps", "greedy", "width", "rep_window", "k_subset"),
+            static_argnames=(
+                "k_steps", "greedy", "width", "rep_window", "k_subset", "spec",
+            ),
             donate_argnums=donate_steps,
         )
         self._admit_jit = jax.jit(
@@ -273,12 +297,23 @@ class DecodeEngine:
         self, params, keys, values, tokens, counts, done, cur, rngs,
         live, prompt_len, max_new, temp, top_k, top_p, rep_pen, rep_ctx,
         k_steps, greedy, width=None, rep_window=128, k_subset=1024,
+        spec=None,
     ):
         """Up to ``k_steps`` decode iterations over all live slots.
 
         ``width`` is ignored here: the flat cache carries the batch
         dimension, so slicing it would copy gigabytes — width bucketing
-        is a paged-mode feature (the page pool has no batch dim)."""
+        is a paged-mode feature (the page pool has no batch dim).
+
+        ``spec`` = (gamma, ngram_n) switches the chunk body to a
+        speculative verify iteration (all-greedy chunks only): an n-gram
+        draft lookup plus ONE multi-token forward over ``gamma + 1``
+        positions per iteration, emitting 1..gamma+1 tokens — the same
+        static accept chain as the Generator's monolithic spec loop
+        (generate.py _spec_machinery), so the emitted stream is exactly
+        the plain greedy stream.  Slots sit at heterogeneous depths the
+        same way the plain body supports: per-slot positions, write
+        slots, and decode windows."""
         cfg = self.cfg
         B = self.n_slots
         pbucket = self.prompt_bucket
@@ -298,6 +333,72 @@ class DecodeEngine:
         def cond(state):
             _, _, _, _, done, _, _, step = state
             return jnp.any(live & ~done) & (step < k_steps)
+
+        if spec is not None:
+            # Speculative verify body (greedy only — step() never plans
+            # spec for mixed chunks).  Token-identity with the plain body
+            # holds by construction: position t's argmax is used only when
+            # every earlier draft token matched the argmax at its own
+            # position (penalty window recomputed after every accepted
+            # token, same order as the sequential loop).  KV rows written
+            # for rejected positions sit past the lane's new write slot
+            # and are overwritten before they can be attended; writes past
+            # the cache end drop (decoder write mode="drop").
+            from ..ops.speculative import ngram_draft
+
+            gamma, ngram_n = spec
+            T = gamma + 1
+
+            def spec_body(state):
+                keys, values, tokens, counts, done, cur, rngs, step = state
+                draft, dvalid = ngram_draft(
+                    tokens, counts, n=ngram_n, gamma=gamma
+                )
+                ids = jnp.concatenate([cur[:, None], draft], axis=1)  # (B,T)
+                pos = (prompt_len + counts - 1)[:, None] + jnp.arange(T)[None]
+                ws = pbucket + jnp.maximum(counts - 1, 0)
+                embeds = embed_tokens(params, ids)
+                hidden, (keys, values) = decoder_forward(
+                    params, cfg, embeds, pos, (keys, values),
+                    write_slots=ws, uniform_write=False,
+                    decode_ctx=(prompt_len, ws, pbucket),
+                )
+                logits = decoder_logits(params, cfg, hidden)  # (B, T, V)
+
+                chain = live & ~done
+                for t in range(T):
+                    win = recent_window(tokens, counts)
+                    pen = jax.vmap(apply_repetition_penalty)(
+                        logits[:, t].astype(jnp.float32), win, rep_pen
+                    )
+                    out_t = jnp.argmax(pen, axis=-1).astype(jnp.int32)
+                    emit = chain
+                    slot = jnp.clip(counts, 0, token_bucket - 1)
+                    keep = jnp.take_along_axis(
+                        tokens, slot[:, None], axis=1
+                    )[:, 0]
+                    tokens = tokens.at[jnp.arange(B), slot].set(
+                        jnp.where(emit, out_t, keep)
+                    )
+                    counts = counts + emit
+                    newly_done = emit & (is_eos(out_t) | (counts >= max_new))
+                    done = done | newly_done
+                    cur = jnp.where(emit & ~done, out_t, cur)
+                    if t < gamma:
+                        chain = (
+                            emit & ~newly_done
+                            & dvalid[:, t] & (out_t == draft[:, t])
+                        )
+                return keys, values, tokens, counts, done, cur, rngs, step + 1
+
+            keys, values, tokens, counts, done, cur, rngs = (
+                self._run_chunk_loop(
+                    cond, spec_body,
+                    (keys, values, tokens, counts, done, cur, rngs), k_steps,
+                )
+            )
+            status = jnp.stack([counts, done.astype(jnp.int32)])
+            return keys, values, tokens, counts, done, cur, rngs, status
 
         def body(state):
             keys, values, tokens, counts, done, cur, rngs, step = state
@@ -429,8 +530,12 @@ class DecodeEngine:
         self, params, keys, values, tokens, counts, done, cur, rngs,
         table, live, prompt_len, max_new, temp, top_k, top_p, rep_pen,
         rep_ctx, k_steps, greedy, width=None, rep_window=128, k_subset=1024,
+        spec=None,
     ):
         """Paged variant: KV rows resolve through the per-slot page table.
+
+        ``spec`` must be None: the paged step kernel has no multi-token
+        verify path (step() never plans spec for paged engines).
 
         ``table`` is chunk-invariant (the host pre-allocates decode pages
         covering this chunk's steps before dispatch; slots that could not
@@ -444,6 +549,7 @@ class DecodeEngine:
         (tiny) per-slot state is sliced in and written back in place."""
         from ..models.decoder import decoder_paged_step
 
+        assert spec is None, "paged chunks have no speculative verify path"
         B = width or self.n_slots
         f_tokens, f_counts, f_done, f_cur, f_rngs = (
             tokens, counts, done, cur, rngs
@@ -787,6 +893,22 @@ class DecodeEngine:
             self._ctl_d = tuple(map(jax.device_put, small))
         self._ctl_dirty = False
 
+    def _plan_chunk_spec(self, greedy: bool):
+        """(gamma, ngram_n) when this chunk should run speculative verify
+        iterations, else None.  Requires: all-greedy chunk, flat bf16 KV
+        (no paged verify kernel, no int8 verify write path), and — under
+        "auto" — an engine narrow enough to be weight-stream bound
+        (n_slots <= spec_engine_max_slots)."""
+        if not greedy or self.paged or self.kv_dtype == "int8":
+            return None
+        rt = self.gen.runtime
+        mode = getattr(rt, "spec_engine", "off")
+        if mode == "on" or (
+            mode == "auto" and self.n_slots <= rt.spec_engine_max_slots
+        ):
+            return (rt.spec_gamma, rt.spec_ngram)
+        return None
+
     def step(self, k_steps: int | None = None) -> None:
         """Run one compiled decode chunk over every live slot.
 
@@ -826,6 +948,7 @@ class DecodeEngine:
             k_subset = runtime.pick_top_k_subset(
                 top_k_max if top_k_max > 0 else 1024, self.cfg.vocab_size
             )
+        spec = self._plan_chunk_spec(greedy)
         out = self._step_chunk_jit(
             self.gen.params,
             self._keys, self._values, self._tokens,
@@ -836,6 +959,7 @@ class DecodeEngine:
             width=width,
             rep_window=rep_window,
             k_subset=k_subset,
+            spec=spec,
         )
         (
             self._keys, self._values, self._tokens,
@@ -843,11 +967,18 @@ class DecodeEngine:
             status,
         ) = out
         counts_before = self._counts
+        active_before = mask
         st = np.asarray(status)
         self._counts = st[0].copy()
         self._done = st[1].astype(bool)
         self.stats.chunks += 1
         self.stats.steps += int((self._counts - counts_before).max(initial=0))
+        if spec is not None:
+            self.stats.spec_chunks += 1
+            self.stats.spec_lane_steps += k * int(active_before.sum())
+            self.stats.spec_lane_tokens += int(
+                (self._counts - counts_before)[active_before].sum()
+            )
         self.stats.occupancy_sum += self.n_active() + int(
             (self._live & self._done).sum()
         )

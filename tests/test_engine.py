@@ -388,3 +388,108 @@ def test_engine_with_int8_quantized_decoder():
     ) as srv:
         res = srv.transcribe(clip, max_tokens=5)
     assert res.text == direct.text
+
+
+def test_engine_spec_chunks_match_plain(model, monkeypatch):
+    """Speculative verify chunks (spec_engine="on") harvest exactly the
+    plain chunks' tokens — the engine-level mirror of the Generator's
+    spec-vs-greedy identity (tests/test_speculative.py) — and the
+    acceptance counters move."""
+    from qwen3_asr_tpu.runtime.engine import SlotRequest
+
+    clips = [sine(1.0, 440.0), sine(2.0, 330.0), sine(0.5, 550.0)]
+
+    def run(mode):
+        monkeypatch.setattr(model._generator.runtime, "spec_engine", mode)
+        engine = model.make_engine(
+            n_slots=4, max_duration=8.0, max_new_tokens=128, chunk_steps=4
+        )
+        kv, logits, prompts = model.prefill_group(clips, ["English"] * 3)
+        reqs = [
+            SlotRequest(samples=c, prompt=p, max_new=9, meta=i)
+            for i, (c, p) in enumerate(zip(clips, prompts))
+        ]
+        engine.admit(kv, logits, engine.free_slots(), reqs)
+        results = {}
+        for _ in range(50):
+            engine.step()
+            for req, toks in engine.retire():
+                results[req.meta] = toks
+            if len(results) == len(clips):
+                break
+        return results, engine.stats
+
+    spec_r, spec_stats = run("on")
+    plain_r, plain_stats = run("off")
+    assert spec_stats.spec_chunks > 0 and plain_stats.spec_chunks == 0
+    assert spec_stats.spec_tokens_per_forward >= 0.5  # counters moved
+    assert spec_r.keys() == plain_r.keys()
+    for k in spec_r:
+        assert spec_r[k] == plain_r[k], f"clip {k}: spec != plain"
+
+
+def test_engine_spec_mid_decode_admission(model, monkeypatch):
+    """Spec chunks + heterogeneous depths: a request admitted while
+    another slot is mid-decode still harvests the plain-path tokens."""
+    from qwen3_asr_tpu.runtime.engine import SlotRequest
+
+    monkeypatch.setattr(model._generator.runtime, "spec_engine", "off")
+    clip_a, clip_b = sine(1.5, 440.0), sine(0.7, 260.0)
+    direct_a = model.transcribe(clip_a, max_tokens=24)
+    direct_b = model.transcribe(clip_b, max_tokens=8)
+
+    monkeypatch.setattr(model._generator.runtime, "spec_engine", "on")
+    engine = model.make_engine(
+        n_slots=4, max_duration=8.0, max_new_tokens=128, chunk_steps=1
+    )
+    kv, logits, prompts = model.prefill_group([clip_a], ["English"])
+    engine.admit(
+        kv, logits, engine.free_slots(),
+        [SlotRequest(samples=clip_a, prompt=prompts[0], max_new=24, meta="a")],
+    )
+    engine.step()  # one verify chunk: a is 2..5 tokens deep
+    assert engine.n_active() == 1
+
+    kv, logits, prompts = model.prefill_group([clip_b], ["English"])
+    engine.admit(
+        kv, logits, engine.free_slots(),
+        [SlotRequest(samples=clip_b, prompt=prompts[0], max_new=8, meta="b")],
+    )
+    assert engine.stats.mid_decode_admissions == 1
+
+    results = {}
+    for _ in range(60):
+        engine.step()
+        for req, toks in engine.retire():
+            results[req.meta] = toks
+        if len(results) == 2:
+            break
+    assert model._finalize_output(results["a"], "English")[0] == direct_a.text
+    assert model._finalize_output(results["b"], "English")[0] == direct_b.text
+
+
+def test_engine_spec_gating(model, monkeypatch):
+    """spec_engine="auto" plans spec only for all-greedy chunks on narrow
+    flat bf16-KV engines; paged / int8-KV / wide / mixed chunks stay on
+    the plain body."""
+    rt = model._generator.runtime
+    monkeypatch.setattr(rt, "spec_engine", "auto")
+    eng = model.make_engine(n_slots=4, max_duration=4.0, max_new_tokens=64)
+    assert eng._plan_chunk_spec(True) == (rt.spec_gamma, rt.spec_ngram)
+    assert eng._plan_chunk_spec(False) is None          # sampled lanes
+    monkeypatch.setattr(rt, "spec_engine_max_slots", 2)
+    assert eng._plan_chunk_spec(True) is None           # too wide for auto
+    monkeypatch.setattr(rt, "spec_engine", "on")
+    assert eng._plan_chunk_spec(True) == (rt.spec_gamma, rt.spec_ngram)
+    monkeypatch.setattr(rt, "spec_engine", "off")
+    assert eng._plan_chunk_spec(True) is None
+
+    paged = model.make_engine(
+        n_slots=4, max_duration=4.0, max_new_tokens=64, paged=True
+    )
+    monkeypatch.setattr(rt, "spec_engine", "on")
+    assert paged._plan_chunk_spec(True) is None         # no paged verify
+
+    monkeypatch.setattr(rt, "kv_cache_dtype", "int8")
+    eng8 = model.make_engine(n_slots=4, max_duration=4.0, max_new_tokens=64)
+    assert eng8._plan_chunk_spec(True) is None          # no int8 verify
