@@ -101,12 +101,21 @@ def main() -> int:
         "--kv-dtype", choices=("bf16", "int8"), default="bf16",
         help="engine KV-cache storage (int8 halves the decode read stream)",
     )
+    ap.add_argument(
+        "--spec", choices=("auto", "on", "off"), default="auto",
+        help="engine speculative verify chunks (flat bf16 greedy only; "
+        "zero-init weights emit a constant stream, so acceptance — and "
+        "the win — reads at its UPPER bound here)",
+    )
     args = ap.parse_args()
 
     print("[serving-bench] loading 1.7B zero-init", file=sys.stderr, flush=True)
     model = Qwen3ASR.from_random(
         ModelConfig(), tokenizer=StubTok(),
-        runtime=RuntimeConfig(kv_cache_dtype=args.kv_dtype), seed=None
+        runtime=RuntimeConfig(
+            kv_cache_dtype=args.kv_dtype, spec_engine=args.spec
+        ),
+        seed=None,
     )
     long_c = clip(args.long_sec, 220.0)
     shorts = [clip(args.short_sec, 300.0 + 20 * i) for i in range(args.n_short)]
@@ -146,12 +155,19 @@ def main() -> int:
             "short_p50_s": round(float(np.median(short_lat)), 3),
             "short_p95_s": round(float(np.percentile(short_lat, 95)), 3),
         }
+        if name == "continuous":
+            st = srv._engine.stats
+            if st.spec_chunks:
+                results[name]["spec_tokens_per_forward"] = round(
+                    st.spec_tokens_per_forward, 2
+                )
         print(f"[serving-bench] {name}: {results[name]}", file=sys.stderr, flush=True)
 
     speedup = results["batch_drain"]["wall_s"] / results["continuous"]["wall_s"]
     out = {
         "metric": "serving_mixed_workload",
         "paged": args.paged,
+        "spec": args.spec,
         "audio_seconds": audio_total,
         **{f"{k}_{m}": v for k, r in results.items() for m, v in r.items()},
         "continuous_speedup": round(speedup, 2),
