@@ -131,16 +131,31 @@ def valid_token_count(cfg: AudioEncoderConfig, n_valid_frames: jax.Array) -> jax
     return full * cfg.tokens_per_chunk + rem_tokens
 
 
-#: Conv-stem lowering: "conv" (default, lax.conv implicit GEMM) or "taps"
-#: (each 3x3 stride-2 conv as 9 shifted strided-slice matmuls — pure MXU
-#: GEMMs with K = N = 480; same math, different f32 accumulation order).
-#: MEASURED NEGATIVE on v5e (micro_bench.py encoder, B=64), BOTH forms:
-#: XLA taps 178.8 ms and the fused Pallas tap-GEMM kernel ("pallas",
-#: ops/pallas/experiments/conv_stem.py) 365.3 ms vs lax.conv's 114.6 ms — the taps
-#: re-read the activations (9x through HBM, or 9 phase re-fetches per
-#: chunk in-kernel) and the per-chunk GEMMs are too small to win the
-#: MXU back.  XLA's implicit-GEMM conv stands; both rewrites are kept
-#: as documented experiments (docs/PERFORMANCE.md).
+#: Conv-stem lowering:
+#:   "conv"   — default: per-chunk lax.conv implicit GEMM.
+#:   "taps"   — each 3x3 stride-2 conv as 9 shifted strided-slice matmuls.
+#:   "pallas" — fused tap-GEMM kernel (ops/pallas/experiments/conv_stem).
+#:   "merged" — round-4 structural rewrite: all of a clip's chunks run as
+#:              ONE wide image per conv with zero guard bands between
+#:              chunks on the time axis (stride-2-aligned), amortizing
+#:              the per-chunk (25, 13)-length spatial tails across the
+#:              whole clip; math identical to per-chunk convs because
+#:              guard positions read only zeros (proof in
+#:              _conv_stem_merged, pinned by tests/test_encoder.py).
+#:   "c512"   — channels padded 480 -> 512 (4 x 128 lanes exactly) with
+#:              zero weights/biases; extra channels stay zero through
+#:              GELU and are sliced off before the flatten.
+#:   "merged512" — both.
+#: ALL FOUR rewrites are MEASURED NEGATIVE on v5e (micro_bench.py
+#: encoder, B=64, conv-stem device ms): lax.conv per-chunk baseline
+#: 118.3; round 3: XLA taps 178.8, Pallas tap-GEMM 365.3 (activations
+#: re-read 9x through HBM); round 4: merged 169.3 (the wide image adds
+#: guard-band compute and a worse layout for XLA's implicit GEMM),
+#: c512 131.8 (XLA already pads 480->512 lanes internally; explicit
+#: padding just adds real FLOPs), merged512 171.0.  XLA's per-chunk
+#: implicit-GEMM conv
+#: stands as the production default; the variants remain env-gated,
+#: equivalence-tested engineering record (docs/PERFORMANCE.md).
 CONV_STEM_MODE = __import__("os").environ.get("QWEN3_ASR_CONV_STEM", "conv")
 
 
@@ -174,7 +189,112 @@ def _conv2d_s2_taps(x: jax.Array, w: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _conv_stem(params: EncoderParams, chunks: jax.Array) -> jax.Array:
+def _pad_channels(params: EncoderParams, to: int = 512) -> EncoderParams:
+    """Conv weights/biases zero-padded on the channel axes to ``to``.
+
+    480 channels = 3.75 x 128 lanes — every conv tile carries a ragged
+    tail.  Zero-padded channels contribute zero through conv + bias +
+    GELU (gelu(0) = 0), so activations in the pad lanes stay exactly
+    zero layer to layer; the flatten slices them off.  Pure re-layout,
+    identical math.
+    """
+    ch = params["conv1_w"].shape[-1]
+    pad = to - ch
+    if pad <= 0:
+        return params
+    out = dict(params)
+    out["conv1_w"] = jnp.pad(params["conv1_w"], ((0, 0),) * 3 + ((0, pad),))
+    for i in (2, 3):
+        out[f"conv{i}_w"] = jnp.pad(
+            params[f"conv{i}_w"], ((0, 0), (0, 0), (0, pad), (0, pad))
+        )
+    for i in (1, 2, 3):
+        out[f"conv{i}_b"] = jnp.pad(params[f"conv{i}_b"], ((0, pad),))
+    return out
+
+
+def conv_stem(
+    params: EncoderParams, chunks: jax.Array, n_chunks: int
+) -> jax.Array:
+    """Mode-dispatched conv stem (CONV_STEM_MODE): (B * n_chunks, mel,
+    chunk, 1) -> (B * n_chunks, tokens_per_chunk, d_model)."""
+    mode = CONV_STEM_MODE
+    n_ch = params["conv1_w"].shape[-1]
+    if "512" in mode and n_ch <= 512:
+        conv_p = _pad_channels(params, 512)
+        conv_p["conv_out"] = params["conv_out"]
+        keep = n_ch
+    else:
+        conv_p, keep = params, None
+    if mode.startswith("merged"):
+        return _conv_stem_merged(conv_p, chunks, n_chunks, keep_ch=keep)
+    return _conv_stem(conv_p, chunks, keep_ch=keep)
+
+
+def _conv_stem_merged(
+    params: EncoderParams, chunks: jax.Array, n_chunks: int,
+    keep_ch: int | None = None,
+) -> jax.Array:
+    """Guard-band merged-time conv stem — identical math, wide images.
+
+    Per-chunk convs give XLA (B * n_chunks) tiny images whose odd time
+    lengths (50 -> 25 -> 13) leave ragged tile tails in every row.  Here
+    each conv runs over ONE (B, freq, n_chunks * P) image in which every
+    chunk occupies an EVEN-offset segment ``[0, chunk, 0...]`` (P even),
+    so with VALID time padding and stride 2:
+
+      * in-chunk outputs read exactly the reference's pad-1 windows
+        (out[j] reads segment[2j .. 2j+2], segment[0] being the zero the
+        per-chunk conv's padding would supply);
+      * the one junk output per chunk reads only the chunk's own last
+        element and guard zeros — never a neighbor — and is sliced off
+        before it feeds the next layer.
+
+    Token identity with the per-chunk stem is pinned by
+    tests/test_encoder.py (same op, same accumulation structure).
+    """
+    N, n_mels, t, _ = chunks.shape
+    M = n_chunks
+    B = N // M
+
+    def conv_valid_time(x, i):
+        # Freq keeps the normal pad-1; time guards are embedded.  The +1
+        # trailing zero makes the output length exactly (P//2) * M.
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        x = jax.lax.conv_general_dilated(
+            x, params[f"conv{i}_w"].astype(x.dtype),
+            window_strides=(2, 2), padding=((1, 1), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jax.nn.gelu(
+            x + params[f"conv{i}_b"].astype(x.dtype), approximate=False
+        )
+
+    # (B*M, mel, t, 1) -> (B, mel, M, t, 1)
+    x = chunks.reshape(B, M, n_mels, t, 1).transpose(0, 2, 1, 3, 4)
+    for i in (1, 2, 3):
+        # Guard-band insert: [0, chunk(t), 0, ...] padded to even P.
+        P = t + 2 + (t % 2)
+        x = jnp.pad(x, ((0, 0),) * 3 + ((1, P - t - 1), (0, 0)))
+        f = x.shape[1]
+        x = x.reshape(B, f, M * P, x.shape[-1])
+        x = conv_valid_time(x, i)                  # (B, f', M * P//2, ch)
+        valid = (t - 1) // 2 + 1
+        x = x.reshape(B, x.shape[1], M, P // 2, x.shape[-1])[
+            :, :, :, :valid, :
+        ]
+        t = valid
+    # (B, f, M, tpc, ch) -> channel-major flatten (B*M, tpc, ch * f).
+    if keep_ch is not None:
+        x = x[..., :keep_ch]
+    Bf, f, _, tpc, ch = x.shape
+    x = x.transpose(0, 2, 3, 4, 1).reshape(B * M, tpc, ch * f)
+    return x @ params["conv_out"]
+
+
+def _conv_stem(
+    params: EncoderParams, chunks: jax.Array, keep_ch: int | None = None
+) -> jax.Array:
     """3x strided conv + GELU over (N, mel, time, 1) chunks -> (N, t', flat)."""
     x = chunks
     for i in (1, 2, 3):
@@ -203,6 +323,8 @@ def _conv_stem(params: EncoderParams, chunks: jax.Array) -> jax.Array:
             )
         x = jax.nn.gelu(x + params[f"conv{i}_b"].astype(x.dtype), approximate=False)
     # (N, freq', time', ch) -> channel-major flatten (N, time', ch * freq').
+    if keep_ch is not None:
+        x = x[..., :keep_ch]
     n, freq, time, ch = x.shape
     x = x.transpose(0, 2, 3, 1).reshape(n, time, ch * freq)
     return x @ params["conv_out"]
@@ -246,7 +368,7 @@ def encoder_forward(
     chunks = mel.reshape(B, n_mels, n_chunks, chunk).transpose(0, 2, 1, 3)
     chunks = chunks.reshape(B * n_chunks, n_mels, chunk, 1).astype(compute_dtype)
 
-    x = _conv_stem(params, chunks)  # (B * n_chunks, tpc, d_model)
+    x = conv_stem(params, chunks, n_chunks)  # (B * n_chunks, tpc, d_model)
 
     # Per-chunk positions restart at 0 (parity: encoder.py:281-286).
     pe = jnp.asarray(sinusoidal_positions(cfg.max_source_positions, cfg.d_model))

@@ -209,3 +209,56 @@ def test_encoder_forward_taps_mode_matches(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
     )
+
+
+@pytest.mark.parametrize("mode", ["merged", "c512", "merged512"])
+def test_encoder_forward_stem_modes_match(monkeypatch, mode):
+    """Round-4 stem rewrites must be end-to-end equivalent to the
+    per-chunk lax.conv stem: "merged" (guard-band merged-time images),
+    "c512" (lane-aligned zero-padded channels), and their composition.
+    Multi-chunk batch with a partial final chunk exercises the guard
+    bands and the junk-position slicing."""
+    from qwen3_asr_tpu.models import encoder as enc
+
+    cfg = TINY
+    params = enc.init_encoder_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(
+        rng.standard_normal((2, cfg.num_mel_bins, 1600)) * 0.3, jnp.float32
+    )
+    nv = jnp.asarray([1600, 430], jnp.int32)
+    ref, ref_n = enc.encoder_forward(params, cfg, mel, nv)
+    monkeypatch.setattr(enc, "CONV_STEM_MODE", mode)
+    out, out_n = enc.encoder_forward(params, cfg, mel, nv)
+    np.testing.assert_array_equal(np.asarray(ref_n), np.asarray(out_n))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_conv_stem_merged_no_cross_chunk_leakage(monkeypatch):
+    """Changing chunk c's mel must not change any OTHER chunk's stem
+    output (the guard bands isolate chunks exactly).  Tested at the stem
+    level — the transformer's windowed attention mixes chunks by design."""
+    from qwen3_asr_tpu.models import encoder as enc
+
+    cfg = TINY
+    params = enc.init_encoder_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+    rng = np.random.default_rng(3)
+    monkeypatch.setattr(enc, "CONV_STEM_MODE", "merged")
+
+    chunk = cfg.chunk_frames
+    M = 8
+    chunks = jnp.asarray(
+        rng.standard_normal((M, cfg.num_mel_bins, chunk, 1)) * 0.3,
+        jnp.float32,
+    )
+    base = np.asarray(enc.conv_stem(params, chunks, M))      # (M, tpc, d)
+
+    poked = chunks.at[3].add(1.0)                            # chunk 3 only
+    out = np.asarray(enc.conv_stem(params, poked, M))
+
+    changed = np.abs(out - base).max(axis=(1, 2))            # per chunk
+    assert changed[3] > 1e-6, "poked chunk did not change"
+    others = np.delete(changed, 3)
+    assert others.max() == 0.0, f"leak into other chunks: {others}"

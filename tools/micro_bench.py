@@ -297,7 +297,7 @@ def bench_encoder(B=64, seconds=30.0):
     ~33% of its FLOP bound — this finds where)."""
     from qwen3_asr_tpu.config import ModelConfig
     from qwen3_asr_tpu.models.encoder import (
-        _conv_stem,
+        conv_stem,
         encoder_forward,
         init_encoder_params,
     )
@@ -371,7 +371,7 @@ def bench_encoder(B=64, seconds=30.0):
 
     for label, fn, x in (
         ("full encoder", lambda m: encoder_forward(params, cfg, m, nv)[0], mel),
-        ("conv stem", lambda c: _conv_stem(params, c), chunks),
+        ("conv stem", lambda c: conv_stem(params, c, n_chunks), chunks),
         ("24 layers", layers_fn, tokens),
         ("attn-only", attn_only, tokens),
     ):
