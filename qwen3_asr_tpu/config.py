@@ -260,7 +260,10 @@ class RuntimeConfig:
     #   "auto" (default) — spec chunks when the engine was built with
     #     n_slots <= ``spec_engine_max_slots`` (weight-stream-bound
     #     widths; at wider slots decode turns attention-bound and the
-    #     extra verify positions cost real time).
+    #     extra verify positions cost real time).  Measured at B=8 on
+    #     v5e: spec wins even near the zero-acceptance floor (4.36 vs
+    #     5.28 ms/token, tokens/forward 1.25 — tools/spec_bench.py
+    #     --batch 8), so 8 is a safe default ceiling.
     #   "on" — every all-greedy flat-bf16 chunk.  "off" — never.
     spec_engine: str = "auto"
     spec_engine_max_slots: int = 8
