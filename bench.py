@@ -98,34 +98,41 @@ def device_side_rtfx(model, clips, batch: int) -> dict:
     pl_ = jax.device_put(np.asarray(plens, np.int32))
     ids = jax.device_put(gen.pack_prompts(prompts, run_len))
 
-    def prefill_body(x):
+    def prefill_body(ep, dp, x):
         kv, logits = model._fused_prefill_impl(
-            enc_p, dec_p, x, nv, ids, na, pl_, bucket, cache_len
+            ep, dp, x, nv, ids, na, pl_, bucket, cache_len
         )
         return logits.astype(jnp.float32).ravel()[0]
 
     def rep(n):
-        # The input is an ARGUMENT, not a closure capture: captured
-        # device arrays lower as constants and XLA constant-folds the
-        # entire prefill at compile time (measured trap — see memory /
-        # tools/micro_bench.py).
-        def body(c, xi):
+        # Everything big is an ARGUMENT, not a closure capture: captured
+        # device arrays lower as baked-in constants — the audio input
+        # gets constant-folded (measured trap — see tools/micro_bench.py)
+        # and the 3.4 GB of params get shipped inside the executable
+        # (measured trap round 4: a 4.08 GB captured-constants lowering
+        # that stalled the backend compile for >15 min).
+        def body(c, ep, dp, xi):
             x, i = xi
-            return c + prefill_body(x + jnp.asarray(i, x.dtype)), None
+            return c + prefill_body(ep, dp, x + jnp.asarray(i, x.dtype))
 
         return jax.jit(
-            lambda x: jax.lax.scan(
-                lambda c, i: body(c, (x, i)), jnp.float32(0), jnp.arange(n)
+            lambda ep, dp, x: jax.lax.scan(
+                lambda c, i: (body(c, ep, dp, (x, i)), None),
+                jnp.float32(0),
+                jnp.arange(n),
             )[0]
         )
 
     lo_f, hi_f = rep(1), rep(4)
-    float(lo_f(padded)); float(hi_f(padded))          # compile both
+    float(lo_f(enc_p, dec_p, padded))                 # compile both
+    float(hi_f(enc_p, dec_p, padded))
     t_lo = min(
-        _bench_once(lambda: float(lo_f(padded))) for _ in range(4)
+        _bench_once(lambda: float(lo_f(enc_p, dec_p, padded)))
+        for _ in range(4)
     )
     t_hi = min(
-        _bench_once(lambda: float(hi_f(padded))) for _ in range(4)
+        _bench_once(lambda: float(hi_f(enc_p, dec_p, padded)))
+        for _ in range(4)
     )
     prefill_dev = (t_hi - t_lo) / 3
 
