@@ -1,0 +1,304 @@
+"""Cross-framework fidelity oracle vs HuggingFace ``transformers``.
+
+The strongest fidelity evidence available on this machine without real
+weights: ``transformers`` ships **independent, third-party PyTorch
+implementations of both halves of Qwen3-ASR** —
+
+  * the audio tower as ``Qwen3OmniMoeAudioEncoder`` (architecturally the
+    reference encoder, encoder.py:129-323: conv2d1-3 stride-2 stem,
+    conv_out, per-chunk sinusoidal PE, cu_seqlens block-windowed
+    attention, ln_post, GELU(proj1) -> proj2), and
+  * the text decoder as ``Qwen3ForCausalLM`` (reference decoder.py:203-253:
+    GQA + per-head QK RMSNorm + rotate-half RoPE theta=1e6 + SwiGLU +
+    tied lm_head).
+
+Every other oracle in this suite (goldens, the numpy pipeline oracle)
+was authored by the same people who wrote the code under test.  Here the
+comparison target is code we did not write: we instantiate tiny HF
+models, export their ``state_dict`` through the real checkpoint key
+layout (``audio_tower.*`` / ``model.*`` in one ``model.safetensors``,
+torch ``(O, I, KH, KW)`` conv layout), load that file through
+``qwen3_asr_tpu``'s own checkpoint loader, and demand numerical
+agreement in float32 — including greedy token identity through the
+KV-cached incremental decode path with injected audio features.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from qwen3_asr_tpu.config import AudioEncoderConfig, ModelConfig, TextDecoderConfig
+from qwen3_asr_tpu.models.decoder import (
+    decoder_forward,
+    decoder_logits,
+    embed_tokens,
+    init_kv_cache,
+)
+from qwen3_asr_tpu.models.encoder import encoder_forward
+from qwen3_asr_tpu.models.params import load_checkpoint
+
+# Tiny dims: same shape *relationships* as the 1.7B config (mel 128 so the
+# conv stem's 128 -> 16 frequency collapse is exercised; head_dim decoupled
+# from hidden/heads; GQA 2:1; window math identical to the real 104-token
+# blocks because n_window/n_window_infer are the real values).
+ENC = AudioEncoderConfig(
+    d_model=64,
+    encoder_layers=2,
+    encoder_attention_heads=4,
+    encoder_ffn_dim=128,
+    num_mel_bins=128,
+    output_dim=32,
+    n_window=50,
+    n_window_infer=800,
+    downsample_hidden_size=16,
+)
+DEC = TextDecoderConfig(
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    intermediate_size=64,
+    vocab_size=512,
+    rope_theta=1_000_000.0,
+    rms_norm_eps=1e-6,
+)
+CFG = ModelConfig(audio_encoder=ENC, text_decoder=DEC)
+
+
+@pytest.fixture(scope="module")
+def hf_and_mine(tmp_path_factory):
+    """Build tiny HF models, round-trip their weights through a
+    checkpoint file in the published layout, and load it with our loader."""
+    transformers = pytest.importorskip("transformers")
+    from safetensors.torch import save_file
+    from transformers.models.qwen3_omni_moe.modeling_qwen3_omni_moe import (
+        Qwen3OmniMoeAudioEncoder,
+        Qwen3OmniMoeAudioEncoderConfig,
+    )
+
+    torch.manual_seed(0)
+    hf_enc_cfg = Qwen3OmniMoeAudioEncoderConfig(
+        num_mel_bins=ENC.num_mel_bins,
+        encoder_layers=ENC.encoder_layers,
+        encoder_attention_heads=ENC.encoder_attention_heads,
+        encoder_ffn_dim=ENC.encoder_ffn_dim,
+        d_model=ENC.d_model,
+        output_dim=ENC.output_dim,
+        n_window=ENC.n_window,
+        n_window_infer=ENC.n_window_infer,
+        downsample_hidden_size=ENC.downsample_hidden_size,
+        max_source_positions=ENC.max_source_positions,
+        dropout=0.0,
+        attention_dropout=0.0,
+    )
+    hf_enc = Qwen3OmniMoeAudioEncoder(hf_enc_cfg).float().eval()
+
+    hf_dec_cfg = transformers.Qwen3Config(
+        hidden_size=DEC.hidden_size,
+        num_hidden_layers=DEC.num_hidden_layers,
+        num_attention_heads=DEC.num_attention_heads,
+        num_key_value_heads=DEC.num_key_value_heads,
+        head_dim=DEC.head_dim,
+        intermediate_size=DEC.intermediate_size,
+        vocab_size=DEC.vocab_size,
+        rope_theta=DEC.rope_theta,
+        rms_norm_eps=DEC.rms_norm_eps,
+        tie_word_embeddings=True,
+        attention_bias=False,
+        use_cache=False,
+    )
+    hf_dec = transformers.Qwen3ForCausalLM(hf_dec_cfg).float().eval()
+
+    tensors: dict[str, torch.Tensor] = {}
+    for k, v in hf_enc.state_dict().items():
+        tensors[f"audio_tower.{k}"] = v.contiguous()
+    for k, v in hf_dec.state_dict().items():
+        # lm_head is tied to embed_tokens; published checkpoints omit it
+        # (the reference computes h @ embed.T, decoder.py:252) and
+        # safetensors rejects aliased tensors.
+        if k != "lm_head.weight":
+            tensors[k] = v.contiguous()
+
+    ckpt = tmp_path_factory.mktemp("hf_ckpt")
+    save_file(tensors, str(ckpt / "model.safetensors"))
+
+    enc_params, dec_params = load_checkpoint(ckpt, CFG, dtype=jnp.float32)
+    return hf_enc, hf_dec, enc_params, dec_params
+
+
+def _hf_encode_windowed(hf_enc, mel_valid: np.ndarray) -> np.ndarray:
+    """HF audio-encoder forward with its documented windowed attention.
+
+    transformers 4.57's sdpa/eager code path passes ``attention_mask=None``
+    to the attention interface and never calls its own
+    ``_prepare_attention_mask`` — ``cu_seqlens`` only takes effect under
+    flash_attention_2 (CUDA-only).  Verified empirically: replaying the
+    captured layer input through the attention module with windowed vs
+    dense ``cu_seqlens`` gives bit-identical results.  The real model's
+    semantics (reference encoder.py:209-229 and HF's FA2 varlen path) are
+    block-diagonal, so for multi-window clips we drive HF's own layers
+    with HF's own ``_prepare_attention_mask`` block mask.
+    """
+    cap = {}
+
+    def pre_hook(mod, args, kwargs):
+        cap["h"] = (kwargs.get("hidden_states") or args[0]).detach().clone()
+        cap["cu"] = kwargs.get("cu_seqlens") if "cu_seqlens" in kwargs else args[1]
+
+    handle = hf_enc.layers[0].register_forward_pre_hook(pre_hook, with_kwargs=True)
+    try:
+        with torch.no_grad():
+            hf_enc(
+                torch.from_numpy(mel_valid),
+                feature_lens=torch.tensor([mel_valid.shape[1]]),
+            )
+    finally:
+        handle.remove()
+
+    h, cu = cap["h"], cap["cu"]
+    mask = hf_enc._prepare_attention_mask(h, cu)
+    with torch.no_grad():
+        for layer in hf_enc.layers:
+            h = layer(h, cu, attention_mask=mask)[0]
+        h = hf_enc.ln_post(h)
+        h = hf_enc.act(hf_enc.proj1(h))
+        h = hf_enc.proj2(h)
+    return h.numpy()
+
+
+def _my_encode(enc_params, mel_valid: np.ndarray) -> np.ndarray:
+    """Run our encoder on one clip, returning only the valid tokens."""
+    n_mels, t_valid = mel_valid.shape
+    t_pad = -(-t_valid // ENC.n_window_infer) * ENC.n_window_infer
+    mel = np.zeros((1, n_mels, t_pad), np.float32)
+    mel[0, :, :t_valid] = mel_valid
+    feats, n_tok = encoder_forward(
+        enc_params, ENC, jnp.asarray(mel), jnp.asarray([t_valid], jnp.int32)
+    )
+    return np.asarray(feats[0, : int(n_tok[0])])
+
+
+@pytest.mark.parametrize(
+    "t_valid",
+    [
+        100,  # exactly one chunk
+        250,  # padded tail chunk (13 + 13 + 7 = 33 tokens)
+        1650,  # multiple 104-token attention windows + ragged tail block
+    ],
+)
+def test_encoder_matches_hf(hf_and_mine, t_valid):
+    hf_enc, _, enc_params, _ = hf_and_mine
+    rng = np.random.default_rng(t_valid)
+    mel = rng.standard_normal((ENC.num_mel_bins, t_valid)).astype(np.float32)
+
+    if t_valid <= ENC.n_window_infer:
+        # Single attention window: HF's plain forward is exact (dense ==
+        # windowed when everything fits one block) — strongest form, zero
+        # intervention in the HF compute path.
+        with torch.no_grad():
+            ref = hf_enc(
+                torch.from_numpy(mel), feature_lens=torch.tensor([t_valid])
+            ).last_hidden_state.numpy()
+    else:
+        ref = _hf_encode_windowed(hf_enc, mel)
+
+    got = _my_encode(enc_params, mel)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_encoder_batch_matches_hf_per_clip(hf_and_mine):
+    """Our batched padded encoder == HF run clip-by-clip."""
+    hf_enc, _, enc_params, _ = hf_and_mine
+    rng = np.random.default_rng(7)
+    lens = [250, 730]
+    mels = [rng.standard_normal((ENC.num_mel_bins, t)).astype(np.float32) for t in lens]
+
+    t_pad = 800
+    batch = np.zeros((2, ENC.num_mel_bins, t_pad), np.float32)
+    for i, m in enumerate(mels):
+        batch[i, :, : m.shape[1]] = m
+    feats, n_tok = encoder_forward(
+        enc_params, ENC, jnp.asarray(batch), jnp.asarray(lens, jnp.int32)
+    )
+    for i, m in enumerate(mels):
+        with torch.no_grad():
+            ref = hf_enc(
+                torch.from_numpy(m), feature_lens=torch.tensor([m.shape[1]])
+            ).last_hidden_state.numpy()
+        got = np.asarray(feats[i, : int(n_tok[i])])
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_decoder_logits_match_hf(hf_and_mine):
+    _, hf_dec, _, dec_params = hf_and_mine
+    ids = np.array([[7, 42, 99, 3, 256, 17, 501, 0, 12]], np.int64)
+
+    with torch.no_grad():
+        ref = hf_dec(input_ids=torch.from_numpy(ids)).logits.numpy()
+
+    h = embed_tokens(dec_params, jnp.asarray(ids, jnp.int32))
+    out, _ = decoder_forward(
+        dec_params, DEC, h, jnp.arange(ids.shape[1])[None]
+    )
+    got = np.asarray(decoder_logits(dec_params, DEC, out))
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_greedy_decode_with_audio_injection_matches_hf(hf_and_mine):
+    """Token-identical greedy continuation, audio features injected into
+    the prompt embeddings, our side running the cached incremental path."""
+    _, hf_dec, _, dec_params = hf_and_mine
+    rng = np.random.default_rng(3)
+    prompt = np.array([[5, 150, 151, 151, 151, 152, 9, 30]], np.int64)
+    audio_pos = [3, 4]  # stand-ins for <|audio_pad|> slots
+    feats = (0.5 * rng.standard_normal((len(audio_pos), DEC.hidden_size))).astype(
+        np.float32
+    )
+    max_new = 12
+
+    # HF side: full re-forward each step over growing inputs_embeds.
+    emb_layer = hf_dec.get_input_embeddings()
+    with torch.no_grad():
+        emb = emb_layer(torch.from_numpy(prompt)).clone()
+        for j, p in enumerate(audio_pos):
+            emb[0, p] = torch.from_numpy(feats[j])
+        hf_tokens = []
+        for _ in range(max_new):
+            logits = hf_dec(inputs_embeds=emb).logits
+            nxt = int(torch.argmax(logits[0, -1]))
+            hf_tokens.append(nxt)
+            emb = torch.cat([emb, emb_layer(torch.tensor([[nxt]]))], dim=1)
+
+    # Our side: prefill into a preallocated KV cache, then one cached
+    # decode step per token (the production decode shape).
+    T = prompt.shape[1]
+    h = embed_tokens(dec_params, jnp.asarray(prompt, jnp.int32))
+    h = h.at[0, jnp.asarray(audio_pos)].set(jnp.asarray(feats))
+    kv = init_kv_cache(DEC, 1, T + max_new, jnp.float32)
+    out, kv = decoder_forward(
+        dec_params, DEC, h, jnp.arange(T)[None], kv,
+        write_slots=jnp.zeros((1,), jnp.int32),
+    )
+    my_tokens = []
+    last = int(jnp.argmax(decoder_logits(dec_params, DEC, out[:, -1:])[0, 0]))
+    for t in range(max_new):
+        my_tokens.append(last)
+        if t == max_new - 1:
+            break
+        nh = embed_tokens(dec_params, jnp.asarray([[last]], jnp.int32))
+        out, kv = decoder_forward(
+            dec_params, DEC, nh, jnp.asarray([[T + t]]), kv,
+            write_slots=jnp.asarray([T + t]),
+        )
+        last = int(jnp.argmax(decoder_logits(dec_params, DEC, out)[0, 0]))
+
+    assert my_tokens == hf_tokens
