@@ -302,3 +302,82 @@ def test_greedy_decode_with_audio_injection_matches_hf(hf_and_mine):
         last = int(jnp.argmax(decoder_logits(dec_params, DEC, out)[0, 0]))
 
     assert my_tokens == hf_tokens
+
+
+# -- sampling transforms vs HF logits processors -----------------------------
+#
+# The reference sampler's rules (generate.py:88-163) coincide with HF's
+# processors: repetition penalty divides positive / multiplies negative
+# scores for seen ids (RepetitionPenaltyLogitsProcessor), top-k keeps
+# everything >= the k-th largest incl. ties (TopKLogitsWarper), and the
+# reference's "drop exclusive-cumsum >= p over the descending sort" is
+# algebraically HF's TopPLogitsWarper rule (keep ascending suffix with
+# inclusive cumsum > 1-p: a token at descending exclusive cumsum E has
+# ascending inclusive cumsum 1-E, and 1-E <= 1-p <=> E >= p).  These
+# tests pin our on-device transforms to HF's implementations.
+
+
+def _hf_warp(processor, logits: np.ndarray, ids=None) -> np.ndarray:
+    from transformers.generation.logits_process import (
+        RepetitionPenaltyLogitsProcessor,
+        TopKLogitsWarper,
+        TopPLogitsWarper,
+    )
+
+    kinds = {
+        "rep": RepetitionPenaltyLogitsProcessor,
+        "topk": TopKLogitsWarper,
+        "topp": TopPLogitsWarper,
+    }
+    kind, arg = processor
+    proc = kinds[kind](arg)
+    ids_t = torch.tensor(ids if ids is not None else [[]], dtype=torch.long)
+    with torch.no_grad():
+        return proc(ids_t, torch.from_numpy(logits.copy())).numpy()
+
+
+def test_repetition_penalty_matches_hf():
+    from qwen3_asr_tpu.ops.sampling import RECENT_PAD_ID, apply_repetition_penalty
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((1, 64)).astype(np.float32) * 3.0
+    logits[0, 7] = 0.0  # the sign-boundary case
+    seen = [3, 7, 7, 50, 63]  # duplicates must not double-penalize
+
+    for penalty in (1.2, 2.0, 0.7):
+        ref = _hf_warp(("rep", penalty), logits, ids=[seen])
+        window = np.full(16, RECENT_PAD_ID, np.int64)
+        window[: len(seen)] = seen
+        got = np.asarray(
+            apply_repetition_penalty(
+                jnp.asarray(logits[0]), jnp.asarray(window), penalty
+            )
+        )
+        np.testing.assert_allclose(got, ref[0], atol=1e-6)
+
+
+def test_top_k_matches_hf():
+    from qwen3_asr_tpu.ops.sampling import top_k_mask
+
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal(64).astype(np.float32)
+    logits[10] = logits[20] = 1.5  # tie exactly at a potential threshold
+
+    for k in (1, 5, 20, 64):
+        ref = _hf_warp(("topk", k), logits[None])[0]
+        got = np.asarray(top_k_mask(jnp.asarray(logits), k))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_top_p_matches_hf():
+    from qwen3_asr_tpu.ops.sampling import top_p_mask
+
+    rng = np.random.default_rng(2)
+    logits = (rng.standard_normal(64) * 2.0).astype(np.float32)
+
+    for p in (0.1, 0.5, 0.9, 0.99):
+        ref = _hf_warp(("topp", p), logits[None])[0]
+        got = np.asarray(top_p_mask(jnp.asarray(logits), p))
+        # Same kept set and identical surviving logits.
+        np.testing.assert_array_equal(np.isinf(got), np.isinf(ref))
+        np.testing.assert_allclose(got[~np.isinf(got)], ref[~np.isinf(ref)], atol=1e-6)
