@@ -830,6 +830,7 @@ class Qwen3ASR:
             )
         token_lists = token_lists[:n_real]
         stats.n_generated_tokens = sum(len(t) for t in token_lists)
+        stats.n_spec_forwards = getattr(gen, "last_spec_forwards", 0)
         logger.debug("transcribe stats (batch=%d): %s", B, stats.as_dict())
         return token_lists, stats
 

@@ -816,6 +816,10 @@ class Generator:
             self._spawn_warm_compile(
                 key, kv_specs, B, statics, extra_warm=prev[4], spec=spec
             )
+        # Physical verify forwards (the fixed-K chunks run post-done
+        # no-op iterations, which are real forwards — so this may read
+        # above the while program's count for the same request).
+        self.last_spec_forwards = int(np.asarray(state[6]))
         return state[1], state[2]
 
     # -- fused cold pipeline routing ---------------------------------------
@@ -1133,6 +1137,11 @@ class Generator:
         """Run the compiled decode loop and fetch per-sequence token lists."""
         from ..utils.telemetry import logger
 
+        # Per-call speculative accounting, read by the API layer right
+        # after this returns (the model lock serializes callers): verify
+        # forwards executed, 0 when the plain loop served the request.
+        self.last_spec_forwards = 0
+
         # Opt-in int8 cache (ops/quant_kv.py): quantize the freshly
         # prefilled bf16 cache once; the decode programs then stream half
         # the KV bytes per step and write fresh rows quantized.
@@ -1181,11 +1190,12 @@ class Generator:
                 spec[0], spec[1],
             )
             counts_host = np.asarray(counts)
+            self.last_spec_forwards = int(iters)
             logger.debug(
-                "speculative decode: %d tokens in %d iterations "
+                "speculative decode: %d tokens in %d verify forwards "
                 "(%.2f tokens/forward)",
                 int(counts_host.sum()), int(iters),
-                float(counts_host.sum()) / max(int(iters) + 1, 1),
+                float(counts_host.sum()) / max(int(iters), 1),
             )
             tokens_host = np.asarray(tokens)
             return [

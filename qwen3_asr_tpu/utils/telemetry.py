@@ -35,6 +35,10 @@ class RequestStats:
     audio_seconds: float = 0.0
     n_prompt_tokens: int = 0
     n_generated_tokens: int = 0
+    #: Verify forwards the speculative decode loop ran (0 = plain decode).
+    #: Same convention as EngineStats: tokens / forwards is the measured
+    #: tokens-per-forward (1.0 = nothing accepted, gamma+1 = ceiling).
+    n_spec_forwards: int = 0
     stages: dict[str, float] = field(default_factory=dict)
 
     @property
@@ -52,8 +56,17 @@ class RequestStats:
         t = self.stages.get("decode", 0.0)
         return self.n_generated_tokens / t if t > 0 else 0.0
 
+    @property
+    def spec_tokens_per_forward(self) -> float:
+        """Realized speculative acceptance (tokens per verify forward)."""
+        return (
+            self.n_generated_tokens / self.n_spec_forwards
+            if self.n_spec_forwards
+            else 0.0
+        )
+
     def as_dict(self) -> dict:
-        return {
+        out = {
             "audio_seconds": round(self.audio_seconds, 4),
             "n_prompt_tokens": self.n_prompt_tokens,
             "n_generated_tokens": self.n_generated_tokens,
@@ -62,6 +75,10 @@ class RequestStats:
             "decode_tokens_per_second": round(self.decode_tokens_per_second, 1),
             **{f"stage_{k}_seconds": round(v, 4) for k, v in self.stages.items()},
         }
+        if self.n_spec_forwards:
+            out["n_spec_forwards"] = self.n_spec_forwards
+            out["spec_tokens_per_forward"] = round(self.spec_tokens_per_forward, 2)
+        return out
 
 
 @contextlib.contextmanager

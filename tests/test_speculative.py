@@ -364,3 +364,48 @@ def test_spec_auto_default_gates_on_batch():
     a = g_auto.generate(feats, 4, ids, max_tokens=16, repetition_penalty=1.1)
     b = g_off.generate(feats, 4, ids, max_tokens=16, repetition_penalty=1.1)
     assert a == b and spy["n"] == 1
+
+
+def test_spec_forwards_surfaced_per_request():
+    """Realized acceptance is observable: the generator records verify
+    forwards per call and the API copies them into RequestStats."""
+    params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rt = RuntimeConfig(token_buckets=(64, 128), speculative="ngram")
+    gen = Generator(params, TINY, rt, eos_ids=frozenset({500}))
+    toks = gen.generate(
+        _tiny_features(4), 4, _tiny_prompt(4), max_tokens=48,
+        repetition_penalty=1.0,
+    )
+    assert gen.last_spec_forwards > 0
+    # Looping tiny-model output accepts drafts: fewer forwards than tokens.
+    assert gen.last_spec_forwards < len(toks)
+
+    # Plain loop resets the counter.
+    gen_off = Generator(
+        params, TINY,
+        RuntimeConfig(token_buckets=(64, 128), speculative="off"),
+        eos_ids=frozenset({500}),
+    )
+    gen_off.generate(_tiny_features(4), 4, _tiny_prompt(4), max_tokens=8)
+    assert gen_off.last_spec_forwards == 0
+
+    # API level: RequestStats carries the count and the derived
+    # tokens-per-forward shows up in as_dict.
+    from qwen3_asr_tpu.api import Qwen3ASR
+    from tests.test_api import TINY_CFG, StubTokenizer, sine
+
+    model = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(),
+        runtime=RuntimeConfig(
+            frame_buckets=(800, 1600), token_buckets=(32, 64),
+            speculative="ngram", progressive_decode="off",
+            cold_fused_first_call=False,
+        ),
+        dtype=jnp.float32,
+    )
+    model.transcribe(sine(1.0), max_tokens=24)
+    stats = model.last_stats
+    assert stats.n_spec_forwards > 0
+    d = stats.as_dict()
+    assert d["n_spec_forwards"] == stats.n_spec_forwards
+    assert d["spec_tokens_per_forward"] >= 1.0
