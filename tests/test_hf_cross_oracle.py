@@ -381,3 +381,114 @@ def test_top_p_matches_hf():
         # Same kept set and identical surviving logits.
         np.testing.assert_array_equal(np.isinf(got), np.isinf(ref))
         np.testing.assert_allclose(got[~np.isinf(got)], ref[~np.isinf(ref)], atol=1e-6)
+
+
+# -- mel frontend vs transformers' audio_utils --------------------------------
+#
+# The last builder-authored oracle left in the suite was the mel golden
+# (log_mel_spectrogram_np).  transformers ships independent implementations
+# of every math step in the reference pipeline (audio.py:222-276):
+# ``audio_utils.spectrogram`` (framing, center=True reflect pad, windowed
+# rFFT, power, mel matmul, floored log10) and ``audio_utils.mel_filter_bank``
+# (triangularization + Slaney area norm).  The reference's *parameters*
+# differ from Whisper's defaults in two documented ways, both held fixed
+# here as inputs, not re-implemented logic:
+#
+#   * window: symmetric ``np.hanning(400)`` (audio.py:222) instead of the
+#     periodic Hann ``window_function(400, "hann")`` Whisper uses;
+#   * filterbank norm: triangles on the HTK mel scale divided by the full
+#     base width in Hz (audio.py:79) — exactly HALF transformers'
+#     ``norm="slaney"`` (2 / width), so ref_fb == hf_fb / 2.  The factor
+#     is a uniform +log10(2) shift of the log-mel that the max-8 clamp
+#     and (x+4)/4 affine preserve, i.e. a constant log10(2)/4 offset in
+#     the final features (pinned exactly below).
+
+
+def _mel_consts():
+    from qwen3_asr_tpu.audio import mel as m
+
+    return m.N_FFT, m.HOP_LENGTH, m.N_MELS, m.SAMPLE_RATE, m.F_MIN, m.F_MAX
+
+
+def _hf_filterbank():
+    """transformers' HTK-scale Slaney-normalized filterbank, (n_freqs, n_mels)."""
+    from transformers.audio_utils import mel_filter_bank
+
+    n_fft, _, n_mels, sr, f_min, f_max = _mel_consts()
+    return mel_filter_bank(
+        num_frequency_bins=n_fft // 2 + 1,
+        num_mel_filters=n_mels,
+        min_frequency=f_min,
+        max_frequency=f_max,
+        sampling_rate=sr,
+        norm="slaney",
+        mel_scale="htk",
+    )
+
+
+def test_mel_filterbank_matches_hf():
+    from qwen3_asr_tpu.audio.mel import mel_filterbank
+
+    hf = _hf_filterbank()            # (n_freqs, n_mels), 2 / width norm
+    ours = mel_filterbank()          # (n_mels, n_freqs), 1 / width norm
+    assert hf.T.shape == ours.shape
+    np.testing.assert_allclose(2.0 * ours, hf.T, atol=1e-7, rtol=1e-5)
+
+
+def _hf_log_mel(audio: np.ndarray, filters: np.ndarray) -> np.ndarray:
+    """Whisper's exact post-processing over transformers' spectrogram()
+    (feature_extraction_whisper.py:119-134), with the window and filterbank
+    passed in as parameters."""
+    from transformers.audio_utils import spectrogram
+
+    n_fft, hop, _, _, _, _ = _mel_consts()
+    log_spec = spectrogram(
+        audio.astype(np.float64),
+        np.hanning(n_fft),           # reference's symmetric Hann
+        frame_length=n_fft,
+        hop_length=hop,
+        power=2.0,
+        center=True,
+        pad_mode="reflect",
+        mel_filters=filters,
+        mel_floor=1e-10,
+        log_mel="log10",
+    )
+    log_spec = log_spec[:, :-1]      # last STFT frame dropped (audio.py:266)
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(np.float32)
+
+
+@pytest.mark.parametrize("n_samples", [16_000, 11_731, 640])
+def test_log_mel_matches_hf_spectrogram(n_samples):
+    """Our device mel == HF's spectrogram pipeline run with our filterbank
+    (itself pinned to HF's above): framing, reflect pad, windowed rFFT,
+    power, mel projection, floor, log, clamp, and normalization are all
+    exercised against third-party code."""
+    from qwen3_asr_tpu.audio.mel import log_mel_spectrogram, mel_filterbank
+
+    rng = np.random.default_rng(n_samples)
+    audio = (0.3 * rng.standard_normal(n_samples)).astype(np.float32)
+
+    ref = _hf_log_mel(audio, mel_filterbank().T.astype(np.float64))
+    got = np.asarray(log_mel_spectrogram(audio))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4)
+
+
+def test_log_mel_offset_vs_hf_norm_is_exactly_log10_2_over_4():
+    """With HF's own factor-2 Slaney filterbank the whole pipeline lands a
+    constant log10(2)/4 above ours (for signals clear of the 1e-10 floor) —
+    pinning that the ONLY end-to-end delta vs the canonical HTK-Whisper
+    normalization is the reference's documented half-width norm
+    (audio.py:79); placement, slopes, and everything downstream agree."""
+    from qwen3_asr_tpu.audio.mel import log_mel_spectrogram
+
+    rng = np.random.default_rng(9)
+    audio = (0.5 * rng.standard_normal(8_000)).astype(np.float32)
+
+    hf_norm = _hf_log_mel(audio, _hf_filterbank())
+    got = np.asarray(log_mel_spectrogram(audio))
+    np.testing.assert_allclose(
+        hf_norm - got, np.full_like(hf_norm, np.log10(2.0) / 4.0), atol=5e-4
+    )
