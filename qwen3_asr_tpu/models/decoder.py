@@ -1028,6 +1028,174 @@ def decoder_paged_step(
     )
 
 
+def decoder_paged_verify(
+    params: DecoderParams,
+    cfg: TextDecoderConfig,
+    hidden: jax.Array,          # (B, T, H) current token + gamma drafts
+    positions: jax.Array,       # (B, T) absolute RoPE positions
+    kv_pages: tuple[jax.Array, jax.Array],
+    page_table: jax.Array,      # (B, max_pages) physical page ids
+    prompt_len: jax.Array,      # (B,) valid prompt rows
+    decode_count: jax.Array,    # (B,) generated rows already in cache
+    write_pages: jax.Array,     # (B, T) physical page per fresh row
+    write_offsets: jax.Array,   # (B, T) row offset inside that page
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """Speculative verify forward over a PAGED KV cache.
+
+    The paged analog of :func:`decoder_forward`'s verify split: T = gamma+1
+    fresh positions advance through the stack in ONE forward.  History
+    attention runs the verify variant of the paged kernel (same page walk
+    and HBM traffic as a single decode step — the T x group query rows
+    fill the sublane pad the step wastes); the fresh positions attend each
+    other causally inside the kernel's fresh block.  All T rows land in
+    the pool post-scan at their per-position (page, offset); rejected
+    rows either get overwritten on the next iteration or land on the
+    reserved trash page 0 via unallocated page-table entries.
+
+    No reference counterpart (reference decodes strictly one token per
+    forward, generate.py:289-315); this is the continuous-batching side
+    of the speculative decoding extension.
+    """
+    keys_all, values_all = kv_pages
+    B, T, H = hidden.shape
+    nq, nkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    scale = D ** -0.5
+    kv_q8 = is_quantized_kv(keys_all)
+    PS = (keys_all["q"] if kv_q8 else keys_all).shape[3]
+    n_pages_total = (keys_all["q"] if kv_q8 else keys_all).shape[1]
+    maxp = page_table.shape[1]
+    pos_b = positions[:, None, :]
+    on_tpu = _use_pallas()
+    group = nq // nkv
+    neg = float(jnp.finfo(jnp.float32).min) / 2
+
+    if not on_tpu:
+        pp = (prompt_len + PS - 1) // PS
+        cols = jnp.arange(maxp * PS)[None, :]
+        dstart = (pp * PS)[:, None]
+        flat_mask = (cols < prompt_len[:, None]) | (
+            (cols >= dstart) & (cols < dstart + decode_count[:, None])
+        )
+        cache_mask = flat_mask[:, None, None, None, :]   # (B,1,1,1,maxp*PS)
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T, T), 3)
+        u_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T, T), 4)
+        self_mask = u_ids <= t_ids
+        table_c = jnp.clip(page_table, 0, n_pages_total - 1)
+
+    def gather_pages(pool, layer):
+        """CPU fallback: (B, Hkv, maxp*PS, D) compact dequantized view."""
+        if kv_q8:
+            ql = jax.lax.dynamic_index_in_dim(pool["q"], layer, 0, keepdims=False)
+            sl = jax.lax.dynamic_index_in_dim(pool["s"], layer, 0, keepdims=False)
+            pl_ = (
+                ql[table_c].astype(jnp.float32) * sl[table_c][..., None]
+            ).astype(hidden.dtype)
+        else:
+            pl_ = jax.lax.dynamic_index_in_dim(pool, layer, 0, keepdims=False)[
+                table_c
+            ]
+        return jnp.moveaxis(pl_, 2, 1).reshape(B, nkv, maxp * PS, D)
+
+    def layer_fn(carry, lp):
+        h, layer = carry
+        q, k_new, v_new = _project_qkv(h, lp, cfg, pos_b)   # q (B,nq,T,D)
+
+        if on_tpu:
+            if kv_q8:
+                from ..ops.pallas.decode_attention_paged import (
+                    decode_attention_paged_verify_q8 as paged_verify,
+                )
+            else:
+                from ..ops.pallas.decode_attention_paged import (
+                    decode_attention_paged_verify as paged_verify,
+                )
+
+            attn = paged_verify(
+                q, keys_all, values_all, k_new, v_new,
+                layer, page_table, prompt_len, decode_count, scale=scale,
+            )                                               # (B, nq, T, D)
+        else:
+            kc = gather_pages(keys_all, layer)
+            vc = gather_pages(values_all, layer)
+            qg = q.reshape(B, nkv, group, T, D)
+            logits = jnp.einsum(
+                "bkgtd,bkld->bkgtl", qg, kc,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            logits = jnp.where(cache_mask, logits, neg)
+            self_logits = jnp.einsum(
+                "bkgtd,bkud->bkgtu", qg, k_new,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            self_logits = jnp.where(self_mask, self_logits, neg)
+            all_logits = jnp.concatenate([logits, self_logits], axis=-1)
+            w = jax.nn.softmax(all_logits, axis=-1)
+            Sc = maxp * PS
+            out = jnp.einsum(
+                "bkgtl,bkld->bkgtd", w[..., :Sc].astype(vc.dtype), vc,
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "bkgtu,bkud->bkgtd",
+                w[..., Sc:].astype(jnp.float32),
+                v_new.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            attn = out.reshape(B, nq, T, D).astype(h.dtype)
+
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, T, nq * D)
+        h = h + qlinear(attn, lp["wo"])
+        h = _mlp_block(h, lp, eps)
+        return (h, layer + 1), (k_new, v_new)
+
+    (hidden, _), (k_rows, v_rows) = jax.lax.scan(
+        layer_fn, (hidden, jnp.int32(0)), params["layers"]
+    )
+
+    def write_rows_paged_t(pool, rows):
+        # rows (L, B, nkv, T, D): one per-position row write each — the
+        # T = gamma+1 writer calls reuse the aliased single-row path.
+        if kv_q8:
+            qr = quantize_kv(rows)
+            qpool, spool = pool["q"], pool["s"]
+            for u in range(T):
+                pages_u = jnp.clip(write_pages[:, u], 0, n_pages_total - 1)
+                if _use_pallas_writer():
+                    from ..ops.pallas.kv_write import kv_write_rows_paged
+
+                    qpool = kv_write_rows_paged(
+                        qpool, qr["q"][:, :, :, u:u + 1, :],
+                        write_pages[:, u], write_offsets[:, u],
+                    )
+                else:
+                    qpool = qpool.at[
+                        :, pages_u, :, write_offsets[:, u], :
+                    ].set(jnp.moveaxis(qr["q"][:, :, :, u, :], 1, 0))
+                spool = spool.at[:, pages_u, :, write_offsets[:, u]].set(
+                    jnp.moveaxis(qr["s"][:, :, :, u], 1, 0)
+                )
+            return {"q": qpool, "s": spool}
+        for u in range(T):
+            if _use_pallas_writer():
+                from ..ops.pallas.kv_write import kv_write_rows_paged
+
+                pool = kv_write_rows_paged(
+                    pool, rows[:, :, :, u:u + 1, :],
+                    write_pages[:, u], write_offsets[:, u],
+                )
+            else:
+                pages_u = jnp.clip(write_pages[:, u], 0, n_pages_total - 1)
+                pool = pool.at[:, pages_u, :, write_offsets[:, u], :].set(
+                    jnp.moveaxis(rows[:, :, :, u, :], 1, 0).astype(pool.dtype)
+                )
+        return pool
+
+    return hidden, (
+        write_rows_paged_t(keys_all, k_rows),
+        write_rows_paged_t(values_all, v_rows),
+    )
+
+
 def decoder_logits(params: DecoderParams, cfg: TextDecoderConfig, hidden: jax.Array) -> jax.Array:
     """Final RMSNorm + tied lm_head, float32 logits ``(B, T, vocab)``."""
     h = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)

@@ -57,7 +57,7 @@ def _kernel(
     vall_ref,
     *rest,
     page_size: int, max_pages: int, per_core: int, b_pad: int,
-    quantized: bool = False,
+    quantized: bool = False, n_fresh: int = 1, group: int = 1,
 ):
     # Quantized caches carry per-row f32 scale pages (L, n_pages, Hkv, PS)
     # streamed alongside the int8 tiles; scale math folds into the score /
@@ -282,17 +282,41 @@ def _kernel(
         )
         m, l, acc, slot = jax.lax.fori_loop(0, total_b, blk, init)
 
-        # Fresh-token self term, then finalize this batch element.
-        k_new = knew_ref[0, bl, :, 0].astype(jnp.bfloat16)
-        s_self = jnp.sum(
-            (q * k_new[:, None, :]).astype(jnp.float32), axis=2, keepdims=True
-        )
-        m_next = jnp.maximum(m, jnp.broadcast_to(s_self, m.shape))
+        # Fresh-token block, then finalize this batch element.  With
+        # n_fresh == 1 this is the classic decode self term.  The verify
+        # variant (n_fresh = gamma+1 speculative positions) packs the T
+        # fresh queries t-major into the same QPAD sublane pad the decode
+        # step wastes (row r = t*group + g, T*group <= QPAD), so the
+        # history walk above is IDENTICAL — every verify row attends the
+        # same read-only pages — and only this block changes: a T-column
+        # score tile with an intra-block causal mask (fresh column u is
+        # visible to row r iff u <= r // group).  Columns stay per-u VPU
+        # multiply-adds in f32, mirroring the T = 1 math exactly.
+        s_cols = []
+        for u in range(n_fresh):
+            k_u = knew_ref[0, bl, :, u].astype(jnp.bfloat16)
+            s_cols.append(jnp.sum(
+                (q * k_u[:, None, :]).astype(jnp.float32), axis=2,
+                keepdims=True,
+            ))
+        s_self = jnp.concatenate(s_cols, axis=2)       # (Hkv, QPAD, T)
+        if n_fresh > 1:
+            row_t = jax.lax.broadcasted_iota(
+                jnp.int32, s_self.shape, 1
+            ) // group
+            col_u = jax.lax.broadcasted_iota(jnp.int32, s_self.shape, 2)
+            s_self = jnp.where(col_u <= row_t, s_self, _MASK_VALUE)
+        m_tile = jnp.max(s_self, axis=2, keepdims=True)
+        m_next = jnp.maximum(m, jnp.broadcast_to(m_tile, m.shape))
         alpha = jnp.exp(m - m_next)
-        p_self = jnp.exp(s_self - m_next[:, :, :1])
-        l = alpha * l + jnp.broadcast_to(p_self, l.shape)
-        v_new = vnew_ref[0, bl, :, 0].astype(jnp.float32)
-        acc = acc * alpha[:, :, :1] + p_self * v_new[:, None, :]
+        p_self = jnp.exp(s_self - m_next[:, :, :1])    # (Hkv, QPAD, T)
+        l = alpha * l + jnp.broadcast_to(
+            jnp.sum(p_self, axis=2, keepdims=True), l.shape
+        )
+        acc = acc * alpha[:, :, :1]
+        for u in range(n_fresh):
+            v_u = vnew_ref[0, bl, :, u].astype(jnp.float32)
+            acc = acc + p_self[:, :, u:u + 1] * v_u[:, None, :]
 
         l_final = l[:, :, :1]
         l_final = jnp.where(l_final == 0.0, 1.0, l_final)
@@ -307,9 +331,16 @@ def _paged_call(
     decode_count, scale, interpret,
 ):
     """Shared host-side wiring for the bf16 and int8 page-pool variants
-    (``ks``/``vs`` are the per-row scale pools, None for bf16)."""
+    (``ks``/``vs`` are the per-row scale pools, None for bf16).
+
+    ``q`` is (B, Hq, D) for the single-token decode step, or
+    (B, Hq, T, D) for a T-position speculative verify (T = k_new.shape[2];
+    T * group must fit the QPAD sublane pad)."""
     quantized = ks is not None
-    B, hq, D = q.shape
+    squeeze = q.ndim == 3
+    if squeeze:
+        q = q[:, :, None, :]
+    B, hq, T, D = q.shape
     hkv, page_size = kall.shape[2], kall.shape[3]
     max_pages = page_table.shape[1]
     group = hq // hkv
@@ -317,6 +348,10 @@ def _paged_call(
         scale = D ** -0.5
     if page_size % _BLOCK_D:
         raise ValueError(f"page_size={page_size} not a multiple of {_BLOCK_D}")
+    if T * group > _QPAD:
+        raise ValueError(
+            f"verify width T={T} x group={group} exceeds QPAD={_QPAD}"
+        )
 
     cores = 2 if B > 1 else 1
     per_core = -(-B // cores)
@@ -326,15 +361,18 @@ def _paged_call(
         0, per_core,
     )
 
-    qg = (q.astype(jnp.float32) * scale).reshape(B, hkv, group, D)
+    # Pack rows t-major — row r = t * group + g — matching the kernel's
+    # causal fresh-block mask (row_t = r // group).
+    qg = (q.astype(jnp.float32) * scale).reshape(B, hkv, group, T, D)
+    qg = qg.transpose(0, 1, 3, 2, 4).reshape(B, hkv, T * group, D)
     qg = jnp.pad(
-        qg, ((0, b_pad - B), (0, 0), (0, _QPAD - group), (0, 0))
+        qg, ((0, b_pad - B), (0, 0), (0, _QPAD - T * group), (0, 0))
     ).reshape(cores, per_core, hkv, _QPAD, D)
     knew_p = jnp.pad(k_new, ((0, b_pad - B), (0, 0), (0, 0), (0, 0))).reshape(
-        cores, per_core, hkv, 1, D
+        cores, per_core, hkv, T, D
     )
     vnew_p = jnp.pad(v_new, ((0, b_pad - B), (0, 0), (0, 0), (0, 0))).reshape(
-        cores, per_core, hkv, 1, D
+        cores, per_core, hkv, T, D
     )
     # Clamp plen >= 1: a zero-block lane (idle slot) would desync the
     # DMA pipeline's producer walk from its consumer — see the identical
@@ -374,10 +412,10 @@ def _paged_call(
         ]
     in_specs += [
         pl.BlockSpec(
-            (1, per_core, hkv, 1, D), lambda c, *_: (c, 0, 0, 0, 0)
+            (1, per_core, hkv, T, D), lambda c, *_: (c, 0, 0, 0, 0)
         ),
         pl.BlockSpec(
-            (1, per_core, hkv, 1, D), lambda c, *_: (c, 0, 0, 0, 0)
+            (1, per_core, hkv, T, D), lambda c, *_: (c, 0, 0, 0, 0)
         ),
     ]
     scratch += [pltpu.SemaphoreType.DMA((_NBUF,))] * (4 if quantized else 2)
@@ -399,6 +437,8 @@ def _paged_call(
             per_core=per_core,
             b_pad=b_pad,
             quantized=quantized,
+            n_fresh=T,
+            group=group,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (cores, per_core, hkv, _QPAD, D), jnp.float32
@@ -419,8 +459,10 @@ def _paged_call(
         knew_p,
         vnew_p,
     )
-    out = out.reshape(b_pad, hkv, _QPAD, D)[:B, :, :group, :]
-    return out.reshape(B, hq, D).astype(q.dtype)
+    out = out.reshape(b_pad, hkv, _QPAD, D)[:B, :, : T * group, :]
+    out = out.reshape(B, hkv, T, group, D).transpose(0, 1, 3, 2, 4)
+    out = out.reshape(B, hq, T, D).astype(q.dtype)
+    return out[:, :, 0, :] if squeeze else out
 
 
 @functools.partial(
@@ -471,6 +513,64 @@ def decode_attention_paged_q8(
     """int8 page-pool variant: streams half the KV bytes per step plus
     tiny per-row scale pages; equals the bf16 kernel over the dequantized
     pool to bf16 tolerance (ops/quant_kv.py scale folding)."""
+    return _paged_call(
+        q, kall["q"], vall["q"], kall["s"], vall["s"], k_new, v_new,
+        layer, page_table, prompt_len, decode_count, scale, interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret"),
+)
+def decode_attention_paged_verify(
+    q: jax.Array,            # (B, Hq, T, D) — T speculative positions
+    kall: jax.Array,         # (L, n_pages, Hkv, page_size, D)
+    vall: jax.Array,
+    k_new: jax.Array,        # (B, Hkv, T, D) fresh rows (current + drafts)
+    v_new: jax.Array,
+    layer: jax.Array,
+    page_table: jax.Array,
+    prompt_len: jax.Array,
+    decode_count: jax.Array,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Speculative verify over a page-pool cache: T = gamma+1 positions per
+    sequence in ONE kernel pass, (B, Hq, T, D) out.
+
+    The T x group query rows fill the QPAD sublane pad the single-token
+    step wastes, so the page walk costs the same HBM traffic and MXU
+    passes as one decode step while scoring up to T tokens.  History
+    masking is unchanged (every verify position attends rows < plen /
+    < decode_count); the fresh block is causal across the T positions.
+    ``decode_count`` must EXCLUDE the T fresh rows (pass counts - 1, as
+    the single-token step does).
+    """
+    return _paged_call(
+        q, kall, vall, None, None, k_new, v_new, layer, page_table,
+        prompt_len, decode_count, scale, interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret"),
+)
+def decode_attention_paged_verify_q8(
+    q: jax.Array,            # (B, Hq, T, D)
+    kall: dict,              # {"q": int8 pool, "s": f32 scale pool}
+    vall: dict,
+    k_new: jax.Array,        # (B, Hkv, T, D) — fresh rows stay bf16
+    v_new: jax.Array,
+    layer: jax.Array,
+    page_table: jax.Array,
+    prompt_len: jax.Array,
+    decode_count: jax.Array,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 pool variant of :func:`decode_attention_paged_verify`."""
     return _paged_call(
         q, kall["q"], vall["q"], kall["s"], vall["s"], k_new, v_new,
         layer, page_table, prompt_len, decode_count, scale, interpret,

@@ -16,12 +16,15 @@ three operations at **step-chunk boundaries**:
   * ``retire`` — harvest finished sequences and free their slots without
     stopping the batch.
 
-All-greedy chunks on narrow flat-bf16 engines additionally run
-SPECULATIVE verify iterations (RuntimeConfig.spec_engine, default
-"auto"): an in-program n-gram draft plus one multi-token verify forward
-per iteration emits 1..gamma+1 tokens for the cost of ~one step when
-decode is weight-stream bound — token-identical to plain greedy (see
-``_step_chunk_impl``'s ``spec`` branch).
+All-greedy chunks on narrow engines additionally run SPECULATIVE verify
+iterations (RuntimeConfig.spec_engine, default "auto"): an in-program
+n-gram draft plus one multi-token verify forward per iteration emits
+1..gamma+1 tokens for the cost of ~one step when decode is weight-stream
+bound — token-identical to plain greedy.  Flat bf16 engines take the
+XLA verify split (``_step_chunk_impl``'s ``spec`` branch); paged engines
+(bf16 AND int8 pools) run the paged verify kernel, whose T x group query
+rows ride in the sublane pad a single-token step wastes
+(``_step_chunk_paged_impl``'s ``spec`` branch).
 
 TPU-first design: the device programs are fully static-shaped (``n_slots``
 is the compiled batch), control state lives in tiny host arrays uploaded
@@ -534,12 +537,22 @@ class DecodeEngine:
     ):
         """Paged variant: KV rows resolve through the per-slot page table.
 
-        ``spec`` must be None: the paged step kernel has no multi-token
-        verify path (step() never plans spec for paged engines).
+        ``spec`` = (gamma, ngram_n) switches the body to a speculative
+        verify iteration over the page pool (all-greedy chunks only):
+        same accept chain as the flat spec body, with the T = gamma+1
+        fresh positions scored by the paged verify kernel in ONE page
+        walk (decode_attention_paged_verify — the T x group query rows
+        fill the sublane pad a single-token step wastes).  Tentative
+        rows land at per-position (page, offset); rejected rows are
+        overwritten next iteration, and rows past the slot's allocation
+        resolve through zero page-table entries onto the reserved trash
+        page 0 (never owned by a sequence).  Works for bf16 AND int8
+        pools (the per-row paged writer re-quantizes fresh rows).
 
         ``table`` is chunk-invariant (the host pre-allocates decode pages
-        covering this chunk's steps before dispatch; slots that could not
-        get pages are excluded from ``live``).
+        covering this chunk's steps — k_steps x (gamma+1) rows for spec
+        chunks — before dispatch; slots that could not get pages are
+        excluded from ``live``).
 
         ``width`` (static) runs the chunk over only the first ``width``
         slots: retirement compacts live slots into a prefix, so a
@@ -549,7 +562,6 @@ class DecodeEngine:
         (tiny) per-slot state is sliced in and written back in place."""
         from ..models.decoder import decoder_paged_step
 
-        assert spec is None, "paged chunks have no speculative verify path"
         B = width or self.n_slots
         f_tokens, f_counts, f_done, f_cur, f_rngs = (
             tokens, counts, done, cur, rngs
@@ -585,6 +597,80 @@ class DecodeEngine:
         def cond(state):
             _, _, _, _, done, _, _, step = state
             return jnp.any(live & ~done) & (step < k_steps)
+
+        if spec is not None:
+            # Speculative verify body over the page pool (greedy only —
+            # step() never plans spec for mixed chunks).  Token-identity
+            # with the plain body holds exactly as in the flat spec body:
+            # position t's argmax is used only when every earlier draft
+            # matched its own position's argmax, with the penalty window
+            # recomputed after each accepted token.
+            from ..models.decoder import decoder_paged_verify
+            from ..ops.speculative import ngram_draft
+
+            gamma, ngram_n = spec
+            T = gamma + 1
+
+            def spec_body(state):
+                keys, values, tokens, counts, done, cur, rngs, step = state
+                draft, dvalid = ngram_draft(
+                    tokens, counts, n=ngram_n, gamma=gamma
+                )
+                ids = jnp.concatenate([cur[:, None], draft], axis=1)  # (B,T)
+                pos = (prompt_len + counts - 1)[:, None] + jnp.arange(T)[None]
+                wrow = (
+                    jnp.maximum(counts - 1, 0)[:, None] + jnp.arange(T)[None]
+                )                                                     # (B,T)
+                idx = jnp.clip(pp[:, None] + wrow // PS, 0, maxp - 1)
+                pages = table[jnp.arange(B)[:, None], idx]
+                offs = wrow % PS
+                embeds = embed_tokens(params, ids)
+                hidden, (keys, values) = decoder_paged_verify(
+                    params, cfg, embeds, pos, (keys, values), table,
+                    prompt_len, jnp.maximum(counts - 1, 0), pages, offs,
+                )
+                logits = decoder_logits(params, cfg, hidden)  # (B, T, V)
+
+                chain = live & ~done
+                for t in range(T):
+                    win = recent_window(tokens, counts)
+                    pen = jax.vmap(apply_repetition_penalty)(
+                        logits[:, t].astype(jnp.float32), win, rep_pen
+                    )
+                    out_t = jnp.argmax(pen, axis=-1).astype(jnp.int32)
+                    emit = chain
+                    slot = jnp.clip(counts, 0, token_bucket - 1)
+                    keep = jnp.take_along_axis(
+                        tokens, slot[:, None], axis=1
+                    )[:, 0]
+                    tokens = tokens.at[jnp.arange(B), slot].set(
+                        jnp.where(emit, out_t, keep)
+                    )
+                    counts = counts + emit
+                    newly_done = emit & (is_eos(out_t) | (counts >= max_new))
+                    done = done | newly_done
+                    cur = jnp.where(emit & ~done, out_t, cur)
+                    if t < gamma:
+                        chain = (
+                            emit & ~newly_done
+                            & dvalid[:, t] & (out_t == draft[:, t])
+                        )
+                return keys, values, tokens, counts, done, cur, rngs, step + 1
+
+            keys, values, tokens, counts, done, cur, rngs = (
+                self._run_chunk_loop(
+                    cond, spec_body,
+                    (keys, values, tokens, counts, done, cur, rngs), k_steps,
+                )
+            )
+            if B < self.n_slots:
+                tokens = f_tokens.at[:B].set(tokens)
+                counts = f_counts.at[:B].set(counts)
+                done = f_done.at[:B].set(done)
+                cur = f_cur.at[:B].set(cur)
+                rngs = f_rngs.at[:B].set(rngs)
+            status = jnp.stack([counts, done.astype(jnp.int32)])
+            return keys, values, tokens, counts, done, cur, rngs, status
 
         def body(state):
             keys, values, tokens, counts, done, cur, rngs, step = state
@@ -895,13 +981,24 @@ class DecodeEngine:
 
     def _plan_chunk_spec(self, greedy: bool):
         """(gamma, ngram_n) when this chunk should run speculative verify
-        iterations, else None.  Requires: all-greedy chunk, flat bf16 KV
-        (no paged verify kernel, no int8 verify write path), and — under
-        "auto" — an engine narrow enough to be weight-stream bound
-        (n_slots <= spec_engine_max_slots)."""
-        if not greedy or self.paged or self.kv_dtype == "int8":
+        iterations, else None.  Requires: all-greedy chunk; flat engines
+        must be bf16 KV (the flat verify path's span writer has no int8
+        variant), paged engines take bf16 AND int8 pools (per-row writers
+        re-quantize) but need the T x group verify rows to fit the
+        kernel's QPAD sublane pad; and — under "auto" — an engine narrow
+        enough to be weight-stream bound (n_slots <=
+        spec_engine_max_slots)."""
+        if not greedy:
             return None
         rt = self.gen.runtime
+        if self.paged:
+            group = (
+                self.cfg.num_attention_heads // self.cfg.num_key_value_heads
+            )
+            if (rt.spec_gamma + 1) * group > 8:   # kernel QPAD
+                return None
+        elif self.kv_dtype == "int8":
+            return None
         mode = getattr(rt, "spec_engine", "off")
         if mode == "on" or (
             mode == "auto" and self.n_slots <= rt.spec_engine_max_slots
@@ -916,7 +1013,16 @@ class DecodeEngine:
         fetch; all other state stays resident on the device."""
         k = k_steps or self.chunk_steps
         if self.paged:
-            runnable = self._ensure_decode_pages(k)
+            # Spec chunks advance up to gamma+1 tokens per iteration, so
+            # page planning must cover the full potential emission (the
+            # plan is computed on the pre-chunk greedy mask; a slot
+            # force-finished inside _ensure_decode_pages only widens the
+            # planned program, never starves a live one of pages).
+            pre_mask = self._live & ~self._done
+            pre_greedy = bool((self._temp[pre_mask] == 0).all())
+            pre_spec = self._plan_chunk_spec(pre_greedy)
+            k_tokens = k * (pre_spec[0] + 1) if pre_spec else k
+            runnable = self._ensure_decode_pages(k_tokens)
             if not runnable.any():
                 return
         if self._ctl_dirty:
@@ -949,6 +1055,11 @@ class DecodeEngine:
                 top_k_max if top_k_max > 0 else 1024, self.cfg.vocab_size
             )
         spec = self._plan_chunk_spec(greedy)
+        if self.paged and spec is not None and pre_spec is None:
+            # A force-finish inside _ensure_decode_pages flipped the chunk
+            # to all-greedy AFTER pages were planned for plain steps; run
+            # this chunk plain so accepted rows never outrun allocation.
+            spec = None
         out = self._step_chunk_jit(
             self.gen.params,
             self._keys, self._values, self._tokens,

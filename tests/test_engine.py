@@ -428,6 +428,86 @@ def test_engine_spec_chunks_match_plain(model, monkeypatch):
         assert spec_r[k] == plain_r[k], f"clip {k}: spec != plain"
 
 
+@pytest.mark.parametrize("kv_dtype", ["bf16", "int8"])
+def test_paged_engine_spec_chunks_match_plain(model, monkeypatch, kv_dtype):
+    """Paged spec verify chunks harvest exactly the plain paged chunks'
+    tokens — for bf16 AND int8 page pools (the per-row paged writer
+    re-quantizes tentative rows)."""
+    from qwen3_asr_tpu.runtime.engine import SlotRequest
+
+    if kv_dtype == "int8":
+        monkeypatch.setattr(
+            model._generator.runtime, "kv_cache_dtype", "int8"
+        )
+    clips = [sine(1.0, 440.0), sine(2.0, 330.0), sine(0.5, 550.0)]
+
+    def run(mode):
+        monkeypatch.setattr(model._generator.runtime, "spec_engine", mode)
+        engine = model.make_engine(
+            n_slots=4, max_duration=8.0, max_new_tokens=128, chunk_steps=4,
+            paged=True, page_size=256,
+        )
+        kv, logits, prompts = model.prefill_group(clips, ["English"] * 3)
+        reqs = [
+            SlotRequest(samples=c, prompt=p, max_new=9, meta=i)
+            for i, (c, p) in enumerate(zip(clips, prompts))
+        ]
+        engine.admit(kv, logits, engine.free_slots(), reqs)
+        results = {}
+        for _ in range(50):
+            engine.step()
+            for req, toks in engine.retire():
+                results[req.meta] = toks
+            if len(results) == len(clips):
+                break
+        return results, engine.stats
+
+    spec_r, spec_stats = run("on")
+    plain_r, plain_stats = run("off")
+    assert spec_stats.spec_chunks > 0 and plain_stats.spec_chunks == 0
+    assert spec_r.keys() == plain_r.keys()
+    for k in spec_r:
+        assert spec_r[k] == plain_r[k], f"clip {k}: paged spec != plain"
+
+
+def test_paged_engine_spec_width_bucketing(model, monkeypatch):
+    """Spec verify chunks compose with paged width bucketing: after
+    retirement compacts to a narrow prefix, the narrow spec program
+    still harvests the plain tokens."""
+    from qwen3_asr_tpu.runtime.engine import SlotRequest
+
+    monkeypatch.setattr(model._generator.runtime, "spec_engine", "off")
+    clip_a, clip_b = sine(1.5, 440.0), sine(0.7, 260.0)
+    direct_a = model.transcribe(clip_a, max_tokens=24)
+    direct_b = model.transcribe(clip_b, max_tokens=8)
+
+    monkeypatch.setattr(model._generator.runtime, "spec_engine", "on")
+    engine = model.make_engine(
+        n_slots=4, max_duration=8.0, max_new_tokens=128, chunk_steps=2,
+        paged=True, page_size=256,
+    )
+    kv, logits, prompts = model.prefill_group(
+        [clip_a, clip_b], ["English"] * 2
+    )
+    engine.admit(
+        kv, logits, engine.free_slots()[:2],
+        [
+            SlotRequest(samples=clip_a, prompt=prompts[0], max_new=24, meta="a"),
+            SlotRequest(samples=clip_b, prompt=prompts[1], max_new=8, meta="b"),
+        ],
+    )
+    results = {}
+    for _ in range(60):
+        engine.step()
+        for req, toks in engine.retire():
+            results[req.meta] = toks
+        if len(results) == 2:
+            break
+    assert engine.stats.spec_chunks > 0
+    assert model._finalize_output(results["a"], "English")[0] == direct_a.text
+    assert model._finalize_output(results["b"], "English")[0] == direct_b.text
+
+
 def test_engine_spec_mid_decode_admission(model, monkeypatch):
     """Spec chunks + heterogeneous depths: a request admitted while
     another slot is mid-decode still harvests the plain-path tokens."""
@@ -488,8 +568,15 @@ def test_engine_spec_gating(model, monkeypatch):
         n_slots=4, max_duration=4.0, max_new_tokens=64, paged=True
     )
     monkeypatch.setattr(rt, "spec_engine", "on")
-    assert paged._plan_chunk_spec(True) is None         # no paged verify
+    assert paged._plan_chunk_spec(True) == (rt.spec_gamma, rt.spec_ngram)
+    monkeypatch.setattr(rt, "spec_gamma", 9)            # QPAD overflow
+    assert paged._plan_chunk_spec(True) is None
+    monkeypatch.setattr(rt, "spec_gamma", 3)
 
     monkeypatch.setattr(rt, "kv_cache_dtype", "int8")
     eng8 = model.make_engine(n_slots=4, max_duration=4.0, max_new_tokens=64)
-    assert eng8._plan_chunk_spec(True) is None          # no int8 verify
+    assert eng8._plan_chunk_spec(True) is None          # no flat int8 verify
+    paged8 = model.make_engine(
+        n_slots=4, max_duration=4.0, max_new_tokens=64, paged=True
+    )
+    assert paged8._plan_chunk_spec(True) == (rt.spec_gamma, rt.spec_ngram)

@@ -398,6 +398,114 @@ def test_decode_attention_paged_garbage_immunity():
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
 
 
+def paged_verify_oracle(
+    q, kall, vall, k_new, v_new, layer, table, plen, dcount, scale=None
+):
+    """T-position verify oracle: compact-gathered pages with the history
+    mask shared across positions plus a causal T x T fresh block."""
+    B, hq, T, D = q.shape
+    PS = kall.shape[3]
+    maxp = table.shape[1]
+    pp = (plen + PS - 1) // PS
+    k_pages = kall[layer][jnp.clip(table, 0, kall.shape[1] - 1)]
+    v_pages = vall[layer][jnp.clip(table, 0, vall.shape[1] - 1)]
+    k = jnp.moveaxis(k_pages, 2, 1).reshape(B, kall.shape[2], maxp * PS, -1)
+    v = jnp.moveaxis(v_pages, 2, 1).reshape(B, vall.shape[2], maxp * PS, -1)
+    k = jnp.concatenate([k, k_new], axis=2)
+    v = jnp.concatenate([v, v_new], axis=2)
+    cols = jnp.arange(maxp * PS)[None, :]
+    dstart = (pp * PS)[:, None]
+    hist = (cols < plen[:, None]) | (
+        (cols >= dstart) & (cols < dstart + dcount[:, None])
+    )                                                   # (B, maxp*PS)
+    fresh = (
+        jnp.arange(T)[None, :, None] >= jnp.arange(T)[None, None, :]
+    )                                                   # (1, T, T) causal
+    mask = jnp.concatenate(
+        [
+            jnp.broadcast_to(hist[:, None, :], (B, T, maxp * PS)),
+            jnp.broadcast_to(fresh, (B, T, T)),
+        ],
+        axis=2,
+    )
+    return sdpa(q, k, v, mask=mask[:, None, :, :], scale=scale)
+
+
+def test_decode_attention_paged_verify_matches_oracle():
+    """Speculative verify kernel (T = 4 positions) vs the gather oracle:
+    shuffled pages, heterogeneous prompt lengths and decode depths."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_paged import (
+        decode_attention_paged_verify,
+    )
+
+    L, B, hq, hkv, D, PS, T = 2, 3, 16, 8, 128, 256, 4
+    n_pages, maxp = 16, 4
+    rng = jax.random.PRNGKey(21)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, T, D), jnp.float32)
+    kall = jax.random.normal(
+        jax.random.fold_in(rng, 1), (L, n_pages, hkv, PS, D), jnp.float32
+    )
+    vall = jax.random.normal(
+        jax.random.fold_in(rng, 2), (L, n_pages, hkv, PS, D), jnp.float32
+    )
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, T, D), jnp.float32)
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, T, D), jnp.float32)
+    table = jnp.asarray(
+        [[7, 2, 11, 0], [5, 9, 1, 14], [3, 0, 0, 0]], jnp.int32
+    )
+    plen = jnp.asarray([300, 256, 120], jnp.int32)
+    dcount = jnp.asarray([37, 300, 0], jnp.int32)
+
+    out = decode_attention_paged_verify(
+        q, kall, vall, k_new, v_new, jnp.int32(1), table, plen, dcount,
+        interpret=True,
+    )
+    ref = paged_verify_oracle(
+        q.astype(jnp.bfloat16).astype(jnp.float32),
+        kall.astype(jnp.bfloat16).astype(jnp.float32),
+        vall.astype(jnp.bfloat16).astype(jnp.float32),
+        k_new.astype(jnp.bfloat16).astype(jnp.float32),
+        v_new.astype(jnp.bfloat16).astype(jnp.float32),
+        1, table, plen, dcount,
+    )
+    assert out.shape == (B, hq, T, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+
+
+def test_decode_attention_paged_verify_t1_equals_step():
+    """With T = 1 the verify entry reduces to the single-token step."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_paged import (
+        decode_attention_paged,
+        decode_attention_paged_verify,
+    )
+
+    L, B, hq, hkv, D, PS = 1, 2, 4, 2, 128, 256
+    n_pages = 8
+    rng = jax.random.PRNGKey(5)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (B, hq, D), jnp.float32)
+    kall = jax.random.normal(
+        jax.random.fold_in(rng, 1), (L, n_pages, hkv, PS, D), jnp.float32
+    )
+    vall = jax.random.normal(
+        jax.random.fold_in(rng, 2), (L, n_pages, hkv, PS, D), jnp.float32
+    )
+    k_new = jax.random.normal(jax.random.fold_in(rng, 3), (B, hkv, 1, D), jnp.float32)
+    v_new = jax.random.normal(jax.random.fold_in(rng, 4), (B, hkv, 1, D), jnp.float32)
+    table = jnp.asarray([[4, 6, 0], [1, 2, 5]], jnp.int32)
+    plen = jnp.asarray([200, 256], jnp.int32)
+    dcount = jnp.asarray([100, 40], jnp.int32)
+
+    a = decode_attention_paged(
+        q, kall, vall, k_new, v_new, jnp.int32(0), table, plen, dcount,
+        interpret=True,
+    )
+    b = decode_attention_paged_verify(
+        q[:, :, None, :], kall, vall, k_new, v_new, jnp.int32(0), table,
+        plen, dcount, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b[:, :, 0, :]), atol=1e-6)
+
+
 def test_decode_attention_hbm5_matches_oracle():
     """v6 lane-grouped kernel vs oracle: heterogeneous prompt lengths and
     per-sequence decode depths inside one DMA group."""

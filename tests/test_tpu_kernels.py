@@ -136,6 +136,55 @@ def test_paged_kernel_on_tpu():
     assert np.isfinite(out).all()
 
 
+def test_paged_verify_kernel_on_tpu():
+    """Speculative verify variant of the paged kernel (T = 4 positions in
+    one page walk) vs the gather oracle on real hardware, bf16 and int8
+    pools."""
+    from qwen3_asr_tpu.ops.pallas.decode_attention_paged import (
+        decode_attention_paged_verify,
+        decode_attention_paged_verify_q8,
+    )
+    from qwen3_asr_tpu.ops.quant_kv import dequantize_kv, quantize_kv
+    from tests.test_pallas import paged_verify_oracle
+
+    L, B, hq, hkv, D, PS, T = 2, 3, 16, 8, 128, 256, 4
+    n_pages = 16
+    rng = np.random.default_rng(13)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    q = mk(B, hq, T, D)
+    kall, vall = mk(L, n_pages, hkv, PS, D), mk(L, n_pages, hkv, PS, D)
+    k_new, v_new = mk(B, hkv, T, D), mk(B, hkv, T, D)
+    table = jnp.asarray([[7, 2, 11, 0], [5, 9, 1, 14], [3, 0, 0, 0]], jnp.int32)
+    plen = jnp.asarray([300, 256, 120], jnp.int32)
+    dcount = jnp.asarray([37, 300, 0], jnp.int32)
+
+    out = np.asarray(decode_attention_paged_verify(
+        q, kall, vall, k_new, v_new, jnp.int32(1), table, plen, dcount
+    ))
+    ref = np.asarray(paged_verify_oracle(
+        q.astype(jnp.bfloat16).astype(jnp.float32),
+        kall.astype(jnp.bfloat16).astype(jnp.float32),
+        vall.astype(jnp.bfloat16).astype(jnp.float32),
+        k_new.astype(jnp.bfloat16).astype(jnp.float32),
+        v_new.astype(jnp.bfloat16).astype(jnp.float32),
+        1, table, plen, dcount,
+    ))
+    assert out.shape == (B, hq, T, D)
+    assert np.max(np.abs(out - ref)) < 0.05
+    assert np.isfinite(out).all()
+
+    kq, vq = quantize_kv(kall), quantize_kv(vall)
+    out8 = decode_attention_paged_verify_q8(
+        q, kq, vq, k_new, v_new, jnp.int32(1), table, plen, dcount
+    )
+    ref8 = decode_attention_paged_verify(
+        q, dequantize_kv(kq, jnp.float32), dequantize_kv(vq, jnp.float32),
+        k_new, v_new, jnp.int32(1), table, plen, dcount
+    )
+    d = np.abs(np.asarray(out8) - np.asarray(ref8)).max()
+    assert d < 5e-3, d
+
+
 def test_kv_write_rows_batch_and_paged_on_tpu():
     from qwen3_asr_tpu.ops.pallas.kv_write import (
         kv_write_rows_batch,

@@ -103,7 +103,8 @@ def main() -> int:
     )
     ap.add_argument(
         "--spec", choices=("auto", "on", "off"), default="auto",
-        help="engine speculative verify chunks (flat bf16 greedy only; "
+        help="engine speculative verify chunks (all-greedy chunks; flat "
+        "engines need bf16 KV, paged engines take bf16 and int8 pools; "
         "zero-init weights emit a constant stream, so acceptance — and "
         "the win — reads at its UPPER bound here)",
     )
