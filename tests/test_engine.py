@@ -245,6 +245,58 @@ def test_paged_engine_oversubscribed_pool(model):
         assert text == r.text, f"clip {i}: oversubscribed paged != direct"
 
 
+def test_paged_engine_spec_oversubscribed_pool(model, monkeypatch):
+    """Spec verify chunks under pool pressure: planning k_steps x
+    (gamma+1) decode pages makes pausing MORE aggressive, but every
+    request still completes with the plain-path tokens (pages recycle
+    through retirement; tentative overflow rows land on trash page 0)."""
+    from qwen3_asr_tpu.runtime.engine import DecodeEngine, SlotRequest
+
+    monkeypatch.setattr(model._generator.runtime, "spec_engine", "on")
+    clips = [sine(1.0, 300.0 + 30 * i) for i in range(4)]
+    monkeypatch.setattr(model._generator.runtime, "spec_engine", "off")
+    direct = [model.transcribe(c, max_tokens=6) for c in clips]
+    monkeypatch.setattr(model._generator.runtime, "spec_engine", "on")
+
+    gen = model._generator
+    engine = DecodeEngine(
+        gen, prompt_bucket=256, token_bucket=128, n_slots=4,
+        chunk_steps=8, paged=True, page_size=256, n_pages=4,
+    )
+    pending = list(range(len(clips)))
+    results = {}
+    deferred: list[SlotRequest] = []
+    for _ in range(200):
+        if pending or deferred:
+            reqs = deferred
+            deferred = []
+            if pending:
+                i = pending.pop(0)
+                kv, logits, prompts = model.prefill_group(
+                    [clips[i]], ["English"]
+                )
+                reqs = reqs + [
+                    SlotRequest(
+                        samples=clips[i], prompt=prompts[0], max_new=6, meta=i
+                    )
+                ]
+            if reqs:
+                kv2, lg2, pr2 = model.prefill_group(
+                    [r.samples for r in reqs], ["English"] * len(reqs)
+                )
+                deferred = engine.admit(kv2, lg2, engine.free_slots(), reqs)
+        engine.step()
+        for req, toks in engine.retire():
+            results[req.meta] = toks
+        if len(results) == len(clips) and not pending and not deferred:
+            break
+    assert len(results) == len(clips)
+    assert engine.stats.spec_chunks > 0
+    for i, r in enumerate(direct):
+        text = model._finalize_output(results[i], "English")[0]
+        assert text == r.text, f"clip {i}: spec oversubscribed != direct"
+
+
 def test_paged_continuous_server_mid_decode(model):
     direct_short = model.transcribe(sine(0.5, 330.0), max_tokens=4)
     with ContinuousTranscriptionServer(
