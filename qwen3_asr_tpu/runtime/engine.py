@@ -91,8 +91,10 @@ class EngineStats:
     steps: int = 0
     mid_decode_admissions: int = 0
     occupancy_sum: float = 0.0
-    # Speculative chunk accounting: lane-steps = verify forwards summed
-    # over active lanes; lane-tokens = tokens those lanes emitted.  Their
+    # Speculative chunk accounting: lane-steps = verify forwards a lane
+    # actually paid (counted ON DEVICE while the lane was live and not
+    # done — scan-shaped chunks pad with no-op iterations that must not
+    # dilute the ratio); lane-tokens = tokens those lanes emitted.  Their
     # ratio is the measured tokens-per-forward (1.0 = nothing accepted,
     # gamma + 1 = every draft accepted).
     spec_chunks: int = 0
@@ -352,8 +354,18 @@ class DecodeEngine:
             gamma, ngram_n = spec
             T = gamma + 1
 
+            def spec_cond(state):
+                done, step = state[4], state[8]
+                return jnp.any(live & ~done) & (step < k_steps)
+
             def spec_body(state):
-                keys, values, tokens, counts, done, cur, rngs, step = state
+                (keys, values, tokens, counts, done, cur, rngs, fwd,
+                 step) = state
+                # Honest per-lane verify-forward count: a lane pays a
+                # forward only while it is live and not yet done (the
+                # scan shape still runs post-done no-op iterations, but
+                # they must not dilute tokens-per-forward).
+                fwd = fwd + (live & ~done)
                 draft, dvalid = ngram_draft(
                     tokens, counts, n=ngram_n, gamma=gamma
                 )
@@ -392,15 +404,18 @@ class DecodeEngine:
                             emit & ~newly_done
                             & dvalid[:, t] & (out_t == draft[:, t])
                         )
-                return keys, values, tokens, counts, done, cur, rngs, step + 1
+                return (keys, values, tokens, counts, done, cur, rngs, fwd,
+                        step + 1)
 
-            keys, values, tokens, counts, done, cur, rngs = (
+            keys, values, tokens, counts, done, cur, rngs, fwd = (
                 self._run_chunk_loop(
-                    cond, spec_body,
-                    (keys, values, tokens, counts, done, cur, rngs), k_steps,
+                    spec_cond, spec_body,
+                    (keys, values, tokens, counts, done, cur, rngs,
+                     jnp.zeros((B,), jnp.int32)),
+                    k_steps,
                 )
             )
-            status = jnp.stack([counts, done.astype(jnp.int32)])
+            status = jnp.stack([counts, done.astype(jnp.int32), fwd])
             return keys, values, tokens, counts, done, cur, rngs, status
 
         def body(state):
@@ -611,8 +626,17 @@ class DecodeEngine:
             gamma, ngram_n = spec
             T = gamma + 1
 
+            def spec_cond(state):
+                done, step = state[4], state[8]
+                return jnp.any(live & ~done) & (step < k_steps)
+
             def spec_body(state):
-                keys, values, tokens, counts, done, cur, rngs, step = state
+                (keys, values, tokens, counts, done, cur, rngs, fwd,
+                 step) = state
+                # Honest per-lane verify-forward count (see the flat spec
+                # body): post-done no-op iterations must not dilute
+                # tokens-per-forward.
+                fwd = fwd + (live & ~done)
                 draft, dvalid = ngram_draft(
                     tokens, counts, n=ngram_n, gamma=gamma
                 )
@@ -655,12 +679,15 @@ class DecodeEngine:
                             emit & ~newly_done
                             & dvalid[:, t] & (out_t == draft[:, t])
                         )
-                return keys, values, tokens, counts, done, cur, rngs, step + 1
+                return (keys, values, tokens, counts, done, cur, rngs, fwd,
+                        step + 1)
 
-            keys, values, tokens, counts, done, cur, rngs = (
+            keys, values, tokens, counts, done, cur, rngs, fwd = (
                 self._run_chunk_loop(
-                    cond, spec_body,
-                    (keys, values, tokens, counts, done, cur, rngs), k_steps,
+                    spec_cond, spec_body,
+                    (keys, values, tokens, counts, done, cur, rngs,
+                     jnp.zeros((B,), jnp.int32)),
+                    k_steps,
                 )
             )
             if B < self.n_slots:
@@ -669,7 +696,8 @@ class DecodeEngine:
                 done = f_done.at[:B].set(done)
                 cur = f_cur.at[:B].set(cur)
                 rngs = f_rngs.at[:B].set(rngs)
-            status = jnp.stack([counts, done.astype(jnp.int32)])
+                fwd = jnp.zeros((self.n_slots,), jnp.int32).at[:B].set(fwd)
+            status = jnp.stack([counts, done.astype(jnp.int32), fwd])
             return keys, values, tokens, counts, done, cur, rngs, status
 
         def body(state):
@@ -1086,7 +1114,10 @@ class DecodeEngine:
         self.stats.steps += int((self._counts - counts_before).max(initial=0))
         if spec is not None:
             self.stats.spec_chunks += 1
-            self.stats.spec_lane_steps += k * int(active_before.sum())
+            # st[2] is the spec bodies' per-lane verify-forward counter:
+            # iterations a lane was live and not done — the honest
+            # denominator (the scan shape pads with no-op iterations).
+            self.stats.spec_lane_steps += int(st[2].sum())
             self.stats.spec_lane_tokens += int(
                 (self._counts - counts_before)[active_before].sum()
             )

@@ -474,7 +474,13 @@ def test_engine_spec_chunks_match_plain(model, monkeypatch):
     spec_r, spec_stats = run("on")
     plain_r, plain_stats = run("off")
     assert spec_stats.spec_chunks > 0 and plain_stats.spec_chunks == 0
-    assert spec_stats.spec_tokens_per_forward >= 0.5  # counters moved
+    # Device-side forward counter: every lane pays >= 1 forward per
+    # emitted token at worst, <= gamma+1 accepted per forward at best —
+    # and the looping tiny model accepts SOME drafts, so the honest
+    # ratio sits strictly above 1 (the old chunk-padded denominator
+    # diluted this to ~tokens/(k * chunks)).
+    rt = model._generator.runtime
+    assert 1.0 < spec_stats.spec_tokens_per_forward <= rt.spec_gamma + 1
     assert spec_r.keys() == plain_r.keys()
     for k in spec_r:
         assert spec_r[k] == plain_r[k], f"clip {k}: spec != plain"
