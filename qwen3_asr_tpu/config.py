@@ -255,18 +255,26 @@ class RuntimeConfig:
     # (runtime/engine.py): all-greedy chunks run one ngram-draft +
     # multi-token verify per iteration instead of one token, so serving
     # inherits the draft win while admission/retirement still happen at
-    # chunk boundaries.  Flat bf16 KV only (the paged step kernel and
-    # the int8 cache have no multi-token verify path).
+    # chunk boundaries.  Flat engines need bf16 KV (XLA verify split);
+    # paged engines take bf16 AND int8 pools via the paged verify
+    # kernel, whose T x group query rows ride the sublane pad a
+    # single-token step wastes — the verify pass costs one step's page
+    # walk regardless of width.
     #   "auto" (default) — spec chunks when the engine was built with
-    #     n_slots <= ``spec_engine_max_slots`` (weight-stream-bound
-    #     widths; at wider slots decode turns attention-bound and the
-    #     extra verify positions cost real time).  Measured at B=8 on
-    #     v5e: spec wins even near the zero-acceptance floor (4.36 vs
-    #     5.28 ms/token, tokens/forward 1.25 — tools/spec_bench.py
-    #     --batch 8), so 8 is a safe default ceiling.
-    #   "on" — every all-greedy flat-bf16 chunk.  "off" — never.
+    #     n_slots <= ``spec_engine_max_slots`` (flat: weight-stream-
+    #     bound widths; at wider slots the XLA verify re-reads the whole
+    #     cache and the extra positions cost real time) or
+    #     <= ``spec_engine_max_slots_paged`` (paged: the kernel makes
+    #     verify ~free, so the ceiling is where the 4x dense FLOPs turn
+    #     compute-bound).  Measured on v5e: flat B=8 wins even near the
+    #     zero-acceptance floor (4.36 vs 5.28 ms/token,
+    #     tools/spec_bench.py --batch 8); paged n_slots=16 wins 1.90x
+    #     on the mixed serving workload (90.4 -> 172.1 RTFx at
+    #     tokens/forward 3.22 — docs/PERFORMANCE.md round-4 A/B).
+    #   "on" — every all-greedy chunk.  "off" — never.
     spec_engine: str = "auto"
     spec_engine_max_slots: int = 8
+    spec_engine_max_slots_paged: int = 32
     # Fuse Q|K|V and gate|up projections into single matmuls (pure
     # re-layout, identical math).  Auto-disabled under tensor parallelism
     # (fused column order misaligns with head sharding).

@@ -1013,9 +1013,12 @@ class DecodeEngine:
         must be bf16 KV (the flat verify path's span writer has no int8
         variant), paged engines take bf16 AND int8 pools (per-row writers
         re-quantize) but need the T x group verify rows to fit the
-        kernel's QPAD sublane pad; and — under "auto" — an engine narrow
-        enough to be weight-stream bound (n_slots <=
-        spec_engine_max_slots)."""
+        kernel's QPAD sublane pad; and — under "auto" — an engine within
+        its mode's measured-profitable width (flat: n_slots <=
+        spec_engine_max_slots, where the XLA verify split stays
+        weight-stream bound; paged: <= spec_engine_max_slots_paged, a
+        higher ceiling because the verify kernel rides the sublane pad —
+        1.90x measured at n_slots=16, docs/PERFORMANCE.md)."""
         if not greedy:
             return None
         rt = self.gen.runtime
@@ -1025,12 +1028,13 @@ class DecodeEngine:
             )
             if (rt.spec_gamma + 1) * group > 8:   # kernel QPAD
                 return None
+            limit = getattr(rt, "spec_engine_max_slots_paged", 32)
         elif self.kv_dtype == "int8":
             return None
+        else:
+            limit = rt.spec_engine_max_slots
         mode = getattr(rt, "spec_engine", "off")
-        if mode == "on" or (
-            mode == "auto" and self.n_slots <= rt.spec_engine_max_slots
-        ):
+        if mode == "on" or (mode == "auto" and self.n_slots <= limit):
             return (rt.spec_gamma, rt.spec_ngram)
         return None
 

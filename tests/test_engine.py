@@ -630,6 +630,16 @@ def test_engine_spec_gating(model, monkeypatch):
     monkeypatch.setattr(rt, "spec_gamma", 9)            # QPAD overflow
     assert paged._plan_chunk_spec(True) is None
     monkeypatch.setattr(rt, "spec_gamma", 3)
+    # Paged "auto" uses its own (higher) width ceiling: the verify
+    # kernel rides the sublane pad, so widths the flat XLA verify
+    # declines stay profitable (measured 1.90x at n_slots=16).
+    monkeypatch.setattr(rt, "spec_engine", "auto")
+    paged16 = model.make_engine(
+        n_slots=16, max_duration=4.0, max_new_tokens=64, paged=True
+    )
+    assert paged16._plan_chunk_spec(True) == (rt.spec_gamma, rt.spec_ngram)
+    monkeypatch.setattr(rt, "spec_engine_max_slots_paged", 8)
+    assert paged16._plan_chunk_spec(True) is None
 
     monkeypatch.setattr(rt, "kv_cache_dtype", "int8")
     eng8 = model.make_engine(n_slots=4, max_duration=4.0, max_new_tokens=64)
