@@ -28,6 +28,13 @@ shapes/dtypes, so the cache entries are identical.
 
 Usage: python tools/seed_compile_cache.py [--cache DIR] [--model PATH]
            [--durations 30 ...] [--batch-sizes 1 ...] [--max-tokens 128 ...]
+           [--serve-slots N [--serve-flat]]
+
+``--serve-slots N`` additionally seeds a continuous server's engine
+programs (prefill groups at every admission size, admit/first-token,
+and the scan-shaped chunk bodies including spec verify) — scan chunks
+serialize into the cache, so a warmed server image restarts in seconds
+instead of paying one backend compile per chunk program.
 """
 
 from __future__ import annotations
@@ -57,6 +64,17 @@ def main() -> None:
         "--steady", action="store_true",
         help="also wait for the background while-program compiles "
         "(steady-state programs; adds the backend's slow compile rounds)",
+    )
+    ap.add_argument(
+        "--serve-slots", type=int, default=0,
+        help="also seed a continuous server's engine programs at this "
+        "slot count (prefill groups, admit, scan-shaped chunk bodies "
+        "incl. spec verify — scan chunks DO serialize into the cache, "
+        "unlike while programs)",
+    )
+    ap.add_argument(
+        "--serve-flat", action="store_true",
+        help="seed a flat-KV engine instead of the default paged one",
     )
     args = ap.parse_args()
 
@@ -101,6 +119,30 @@ def main() -> None:
         f"[seed] programs compiled + serialized in "
         f"{time.perf_counter() - t0:.1f}s", flush=True,
     )
+
+    if args.serve_slots:
+        from qwen3_asr_tpu.serving.server import (
+            ContinuousTranscriptionServer,
+        )
+
+        t0 = time.perf_counter()
+        print(
+            f"[seed] serving engine: n_slots={args.serve_slots} "
+            f"paged={not args.serve_flat}", flush=True,
+        )
+        with ContinuousTranscriptionServer(
+            model,
+            n_slots=args.serve_slots,
+            max_duration=max(args.durations),
+            paged=not args.serve_flat,
+            warm=tuple(args.durations),
+        ):
+            pass
+        print(
+            f"[seed] engine programs compiled + serialized in "
+            f"{time.perf_counter() - t0:.1f}s", flush=True,
+        )
+
     n = sum(len(fs) for _, _, fs in os.walk(args.cache))
     print(f"[seed] cache entries: {n} — ship {args.cache}", flush=True)
 
