@@ -244,13 +244,17 @@ class RuntimeConfig:
     #   "auto" (default) — ngram for greedy requests with batch <=
     #     ``spec_auto_max_batch``, plain loop otherwise (at large batch
     #     decode is attention/FLOP-bound and verify positions cost real
-    #     time).
+    #     time).  The ceiling is measurement-backed: the round-4
+    #     random-init sweep (tools/spec_bench.py, near-floor acceptance
+    #     1.06-1.25 tok/forward) has spec FASTER at every batch tried —
+    #     4.78→4.51 ms/tok at B=2, 4.71→3.70 at B=4, 5.19→4.15 at B=8 —
+    #     so auto covers B <= 8; beyond that is unmeasured.
     #   "ngram" — always (greedy requests; sampled requests take the
     #     standard loop either way).  "off" — never.
     speculative: str = "auto"
     spec_gamma: int = 3
     spec_ngram: int = 2
-    spec_auto_max_batch: int = 1
+    spec_auto_max_batch: int = 8
     # Speculative verify chunks in the continuous engine
     # (runtime/engine.py): all-greedy chunks run one ngram-draft +
     # multi-token verify per iteration instead of one token, so serving

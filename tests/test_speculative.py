@@ -332,16 +332,20 @@ def test_spec_composes_with_int8_weights():
 
 
 def test_spec_auto_default_gates_on_batch():
-    """speculative="auto" (the default): B=1 greedy routes speculative,
+    """speculative="auto" (the default): greedy requests up to the
+    measured-profitable batch ceiling (8 — spec wins even near the
+    zero-acceptance floor, tools/spec_bench.py sweep) route speculative;
     larger batches and sampled requests take the plain loop."""
     params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
     gen = Generator(params, TINY, RuntimeConfig(), eos_ids=frozenset({500}))
     assert gen.runtime.speculative == "auto"
     assert gen._plan_spec("greedy", 1) == (3, 2)
-    assert gen._plan_spec("greedy", 2) is None
+    assert gen._plan_spec("greedy", 8) == (3, 2)
+    assert gen._plan_spec("greedy", 9) is None
     assert gen._plan_spec("sample", 1) is None
     gen.runtime.spec_auto_max_batch = 4
     assert gen._plan_spec("greedy", 4) == (3, 2)
+    assert gen._plan_spec("greedy", 5) is None
     gen.runtime.speculative = "ngram"
     assert gen._plan_spec("greedy", 64) == (3, 2)
     gen.runtime.speculative = "off"
