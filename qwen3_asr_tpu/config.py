@@ -251,9 +251,14 @@ class RuntimeConfig:
     #     so auto covers B <= 8; beyond that is unmeasured.
     #   "ngram" — always (greedy requests; sampled requests take the
     #     standard loop either way).  "off" — never.
+    # ``spec_ngram`` is the HIGHEST draft order: the lookup tries
+    # n-grams from this order down to 2, longest context first
+    # (prompt-lookup convention; each extra order is one more static
+    # equality sweep — noise next to the verify forward).  Identity is
+    # unaffected either way; draft order only moves acceptance.
     speculative: str = "auto"
     spec_gamma: int = 3
-    spec_ngram: int = 2
+    spec_ngram: int = 3
     spec_auto_max_batch: int = 8
     # Speculative verify chunks in the continuous engine
     # (runtime/engine.py): all-greedy chunks run one ngram-draft +

@@ -14,9 +14,17 @@ token is nearly-free throughput.
 TPU-first shape discipline: the lookup runs INSIDE the compiled decode
 loop (a host round-trip per step would cost a ~26 ms tunnel RPC — more
 than the step itself), entirely as static-shaped vector ops over the
-``(B, token_bucket)`` token buffer: ``n`` shifted equality sweeps, a
+``(B, token_bucket)`` token buffer: shifted equality sweeps, a
 masked-max to pick the most recent match, and ``gamma`` clipped gathers.
 No sorting, no dynamic shapes, no data-dependent control flow.
+
+The draft is MULTI-ORDER (prompt-lookup convention): orders
+``n, n-1, ..., 2`` are tried highest-first per lane, because a longer
+context match predicts its continuation with higher precision.  Each
+extra order costs one more static equality sweep over the token buffer —
+vector ops, noise next to the verify forward.  Greedy exactness never
+depends on draft quality: the verifier accepts a draft token only when
+it equals the model's own argmax.
 """
 
 from __future__ import annotations
@@ -25,32 +33,16 @@ import jax
 import jax.numpy as jnp
 
 
-def ngram_draft(
-    tokens: jax.Array,   # (B, token_bucket) int32 generated-token buffer
-    counts: jax.Array,   # (B,) int32 — tokens[:counts] are emitted
-    n: int = 2,
-    gamma: int = 3,
+def _order_draft(
+    tokens: jax.Array,   # (B, token_bucket) int32
+    counts: jax.Array,   # (B,) int32
+    n: int,
+    gamma: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Propose ``gamma`` draft tokens per sequence by n-gram lookup.
-
-    Finds the most recent position ``j < counts - n`` where the last
-    ``n`` emitted tokens (``tokens[counts - n : counts]``) previously
-    occurred (``tokens[j : j + n]``), and proposes the tokens that
-    followed that occurrence.  Returns ``(draft, valid)``:
-
-    * ``draft`` — ``(B, gamma)`` int32 proposals (unspecified where
-      ``valid`` is False);
-    * ``valid`` — ``(B, gamma)`` bool; ``valid[b, i]`` means the
-      proposal is a real continuation (match found, and the continuation
-      token ``tokens[j + n + i]`` was itself already emitted).  Invalid
-      positions must be auto-rejected by the verifier.
-
-    Greedy-exactness does not depend on draft quality: the verifier
-    accepts a draft token only when it equals the model's own argmax, so
-    a bad (or absent) draft costs only wasted verify positions.
-    """
+    """Single-order lookup: the most recent prior occurrence of the last
+    ``n`` emitted tokens; returns ``(draft (B, gamma), valid (B, gamma))``
+    with ``valid[:, 0] == (a match exists)``."""
     B, tb = tokens.shape
-    counts = counts.astype(jnp.int32)
     idx = jnp.arange(tb, dtype=jnp.int32)
 
     # match[b, j] = tokens[b, j : j + n] == tokens[b, counts - n : counts]
@@ -86,3 +78,37 @@ def ngram_draft(
     valid = found[:, None] & (src <= (counts[:, None] - 1))
     draft = jnp.take_along_axis(tokens, jnp.clip(src, 0, tb - 1), axis=1)
     return draft.astype(jnp.int32), valid
+
+
+def ngram_draft(
+    tokens: jax.Array,   # (B, token_bucket) int32 generated-token buffer
+    counts: jax.Array,   # (B,) int32 — tokens[:counts] are emitted
+    n: int = 2,
+    gamma: int = 3,
+) -> tuple[jax.Array, jax.Array]:
+    """Propose ``gamma`` draft tokens per sequence by n-gram lookup.
+
+    ``n`` is the HIGHEST order tried: per lane, the draft comes from the
+    most recent prior occurrence of the longest matching context among
+    orders ``n, n-1, ..., 2`` (orders below 2 are never used — a
+    unigram match is noise).  Returns ``(draft, valid)``:
+
+    * ``draft`` — ``(B, gamma)`` int32 proposals (unspecified where
+      ``valid`` is False);
+    * ``valid`` — ``(B, gamma)`` bool; ``valid[b, i]`` means the
+      proposal is a real continuation (match found at some order, and
+      the continuation token was itself already emitted).  Invalid
+      positions must be auto-rejected by the verifier.
+
+    Greedy-exactness does not depend on draft quality: the verifier
+    accepts a draft token only when it equals the model's own argmax, so
+    a bad (or absent) draft costs only wasted verify positions.
+    """
+    counts = counts.astype(jnp.int32)
+    draft, valid = _order_draft(tokens, counts, n, gamma)
+    for order in range(n - 1, 1, -1):
+        d_lo, v_lo = _order_draft(tokens, counts, order, gamma)
+        keep_hi = valid[:, :1]          # a higher-order match exists
+        draft = jnp.where(keep_hi, draft, d_lo)
+        valid = jnp.where(keep_hi, valid, v_lo)
+    return draft, valid

@@ -69,6 +69,29 @@ def test_ngram_draft_partial_validity():
     assert not v2.any()
 
 
+def test_ngram_draft_multi_order_prefers_longer_context():
+    """n=3 tries the trigram first: its match wins over the (different,
+    more recent) bigram continuation."""
+    hist = [1, 2, 3, 7, 9, 2, 3, 8, 1, 2, 3]
+    # trigram tail (1,2,3) matched at j=0 -> continuation 7,9,2;
+    # bigram tail (2,3) most recently at j=5 -> continuation 8,1,2.
+    d, v = _draft(hist, count=11, n=3)
+    assert v.tolist() == [True, True, True]
+    assert d.tolist() == [7, 9, 2]
+    # Single-order n=2 on the same stream picks the bigram continuation.
+    d2, v2 = _draft(hist, count=11, n=2)
+    assert v2.tolist() == [True, True, True]
+    assert d2.tolist() == [8, 1, 2]
+
+
+def test_ngram_draft_multi_order_falls_back():
+    """No trigram match: order 2 serves the draft."""
+    hist = [5, 6, 7, 0, 5, 6]
+    d, v = _draft(hist, count=6, n=3)
+    assert v.tolist() == [True, True, True]
+    assert d.tolist() == [7, 0, 5]
+
+
 def test_verify_split_matches_sequential_steps():
     """decoder_forward with T=4 + decode_ctx (the verify pass) must equal
     four sequential T=1 decode steps feeding the same tokens — same
@@ -339,15 +362,15 @@ def test_spec_auto_default_gates_on_batch():
     params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
     gen = Generator(params, TINY, RuntimeConfig(), eos_ids=frozenset({500}))
     assert gen.runtime.speculative == "auto"
-    assert gen._plan_spec("greedy", 1) == (3, 2)
-    assert gen._plan_spec("greedy", 8) == (3, 2)
+    assert gen._plan_spec("greedy", 1) == (3, 3)
+    assert gen._plan_spec("greedy", 8) == (3, 3)
     assert gen._plan_spec("greedy", 9) is None
     assert gen._plan_spec("sample", 1) is None
     gen.runtime.spec_auto_max_batch = 4
-    assert gen._plan_spec("greedy", 4) == (3, 2)
+    assert gen._plan_spec("greedy", 4) == (3, 3)
     assert gen._plan_spec("greedy", 5) is None
     gen.runtime.speculative = "ngram"
-    assert gen._plan_spec("greedy", 64) == (3, 2)
+    assert gen._plan_spec("greedy", 64) == (3, 3)
     gen.runtime.speculative = "off"
     assert gen._plan_spec("greedy", 1) is None
 

@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--steps", type=int, default=192)
     ap.add_argument("--gamma", type=int, default=3)
     ap.add_argument(
+        "--ngram", type=int, default=None,
+        help="highest draft order (default: RuntimeConfig.spec_ngram; "
+        "orders fall back to 2 — set 2 to A/B the single-order draft)",
+    )
+    ap.add_argument(
         "--init", choices=("random", "zero"), default="random",
         help="zero-init makes every argmax identical, so every draft "
         "accepts — the full-acceptance UPPER BOUND; random-init barely "
@@ -81,8 +86,10 @@ def main():
     lo = max(8, steps // 4)
 
     for spec in ("off", "ngram"):
+        rt_kw = {} if args.ngram is None else {"spec_ngram": args.ngram}
         rt = RuntimeConfig(
-            speculative=spec, spec_gamma=args.gamma, quantization=args.quant
+            speculative=spec, spec_gamma=args.gamma, quantization=args.quant,
+            **rt_kw,
         )
         gen = Generator(params, cfg, rt)
         iters = {"n": 0}
