@@ -830,7 +830,14 @@ class Qwen3ASR:
             )
         token_lists = token_lists[:n_real]
         stats.n_generated_tokens = sum(len(t) for t in token_lists)
-        stats.n_spec_forwards = getattr(gen, "last_spec_forwards", 0)
+        # Lane-forwards, not loop iterations: the while program runs the
+        # whole batch in lockstep, so every iteration physically computes
+        # one verify row per lane — without the x n_real the batched
+        # ratio would read up to B x (gamma+1), breaking the documented
+        # gamma+1 ceiling (spec_auto_max_batch now covers B <= 8).
+        stats.n_spec_forwards = (
+            getattr(gen, "last_spec_forwards", 0) * n_real
+        )
         logger.debug("transcribe stats (batch=%d): %s", B, stats.as_dict())
         return token_lists, stats
 

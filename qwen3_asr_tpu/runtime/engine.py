@@ -65,6 +65,44 @@ from ..ops.sampling import (
 )
 
 
+def _spec_accept_chain(
+    logits, draft, dvalid, tokens, counts, done, cur, live,
+    recent_window, rep_pen, max_new, token_bucket, is_eos, gamma,
+):
+    """Shared greedy accept chain for spec verify chunks (flat AND paged
+    bodies; the Generator's _spec_machinery mirrors the same logic with
+    scalar penalty closures).
+
+    Emits 1..gamma+1 tokens per live lane: position ``t``'s argmax is
+    used only when every earlier draft token matched the argmax at its
+    own position, with the penalty window recomputed after each accepted
+    token — so the emitted stream is exactly the sequential greedy
+    stream.  Returns updated (tokens, counts, done, cur)."""
+    B = tokens.shape[0]
+    chain = live & ~done
+    for t in range(gamma + 1):
+        win = recent_window(tokens, counts)
+        pen = jax.vmap(apply_repetition_penalty)(
+            logits[:, t].astype(jnp.float32), win, rep_pen
+        )
+        out_t = jnp.argmax(pen, axis=-1).astype(jnp.int32)
+        emit = chain
+        slot = jnp.clip(counts, 0, token_bucket - 1)
+        keep = jnp.take_along_axis(tokens, slot[:, None], axis=1)[:, 0]
+        tokens = tokens.at[jnp.arange(B), slot].set(
+            jnp.where(emit, out_t, keep)
+        )
+        counts = counts + emit
+        newly_done = emit & (is_eos(out_t) | (counts >= max_new))
+        done = done | newly_done
+        cur = jnp.where(emit & ~done, out_t, cur)
+        if t < gamma:
+            chain = (
+                emit & ~newly_done & dvalid[:, t] & (out_t == draft[:, t])
+            )
+    return tokens, counts, done, cur
+
+
 @dataclass
 class SlotRequest:
     """One admitted clip's bookkeeping (host side)."""
@@ -380,30 +418,11 @@ class DecodeEngine:
                 )
                 logits = decoder_logits(params, cfg, hidden)  # (B, T, V)
 
-                chain = live & ~done
-                for t in range(T):
-                    win = recent_window(tokens, counts)
-                    pen = jax.vmap(apply_repetition_penalty)(
-                        logits[:, t].astype(jnp.float32), win, rep_pen
-                    )
-                    out_t = jnp.argmax(pen, axis=-1).astype(jnp.int32)
-                    emit = chain
-                    slot = jnp.clip(counts, 0, token_bucket - 1)
-                    keep = jnp.take_along_axis(
-                        tokens, slot[:, None], axis=1
-                    )[:, 0]
-                    tokens = tokens.at[jnp.arange(B), slot].set(
-                        jnp.where(emit, out_t, keep)
-                    )
-                    counts = counts + emit
-                    newly_done = emit & (is_eos(out_t) | (counts >= max_new))
-                    done = done | newly_done
-                    cur = jnp.where(emit & ~done, out_t, cur)
-                    if t < gamma:
-                        chain = (
-                            emit & ~newly_done
-                            & dvalid[:, t] & (out_t == draft[:, t])
-                        )
+                tokens, counts, done, cur = _spec_accept_chain(
+                    logits, draft, dvalid, tokens, counts, done, cur,
+                    live, recent_window, rep_pen, max_new, token_bucket,
+                    is_eos, gamma,
+                )
                 return (keys, values, tokens, counts, done, cur, rngs, fwd,
                         step + 1)
 
@@ -645,8 +664,21 @@ class DecodeEngine:
                 wrow = (
                     jnp.maximum(counts - 1, 0)[:, None] + jnp.arange(T)[None]
                 )                                                     # (B,T)
-                idx = jnp.clip(pp[:, None] + wrow // PS, 0, maxp - 1)
-                pages = table[jnp.arange(B)[:, None], idx]
+                raw = pp[:, None] + wrow // PS                        # (B,T)
+                pages = table[
+                    jnp.arange(B)[:, None], jnp.clip(raw, 0, maxp - 1)
+                ]
+                # Tentative rows whose page index walks OFF the table must
+                # go to the reserved trash page 0 explicitly: clipping the
+                # index would redirect them onto the slot's LAST entry —
+                # a real allocated page when the table is exactly full —
+                # overwriting accepted decode history at offset wrow % PS
+                # and breaking token identity for budgets that end on a
+                # page boundary.  (In-table rows past the allocation
+                # already resolve to 0 via zero table entries; rows past
+                # max_new but inside the table write garbage only at
+                # offsets no read ever covers, since dcount < max_new.)
+                pages = jnp.where(raw >= maxp, 0, pages)
                 offs = wrow % PS
                 embeds = embed_tokens(params, ids)
                 hidden, (keys, values) = decoder_paged_verify(
@@ -655,30 +687,11 @@ class DecodeEngine:
                 )
                 logits = decoder_logits(params, cfg, hidden)  # (B, T, V)
 
-                chain = live & ~done
-                for t in range(T):
-                    win = recent_window(tokens, counts)
-                    pen = jax.vmap(apply_repetition_penalty)(
-                        logits[:, t].astype(jnp.float32), win, rep_pen
-                    )
-                    out_t = jnp.argmax(pen, axis=-1).astype(jnp.int32)
-                    emit = chain
-                    slot = jnp.clip(counts, 0, token_bucket - 1)
-                    keep = jnp.take_along_axis(
-                        tokens, slot[:, None], axis=1
-                    )[:, 0]
-                    tokens = tokens.at[jnp.arange(B), slot].set(
-                        jnp.where(emit, out_t, keep)
-                    )
-                    counts = counts + emit
-                    newly_done = emit & (is_eos(out_t) | (counts >= max_new))
-                    done = done | newly_done
-                    cur = jnp.where(emit & ~done, out_t, cur)
-                    if t < gamma:
-                        chain = (
-                            emit & ~newly_done
-                            & dvalid[:, t] & (out_t == draft[:, t])
-                        )
+                tokens, counts, done, cur = _spec_accept_chain(
+                    logits, draft, dvalid, tokens, counts, done, cur,
+                    live, recent_window, rep_pen, max_new, token_bucket,
+                    is_eos, gamma,
+                )
                 return (keys, values, tokens, counts, done, cur, rngs, fwd,
                         step + 1)
 
@@ -947,13 +960,19 @@ class DecodeEngine:
         self.stats.admitted += bg
         return rejected
 
-    def _ensure_decode_pages(self, k: int) -> np.ndarray:
-        """Lazily grow each live slot's decode pages to cover this chunk.
+    def _ensure_decode_pages(
+        self, k: int, allow_force_finish: bool = True
+    ) -> np.ndarray:
+        """Lazily grow each live slot's decode pages to cover ``k`` more
+        tokens this chunk.
 
         Returns the runnable mask.  A slot that cannot get enough pages is
         PAUSED (keeps its state; resumes when retirements free pages).  If
         nothing can run and nothing is retirable, the deepest sequence is
-        force-finished (truncated, logged) so the pool always drains.
+        force-finished (truncated, logged) so the pool always drains —
+        unless ``allow_force_finish`` is False (used for the provisional
+        spec-sized planning pass, whose failure downgrades the chunk to
+        plain instead of truncating anything).
         """
         from ..utils.telemetry import logger
 
@@ -973,7 +992,7 @@ class DecodeEngine:
                 self._ctl_dirty = True
             self._paused[s] = paused
         runnable = self._live & ~self._done & ~self._paused
-        if not runnable.any() and len(want) and not (
+        if allow_force_finish and not runnable.any() and len(want) and not (
             self._live & self._done
         ).any():
             deepest = want[np.argmax(self._counts[want])]
@@ -1023,10 +1042,12 @@ class DecodeEngine:
             return None
         rt = self.gen.runtime
         if self.paged:
+            from ..ops.pallas.decode_attention_paged import _QPAD
+
             group = (
                 self.cfg.num_attention_heads // self.cfg.num_key_value_heads
             )
-            if (rt.spec_gamma + 1) * group > 8:   # kernel QPAD
+            if (rt.spec_gamma + 1) * group > _QPAD:
                 return None
             limit = getattr(rt, "spec_engine_max_slots_paged", 32)
         elif self.kv_dtype == "int8":
@@ -1046,15 +1067,23 @@ class DecodeEngine:
         k = k_steps or self.chunk_steps
         if self.paged:
             # Spec chunks advance up to gamma+1 tokens per iteration, so
-            # page planning must cover the full potential emission (the
-            # plan is computed on the pre-chunk greedy mask; a slot
-            # force-finished inside _ensure_decode_pages only widens the
-            # planned program, never starves a live one of pages).
+            # page planning must cover the full potential emission.  The
+            # spec-sized pass is PROVISIONAL (no force-finish): if the
+            # bigger demand pauses any slot a plain chunk could run, the
+            # chunk downgrades to plain-sized planning instead of
+            # pausing — or worse, truncating — work the smaller demand
+            # satisfies.
             pre_mask = self._live & ~self._done
             pre_greedy = bool((self._temp[pre_mask] == 0).all())
             pre_spec = self._plan_chunk_spec(pre_greedy)
-            k_tokens = k * (pre_spec[0] + 1) if pre_spec else k
-            runnable = self._ensure_decode_pages(k_tokens)
+            if pre_spec is not None:
+                runnable = self._ensure_decode_pages(
+                    k * (pre_spec[0] + 1), allow_force_finish=False
+                )
+                if self._paused.any():
+                    pre_spec = None
+            if pre_spec is None:
+                runnable = self._ensure_decode_pages(k)
             if not runnable.any():
                 return
         if self._ctl_dirty:

@@ -1191,11 +1191,12 @@ class Generator:
             )
             counts_host = np.asarray(counts)
             self.last_spec_forwards = int(iters)
+            B_spec = counts_host.shape[0]
             logger.debug(
-                "speculative decode: %d tokens in %d verify forwards "
-                "(%.2f tokens/forward)",
-                int(counts_host.sum()), int(iters),
-                float(counts_host.sum()) / max(int(iters), 1),
+                "speculative decode: %d tokens in %d verify iterations "
+                "x %d lanes (%.2f tokens/lane-forward)",
+                int(counts_host.sum()), int(iters), B_spec,
+                float(counts_host.sum()) / max(int(iters) * B_spec, 1),
             )
             tokens_host = np.asarray(tokens)
             return [

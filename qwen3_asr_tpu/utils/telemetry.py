@@ -35,9 +35,14 @@ class RequestStats:
     audio_seconds: float = 0.0
     n_prompt_tokens: int = 0
     n_generated_tokens: int = 0
-    #: Verify forwards the speculative decode loop ran (0 = plain decode).
-    #: Same convention as EngineStats: tokens / forwards is the measured
-    #: tokens-per-forward (1.0 = nothing accepted, gamma+1 = ceiling).
+    #: Verify LANE-forwards the speculative decode loop ran (0 = plain
+    #: decode): loop iterations x real lanes — the while program runs the
+    #: batch in lockstep, so each iteration physically computes one
+    #: verify row per lane.  tokens / forwards is the measured
+    #: tokens-per-lane-forward (1.0-ish = little accepted, gamma+1 =
+    #: ceiling).  EngineStats counts live lane-forwards instead (its
+    #: scan chunks pad with no-op iterations); both respect the gamma+1
+    #: ceiling.
     n_spec_forwards: int = 0
     stages: dict[str, float] = field(default_factory=dict)
 

@@ -528,6 +528,93 @@ def test_paged_engine_spec_chunks_match_plain(model, monkeypatch, kv_dtype):
         assert spec_r[k] == plain_r[k], f"clip {k}: paged spec != plain"
 
 
+def test_paged_spec_tentative_rows_at_full_table(model, monkeypatch):
+    """Regression: with the page table exactly full (budget ending on a
+    page boundary: prompt_bucket=token_bucket=page_size, maxp=2),
+    tentative verify rows past the last page must land on the trash
+    page — clipping their page index redirected them onto the slot's
+    last REAL page, overwriting accepted decode history at wrow % PS
+    and diverging from plain greedy.  Garbage always-"valid" drafts
+    force rejections so the lane keeps attending the rows the overflow
+    writes would have corrupted."""
+    import qwen3_asr_tpu.ops.speculative as spec_mod
+    from qwen3_asr_tpu.runtime.engine import DecodeEngine, SlotRequest
+
+    real_draft = spec_mod.ngram_draft
+
+    def garbage_draft(tokens, counts, n=2, gamma=3):
+        d, v = real_draft(tokens, counts, n=n, gamma=gamma)
+        return jnp.full_like(d, 499), jnp.ones_like(v)
+
+    clip = sine(1.0, 440.0)
+
+    def run(mode, draft_fn):
+        monkeypatch.setattr(spec_mod, "ngram_draft", draft_fn)
+        monkeypatch.setattr(model._generator.runtime, "spec_engine", mode)
+        engine = DecodeEngine(
+            model._generator, prompt_bucket=256, token_bucket=256,
+            n_slots=2, chunk_steps=8, paged=True, page_size=256,
+        )
+        kv, logits, prompts = model.prefill_group([clip], ["English"])
+        engine.admit(
+            kv, logits, engine.free_slots()[:1],
+            [SlotRequest(samples=clip, prompt=prompts[0], max_new=256,
+                         meta=0)],
+        )
+        for _ in range(80):
+            engine.step()
+            got = engine.retire()
+            if got:
+                return got[0][1]
+        raise AssertionError("request did not finish")
+
+    plain = run("off", real_draft)
+    spec = run("on", garbage_draft)
+    assert len(plain) > 200  # the budget actually reached the boundary
+    assert spec == plain
+
+
+def test_paged_spec_downgrades_when_pool_tight(model, monkeypatch):
+    """Spec-sized page planning (k x (gamma+1) rows up-front) that would
+    strand EVERY slot must downgrade the chunk to plain-sized planning.
+    Scenario: one free decode page, two admitted slots each spec-planning
+    2 pages — the first slot's partial grab (1 of 2) plus the second's
+    empty grab left nothing runnable, so the old code force-finished the
+    deepest slot at ~1 token.  Plain-sized planning runs a full 128-row
+    chunk on the single page instead."""
+    from qwen3_asr_tpu.runtime.engine import DecodeEngine, SlotRequest
+
+    monkeypatch.setattr(model._generator.runtime, "spec_engine", "on")
+    clips = [sine(1.0, 440.0), sine(0.7, 330.0)]
+    engine = DecodeEngine(
+        model._generator, prompt_bucket=256, token_bucket=256,
+        n_slots=2, chunk_steps=128, paged=True, page_size=128,
+        n_pages=6,   # trash + 2x2 prompt pages + ONE decode page
+    )
+    kv, logits, prompts = model.prefill_group(clips, ["English"] * 2)
+    engine.admit(
+        kv, logits, engine.free_slots(),
+        [
+            SlotRequest(samples=c, prompt=p, max_new=256, meta=i)
+            for i, (c, p) in enumerate(zip(clips, prompts))
+        ],
+    )
+    results = {}
+    for _ in range(60):
+        engine.step()
+        for req, toks in engine.retire():
+            results[req.meta] = toks
+        if len(results) == 2:
+            break
+    assert len(results) == 2
+    # The pool cannot hold both requests' full budgets, so the deepest
+    # slot is eventually force-finished — but only AFTER plain-sized
+    # chunks let it emit a full page of tokens (the old spec-sized
+    # planning truncated it at ~1 token before any progress).
+    assert max(len(t) for t in results.values()) >= 128
+    assert min(len(t) for t in results.values()) >= 128
+
+
 def test_paged_engine_spec_width_bucketing(model, monkeypatch):
     """Spec verify chunks compose with paged width bucketing: after
     retirement compacts to a narrow prefix, the narrow spec program

@@ -132,8 +132,12 @@ def main() -> int:
     cap: dict = {}
 
     def pre_hook(mod, args, kwargs):
-        cap["h"] = (kwargs.get("hidden_states") or args[0]).detach().clone()
-        cap["cu"] = kwargs.get("cu_seqlens") if "cu_seqlens" in kwargs else args[1]
+        # Membership checks, not truthiness: `tensor or args[0]` raises on
+        # multi-element Tensors, and args may be empty when transformers
+        # passes everything by keyword.
+        h = kwargs["hidden_states"] if "hidden_states" in kwargs else args[0]
+        cap["h"] = h.detach().clone()
+        cap["cu"] = kwargs["cu_seqlens"] if "cu_seqlens" in kwargs else args[1]
 
     handle = hf_enc.layers[0].register_forward_pre_hook(pre_hook, with_kwargs=True)
     with torch.no_grad():
