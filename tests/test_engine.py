@@ -556,21 +556,42 @@ def test_paged_spec_tentative_rows_at_full_table(model, monkeypatch):
             n_slots=2, chunk_steps=8, paged=True, page_size=256,
         )
         kv, logits, prompts = model.prefill_group([clip], ["English"])
+        slot = engine.free_slots()[0]
         engine.admit(
-            kv, logits, engine.free_slots()[:1],
+            kv, logits, [slot],
             [SlotRequest(samples=clip, prompt=prompts[0], max_new=256,
                          meta=0)],
         )
+        # Run until well past decode row 0's one legitimate write but
+        # before the page-boundary chunks, snapshot that row, then run
+        # to completion: ONLY overflow writes could touch it again.
+        snap = None
+        dp_page = None
+        toks = None
         for _ in range(80):
             engine.step()
+            if snap is None and engine._counts[slot] >= 100:
+                dp_page = int(engine._page_table[slot, 1])
+                assert dp_page != 0
+                snap = np.asarray(
+                    engine._keys[:, dp_page, :, 0, :], np.float32
+                )
             got = engine.retire()
             if got:
-                return got[0][1]
-        raise AssertionError("request did not finish")
+                toks = got[0][1]
+                break
+        assert toks is not None, "request did not finish"
+        assert snap is not None, "never reached the snapshot depth"
+        after = np.asarray(engine._keys[:, dp_page, :, 0, :], np.float32)
+        return toks, snap, after
 
-    plain = run("off", real_draft)
-    spec = run("on", garbage_draft)
+    plain, _, _ = run("off", real_draft)
+    spec, snap, after = run("on", garbage_draft)
     assert len(plain) > 200  # the budget actually reached the boundary
+    # The physical invariant: overflow tentative rows never landed on
+    # the slot's real decode page (the old clip rewrote row 0 of the
+    # table's last entry with draft-token K/V).
+    np.testing.assert_array_equal(snap, after)
     assert spec == plain
 
 
