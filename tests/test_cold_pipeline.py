@@ -72,7 +72,7 @@ def test_cold_excluded_for_int8_included_for_speculative():
     # warm targets the spec while program (round-4 wiring).
     gen_spec = _model(speculative="ngram")._generator
     plan = gen_spec.cold_plan(1, 96, 32, 0.0, 0, 1.2, 100)
-    assert plan is not None and plan[0][-3:] == ("spec", 3, 2)
+    assert plan is not None and plan[0][-3:] == ("spec", 3, 3)
     gen = _model()._generator
     assert gen.cold_plan(1, 96, 32, 0.0, 0, 1.2, 100) is not None
     # Budget beyond the fixed-scan cap -> standard path.
