@@ -49,6 +49,31 @@ def build_parser() -> argparse.ArgumentParser:
         "a refreshed preview every REFRESH_SECONDS of audio (incremental "
         "decoder-prefix cache; token-identical to offline)",
     )
+    p.add_argument(
+        "--no-spec",
+        action="store_true",
+        help="disable speculative greedy decoding (default: auto at "
+        "batch <= 8; token-identical either way)",
+    )
+    p.add_argument(
+        "--int8-weights",
+        action="store_true",
+        help="int8 weight-only quantization (~2x decode at small batch; "
+        "small accuracy trade)",
+    )
+    p.add_argument(
+        "--int8-kv",
+        action="store_true",
+        help="int8 KV cache (halves KV memory/bandwidth; small accuracy "
+        "trade)",
+    )
+    p.add_argument(
+        "--compile-cache",
+        default=None,
+        metavar="DIR",
+        help="persistent XLA compile-cache directory "
+        "(see docs/SERVING.md cold-start kit)",
+    )
     return p
 
 
@@ -68,7 +93,24 @@ def main(argv: list[str] | None = None) -> int:
 
     from .api import Qwen3ASR
 
-    model = Qwen3ASR.from_pretrained(args.model)
+    rt_kw = {}
+    if args.no_spec:
+        rt_kw["speculative"] = "off"
+        rt_kw["spec_engine"] = "off"
+    if args.int8_weights:
+        rt_kw["quantization"] = "int8"
+    if args.int8_kv:
+        rt_kw["kv_cache_dtype"] = "int8"
+    if args.compile_cache:
+        rt_kw["compile_cache_dir"] = args.compile_cache
+    if rt_kw:
+        from .config import RuntimeConfig
+
+        model = Qwen3ASR.from_pretrained(
+            args.model, runtime=RuntimeConfig(**rt_kw)
+        )
+    else:
+        model = Qwen3ASR.from_pretrained(args.model)
     if args.warm_up:
         model.warm_up()
 

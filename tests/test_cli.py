@@ -29,6 +29,46 @@ def test_model_required():
         build_parser().parse_args(["a.wav"])
 
 
+def test_runtime_flags():
+    args = build_parser().parse_args(
+        ["a.wav", "--model", "/m", "--no-spec", "--int8-weights",
+         "--int8-kv", "--compile-cache", "/tmp/xc"]
+    )
+    assert args.no_spec and args.int8_weights and args.int8_kv
+    assert args.compile_cache == "/tmp/xc"
+
+
+def test_runtime_flags_reach_from_pretrained(monkeypatch):
+    """--no-spec / --int8-* / --compile-cache build the RuntimeConfig
+    passed to from_pretrained (and no runtime kwarg without them)."""
+    from qwen3_asr_tpu import cli
+    from qwen3_asr_tpu.api import Qwen3ASR
+
+    seen = {}
+
+    class Boom(Exception):
+        pass
+
+    def fake(cls, path, runtime=None, **kw):
+        seen["runtime"] = runtime
+        raise Boom  # stop before any model work
+
+    monkeypatch.setattr(Qwen3ASR, "from_pretrained", classmethod(fake))
+    with pytest.raises(Boom):
+        cli.main(
+            ["a.wav", "--model", "/m", "--no-spec", "--int8-kv",
+             "--compile-cache", "/tmp/xc"]
+        )
+    rt = seen["runtime"]
+    assert rt.speculative == "off" and rt.spec_engine == "off"
+    assert rt.kv_cache_dtype == "int8"
+    assert rt.compile_cache_dir == "/tmp/xc"
+
+    with pytest.raises(Boom):
+        cli.main(["a.wav", "--model", "/m"])
+    assert seen["runtime"] is None
+
+
 def test_stream_flag():
     args = build_parser().parse_args(
         ["a.wav", "--model", "/m", "--stream", "30"]
