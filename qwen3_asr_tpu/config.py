@@ -278,8 +278,10 @@ class RuntimeConfig:
     #     compute-bound).  Measured on v5e: flat B=8 wins even near the
     #     zero-acceptance floor (4.36 vs 5.28 ms/token,
     #     tools/spec_bench.py --batch 8); paged n_slots=16 wins 1.90x
-    #     on the mixed serving workload (90.4 -> 172.1 RTFx at
-    #     tokens/forward 3.22 — docs/PERFORMANCE.md round-4 A/B).
+    #     and n_slots=32 (the ceiling itself) still wins 1.43x on the
+    #     mixed serving workload (docs/PERFORMANCE.md round-4 A/B
+    #     table) — the multiplier shrinks with width as the 4x dense
+    #     rows per verify approach compute-bound.
     #   "on" — every all-greedy chunk.  "off" — never.
     spec_engine: str = "auto"
     spec_engine_max_slots: int = 8
