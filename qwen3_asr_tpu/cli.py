@@ -68,6 +68,21 @@ def build_parser() -> argparse.ArgumentParser:
         "trade)",
     )
     p.add_argument(
+        "--int8-act",
+        action="store_true",
+        help="with --int8-weights: also quantize prefill activations "
+        "(W8A8 — the int8 MXU runs prefill dense ~2x faster; small "
+        "extra accuracy trade)",
+    )
+    p.add_argument(
+        "--spec-sampling",
+        action="store_true",
+        help="speculative decoding for sampled (temperature > 0) "
+        "requests via rejection-sampling verification — exact sampling "
+        "distribution, but per-seed streams differ from the plain "
+        "sampler",
+    )
+    p.add_argument(
         "--compile-cache",
         default=None,
         metavar="DIR",
@@ -101,6 +116,13 @@ def main(argv: list[str] | None = None) -> int:
         rt_kw["quantization"] = "int8"
     if args.int8_kv:
         rt_kw["kv_cache_dtype"] = "int8"
+    if args.int8_act:
+        if not args.int8_weights:
+            print("--int8-act requires --int8-weights", file=sys.stderr)
+            return 2
+        rt_kw["act_quant"] = "int8"
+    if args.spec_sampling:
+        rt_kw["spec_sampling"] = True
     if args.compile_cache:
         rt_kw["compile_cache_dir"] = args.compile_cache
     if rt_kw:

@@ -222,6 +222,20 @@ class RuntimeConfig:
     # or "int8" (weight-only, ~2x decode HBM traffic reduction; opt-in
     # accuracy trade — see ops/quant.py).
     quantization: str = "none"
+    # Activation quantization for the PREFILL-side decoder matmuls
+    # (requires quantization="int8"): "none" (default — weight-only
+    # dequant, the dot runs at the bf16 MXU rate) or "int8" (dynamic
+    # per-token absmax activation quant + int8 x int8 -> int32 MXU dot).
+    # The v5e MXU runs int8 dots at 2x bf16 (tools/int8_mxu_probe.py:
+    # 1.67-2.04x measured at the prefill shapes), and prefill dense is
+    # MXU-bound (docs/PERFORMANCE.md round-4 xprof), so this is the one
+    # lever that moves prefill.  Only matmuls with
+    # >= ``act_quant_min_rows`` flattened rows take the int8 dot —
+    # single-token decode steps (M = batch) stay weight-only, where the
+    # HBM stream, not the MXU, is the bound.  Opt-in accuracy trade on
+    # top of int8 weights (adds per-token activation rounding error).
+    act_quant: str = "none"
+    act_quant_min_rows: int = 256
     # KV-cache storage dtype for the batched decode loop: "bf16"
     # (default; bit-exact reference semantics) or "int8" (per-row absmax
     # quantization, ops/quant_kv.py — halves the dominant decode-time
@@ -260,6 +274,19 @@ class RuntimeConfig:
     spec_gamma: int = 3
     spec_ngram: int = 3
     spec_auto_max_batch: int = 8
+    # Speculative SAMPLING (temperature > 0): verify the n-gram draft by
+    # rejection sampling (ops/sampling.py:spec_verify_sample) — accept a
+    # drafted token with probability p(draft) under the full sampling
+    # transform, else draw from the residual distribution.  Every
+    # emitted token is an EXACT draw from the plain sampler's
+    # distribution (penalty / temperature / top-k / top-p honored), but
+    # the RNG stream is consumed differently, so a fixed seed yields a
+    # different (equally valid) sample than speculative="off" — which is
+    # why this is opt-in rather than folded into "auto": the default
+    # keeps sampled decoding bit-reproducible against the plain path.
+    # Gating batch limits are shared with greedy spec (``speculative`` /
+    # ``spec_auto_max_batch``).
+    spec_sampling: bool = False
     # Speculative verify chunks in the continuous engine
     # (runtime/engine.py): all-greedy chunks run one ngram-draft +
     # multi-token verify per iteration instead of one token, so serving

@@ -14,6 +14,8 @@ reference.  No reference counterpart (SURVEY.md: bf16-only).
 from __future__ import annotations
 
 import functools
+from contextlib import contextmanager
+from contextvars import ContextVar
 from typing import Any
 
 import jax
@@ -22,6 +24,45 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QuantizedWeight = dict[str, jax.Array]   # {"q": int8 (in, out), "s": f32 (out,)}
+
+#: When set (an int), qlinear calls staged inside an :func:`act_quant_rows`
+#: context whose flattened row count is >= this value ALSO quantize the
+#: activations to int8 and run an int8 x int8 -> int32 MXU dot (W8A8).
+#: The v5e MXU runs int8 dots at 2x the bf16 rate (tools/int8_mxu_probe.py:
+#: 1.67-2.04x measured at the prefill shapes, ~354 TOPS = 90% of the 394
+#: peak), so this halves the MXU-bound prefill dense time; weight-only
+#: dequant (the default) runs the dot in bf16 and only saves HBM traffic.
+#: Row-gated so the bandwidth-bound single-token decode (M = batch) keeps
+#: the weight-only lowering, where activation quantization would only add
+#: overhead.
+_ACT_QUANT_MIN_ROWS: ContextVar[int | None] = ContextVar(
+    "act_quant_min_rows", default=None
+)
+
+
+@contextmanager
+def act_quant_rows(min_rows: int | None):
+    """Enable dynamic int8 activation quantization for qlinear calls
+    traced inside this context with >= ``min_rows`` flattened rows.
+
+    Trace-time scoped (a ``with`` around the jitted impl body): the flag
+    decides which ops are staged into the compiled program, so it has no
+    runtime cost and cannot leak across programs traced outside the
+    context.  ``None`` disables (identical to no context)."""
+    tok = _ACT_QUANT_MIN_ROWS.set(min_rows)
+    try:
+        yield
+    finally:
+        _ACT_QUANT_MIN_ROWS.reset(tok)
+
+
+def quantize_activations(x2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int8: (M, K) -> (int8 (M, K), f32 scales (M,))."""
+    xf = x2.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def quantize_weight(w: jax.Array) -> QuantizedWeight:
@@ -129,6 +170,21 @@ def qlinear(x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
     N = w["q"].shape[1]
+    min_rows = _ACT_QUANT_MIN_ROWS.get()
+    if min_rows is not None and x2.shape[0] >= min_rows:
+        # W8A8: dynamic per-row activation quant + int8 MXU dot.  The
+        # quantize itself is one bandwidth pass over x (bf16 read, int8
+        # write) — negligible next to the 2x dot-rate win at prefill
+        # row counts.
+        xq, sx = quantize_activations(x2)
+        acc = jax.lax.dot_general(
+            xq, w["q"], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (
+            acc.astype(jnp.float32) * sx[:, None] * w["s"][None, :]
+        ).astype(out_dtype)
+        return y.reshape(*lead, N)
     if (
         jax.default_backend() == "tpu"
         and QLINEAR_IMPL == "pallas"

@@ -154,3 +154,86 @@ def sample_logits(
         return idx[choice].astype(jnp.int32)
 
     return jax.lax.cond(temperature == 0.0, greedy, stochastic, None)
+
+
+def spec_verify_sample(
+    rng: jax.Array,
+    logits: jax.Array,
+    draft_id: jax.Array,
+    temperature: jax.Array | float,
+    top_k: jax.Array | int,
+    top_p: jax.Array | float,
+    repetition_penalty: jax.Array | float,
+    recent_tokens: jax.Array,
+    k_subset: int = TOP_K_SUBSET,
+) -> tuple[jax.Array, jax.Array]:
+    """One speculative-SAMPLING verify position against a point-mass
+    (deterministic n-gram) draft.  Returns ``(accept: bool, token: int32)``.
+
+    Standard rejection-sampling recovery (speculative decoding,
+    Leviathan et al. 2022 / Chen et al. 2023) specialised to a
+    deterministic proposal q = one-hot(draft): accept the draft with
+    probability p(draft) under the FULL sampling transform — repetition
+    penalty -> temperature -> top-k (ties kept) -> top-p (exclusive
+    cumsum) -> renormalise, i.e. exactly the distribution
+    :func:`sample_logits` draws from — and on rejection draw from the
+    residual max(p - q, 0)/Z, which for a one-hot q is p with the
+    draft's mass removed and renormalised.  The emitted token is an
+    exact draw from p (the classic telescoping argument:
+    P[emit = x] = p(d)·1[x=d] + (1 - p(d))·p(x)(1 - 1[x=d])/(1 - p(d))
+    = p(x)).  The guarantee is per-token DISTRIBUTION identity with the
+    plain sampler, not per-seed stream identity — the RNG is consumed
+    differently (one accept draw + one categorical per position).
+
+    ``draft_id < 0`` means "no proposal" (invalid draft slot, or the
+    bonus position after the last draft): no vocab index matches, so
+    p(draft) = 0, ``accept`` is False and the draw falls through to the
+    full filtered distribution — a plain sample.
+    """
+    logits = logits.astype(jnp.float32)
+    logits = apply_repetition_penalty(logits, recent_tokens, repetition_penalty)
+    temperature = jnp.asarray(temperature, dtype=jnp.float32)
+    draft_id = jnp.asarray(draft_id, jnp.int32)
+
+    def greedy(_):
+        tok = jnp.argmax(logits).astype(jnp.int32)
+        return tok == draft_id, tok
+
+    def stochastic(_):
+        scaled = logits / jnp.maximum(temperature, 1e-6)
+        k_sub = min(k_subset, scaled.shape[-1])
+        vals, idx = jax.lax.top_k(scaled, k_sub)       # descending
+
+        k = jnp.asarray(top_k, jnp.int32)
+        kth = jax.lax.dynamic_index_in_dim(
+            vals, jnp.clip(k - 1, 0, k_sub - 1), keepdims=False
+        )
+        keep_k = jnp.where(k > 0, vals >= kth, True)
+
+        denom = jax.scipy.special.logsumexp(scaled)
+        probs = jnp.exp(vals - denom)
+        exclusive = jnp.cumsum(probs) - probs
+        p = jnp.asarray(top_p, jnp.float32)
+        keep_p = jnp.where(p < 1.0, exclusive < p, True)
+
+        masked = jnp.where(keep_k & keep_p, vals, -jnp.inf)
+        norm = jax.scipy.special.logsumexp(masked)
+        is_draft = idx == draft_id
+        draft_val = jnp.max(jnp.where(is_draft, masked, -jnp.inf))
+        p_draft = jnp.exp(draft_val - norm)            # 0 if filtered/absent
+        r_u, r_draw = jax.random.split(rng)
+        accept = jax.random.uniform(r_u) < p_draft
+        residual = jnp.where(is_draft, -jnp.inf, masked)
+        residual_ok = jnp.any(residual > -jnp.inf)
+        choice = jax.random.categorical(
+            r_draw, jnp.where(residual_ok, residual, masked)
+        )
+        alt = idx[choice].astype(jnp.int32)
+        # Degenerate residual — the draft holds ALL surviving mass (e.g.
+        # top_k == 1 hitting the draft): rejection can only be a float
+        # rounding artifact of p_draft ~ 1; keep the draft and count it
+        # accepted so the chain semantics stay exact.
+        token = jnp.where(accept | ~residual_ok, draft_id, alt)
+        return accept | ~residual_ok, token
+
+    return jax.lax.cond(temperature == 0.0, greedy, stochastic, None)

@@ -101,11 +101,14 @@ class Generator:
                 tuple(range(1, 8)) if donate else ()
             ),
         )
-        # Speculative greedy decode (RuntimeConfig.speculative="ngram").
+        # Speculative decode (RuntimeConfig.speculative; greedy argmax
+        # verification by default, rejection-sampling verification for
+        # sampled requests when RuntimeConfig.spec_sampling is on).
         self._spec_decode = jax.jit(
             self._spec_decode_impl,
             static_argnames=(
-                "token_bucket", "rep_window", "gamma", "ngram_n"
+                "token_bucket", "mode", "rep_window", "k_subset",
+                "gamma", "ngram_n",
             ),
             donate_argnums=donate,
         )
@@ -119,16 +122,16 @@ class Generator:
         self._spec_start = jax.jit(
             self._spec_start_impl,
             static_argnames=(
-                "token_bucket", "rep_window", "gamma", "ngram_n",
-                "bridge_steps",
+                "token_bucket", "mode", "rep_window", "k_subset",
+                "gamma", "ngram_n", "bridge_steps",
             ),
             donate_argnums=donate,
         )
         self._spec_resume = jax.jit(
             self._spec_resume_impl,
             static_argnames=(
-                "token_bucket", "rep_window", "gamma", "ngram_n",
-                "bridge_steps",
+                "token_bucket", "mode", "rep_window", "k_subset",
+                "gamma", "ngram_n", "bridge_steps",
             ),
             donate_argnums=(
                 tuple(range(1, 8)) if donate else ()
@@ -176,15 +179,34 @@ class Generator:
 
     def _advance_impl(self, params, kv, embeds, positions, write_slot, last_index):
         B = embeds.shape[0]
-        hidden, kv = decoder_forward(
-            params, self.cfg, embeds, positions, kv,
-            write_slots=jnp.broadcast_to(write_slot, (B,)),
-            uniform_write=True,
-            attn_impl="cache",
-        )
-        last = hidden[jnp.arange(B), last_index]
-        logits = decoder_logits(params, self.cfg, last[:, None, :])[:, 0]
+        with self._act_quant_ctx():
+            hidden, kv = decoder_forward(
+                params, self.cfg, embeds, positions, kv,
+                write_slots=jnp.broadcast_to(write_slot, (B,)),
+                uniform_write=True,
+                attn_impl="cache",
+            )
+            last = hidden[jnp.arange(B), last_index]
+            logits = decoder_logits(params, self.cfg, last[:, None, :])[:, 0]
         return kv, logits
+
+    def _act_quant_ctx(self):
+        """Trace-time context enabling W8A8 prefill matmuls.
+
+        Active only when BOTH ``quantization="int8"`` (weights are already
+        int8) and ``act_quant="int8"`` are set; the row gate inside
+        qlinear keeps single-token decode on the weight-only path.  See
+        RuntimeConfig.act_quant / ops/quant.py."""
+        import contextlib
+
+        from ..ops.quant import act_quant_rows
+
+        if (
+            self.runtime.act_quant == "int8"
+            and self.runtime.quantization == "int8"
+        ):
+            return act_quant_rows(self.runtime.act_quant_min_rows)
+        return contextlib.nullcontext()
 
     def embed_ids(self, ids):
         """Embedded token ids (B, T, H) — tiny compiled helper for the
@@ -219,7 +241,8 @@ class Generator:
 
         kv = init_kv_cache(cfg, B, cache_len, embeds.dtype)
         positions = slot
-        hidden, kv = decoder_forward(params, cfg, embeds, positions, kv)
+        with self._act_quant_ctx():
+            hidden, kv = decoder_forward(params, cfg, embeds, positions, kv)
         last = hidden[jnp.arange(B), prompt_len - 1]
         logits = decoder_logits(params, cfg, last[:, None, :])[:, 0]
         return kv, logits
@@ -388,22 +411,33 @@ class Generator:
     # -- speculative greedy decode ----------------------------------------
 
     def _spec_machinery(
-        self, params, B, S, prompt_len, max_new, repetition_penalty,
-        repetition_context, token_bucket, rep_window, gamma, ngram_n,
+        self, params, B, S, prompt_len, max_new, temperature, top_k,
+        top_p, repetition_penalty, repetition_context, token_bucket,
+        mode, rep_window, k_subset, gamma, ngram_n,
     ):
-        """body/cond for the speculative loop (greedy only).
+        """body/cond for the speculative loop (greedy or sampled).
 
         Each iteration: n-gram draft lookup -> ONE verify forward over
         ``gamma + 1`` positions (the decoder's verify-split path) -> a
-        static accept chain that emits 1..gamma+1 tokens.  Token-identity
-        with plain greedy holds by construction: position ``t``'s argmax
-        is used only when every earlier draft token matched the argmax at
-        its own position, so the emitted stream is exactly the sequential
-        greedy stream (repetition penalty included — the penalty window
-        is recomputed after every accepted token, matching the reference
-        order /root/reference/src/qwen3_asr_mlx/generate.py:289-315).
+        static accept chain that emits 1..gamma+1 tokens.
+
+        ``mode == "greedy"``: token-identity with plain greedy holds by
+        construction — position ``t``'s argmax is used only when every
+        earlier draft token matched the argmax at its own position, so
+        the emitted stream is exactly the sequential greedy stream
+        (repetition penalty included — the penalty window is recomputed
+        after every accepted token, matching the reference order
+        /root/reference/src/qwen3_asr_mlx/generate.py:289-315).
+
+        ``mode == "sample"``: rejection-sampling verification
+        (ops/sampling.py:spec_verify_sample) — each emitted token is an
+        exact draw from the plain sampler's distribution (penalty /
+        temperature / top-k / top-p all honored); the chain survives a
+        position only when the draft was ACCEPTED there.  Guarantee is
+        per-token distribution identity, not per-seed stream identity
+        (see RuntimeConfig.spec_sampling).
         """
-        from ..ops.sampling import apply_repetition_penalty
+        from ..ops.sampling import apply_repetition_penalty, spec_verify_sample
         from ..ops.speculative import ngram_draft
 
         cfg = self.cfg
@@ -439,21 +473,44 @@ class Generator:
             )
             logits = decoder_logits(params, cfg, hidden)           # (B,T,V)
 
+            if mode == "sample":
+                # Per-(iteration, position, lane) keys, assigned before
+                # any outcome is known — the draw at position t is
+                # independent of the accept pattern, as the rejection-
+                # sampling correctness argument requires.
+                rng, sub = jax.random.split(rng)
+                pos_keys = jax.random.split(sub, T * B).reshape(T, B, -1)
+
             # Static accept chain.  ``chain`` marks lanes still emitting at
             # this verify position; it survives position t only when the
-            # draft token fed at t+1 equals this position's argmax (and the
-            # lane neither finished nor exhausted its budget).  Draft rows
+            # draft token fed at t+1 equals this position's argmax (greedy)
+            # / was accepted by the rejection sampler (sample) — and the
+            # lane neither finished nor exhausted its budget.  Draft rows
             # written for rejected positions sit past the lane's new write
             # slot and are overwritten before they can be attended.
             chain = ~done
             for t in range(T):
                 win = recent_window(tokens, counts)
-                pen = jax.vmap(
-                    lambda l, r: apply_repetition_penalty(
-                        l, r, repetition_penalty
+                if mode == "greedy":
+                    pen = jax.vmap(
+                        lambda l, r: apply_repetition_penalty(
+                            l, r, repetition_penalty
+                        )
+                    )(logits[:, t].astype(jnp.float32), win)
+                    out_t = jnp.argmax(pen, axis=-1).astype(jnp.int32)
+                    acc_t = None
+                else:
+                    d_t = (
+                        jnp.where(dvalid[:, t], draft[:, t], -1)
+                        if t < gamma
+                        else jnp.full((B,), -1, jnp.int32)
                     )
-                )(logits[:, t].astype(jnp.float32), win)
-                out_t = jnp.argmax(pen, axis=-1).astype(jnp.int32)
+                    acc_t, out_t = jax.vmap(
+                        lambda k, l, r, d: spec_verify_sample(
+                            k, l, d, temperature, top_k, top_p,
+                            repetition_penalty, r, k_subset=k_subset,
+                        )
+                    )(pos_keys[t], logits[:, t].astype(jnp.float32), win, d_t)
                 emit = chain
                 slot = jnp.clip(counts, 0, token_bucket - 1)
                 keep = jnp.take_along_axis(
@@ -467,33 +524,39 @@ class Generator:
                 done = done | newly_done
                 cur = jnp.where(emit & ~done, out_t, cur)
                 if t < gamma:
-                    chain = (
-                        emit & ~newly_done
-                        & dvalid[:, t] & (out_t == draft[:, t])
-                    )
+                    if mode == "greedy":
+                        chain = (
+                            emit & ~newly_done
+                            & dvalid[:, t] & (out_t == draft[:, t])
+                        )
+                    else:
+                        chain = emit & ~newly_done & acc_t
             return kv, tokens, counts, done, cur, rng, step + 1
 
         return body, cond
 
     def _spec_decode_impl(
         self, params, kv, first_logits, prompt_len, max_new, seed,
-        repetition_penalty, repetition_context,
-        token_bucket, rep_window=REP_WINDOW, gamma=3, ngram_n=2,
+        temperature, top_k, top_p, repetition_penalty, repetition_context,
+        token_bucket, mode="greedy", rep_window=REP_WINDOW, k_subset=1024,
+        gamma=3, ngram_n=2,
     ):
-        """Speculative greedy decode: one compiled while_loop whose body
-        verifies ``gamma`` drafted tokens per model forward.  Returns
+        """Speculative decode: one compiled while_loop whose body verifies
+        ``gamma`` drafted tokens per model forward (greedy argmax check or
+        rejection sampling per the static ``mode``).  Returns
         ``(tokens, counts, iterations, kv)`` — iterations / counts give
         the measured acceptance rate."""
         state, _, _ = self._decode_setup(
             params, kv, first_logits, prompt_len, max_new, seed,
-            jnp.float32(0.0), jnp.int32(0), jnp.float32(1.0),
+            temperature, top_k, top_p,
             repetition_penalty, repetition_context, token_bucket,
-            "greedy", rep_window, 1024,
+            mode, rep_window, k_subset,
         )
         body, cond = self._spec_machinery(
             params, first_logits.shape[0], kv_seq_len(kv[0]), prompt_len,
-            max_new, repetition_penalty, repetition_context, token_bucket,
-            rep_window, gamma, ngram_n,
+            max_new, temperature, top_k, top_p, repetition_penalty,
+            repetition_context, token_bucket, mode, rep_window, k_subset,
+            gamma, ngram_n,
         )
         kv, tokens, counts, done, cur, rng, step = jax.lax.while_loop(
             cond, body, state
@@ -502,9 +565,9 @@ class Generator:
 
     def _spec_start_impl(
         self, params, kv, first_logits, prompt_len, max_new, seed,
-        repetition_penalty, repetition_context,
-        token_bucket, rep_window=REP_WINDOW, gamma=3, ngram_n=2,
-        bridge_steps=16,
+        temperature, top_k, top_p, repetition_penalty, repetition_context,
+        token_bucket, mode="greedy", rep_window=REP_WINDOW, k_subset=1024,
+        gamma=3, ngram_n=2, bridge_steps=16,
     ):
         """First token + ``bridge_steps`` fixed speculative iterations.
 
@@ -513,17 +576,21 @@ class Generator:
         all-False, every token/count write is emit-masked, and the kv
         rows rewritten at the frozen write slot recompute identically
         from the unchanged ``cur``/cache prefix), so the emitted stream
-        is exactly the while program's.  Returns the resumable state."""
+        is exactly the while program's.  (In sample mode the post-done
+        iterations still advance ``rng``, exactly as the while program
+        would not — but by then every lane is done, so no emission can
+        observe the difference.)  Returns the resumable state."""
         state, _, _ = self._decode_setup(
             params, kv, first_logits, prompt_len, max_new, seed,
-            jnp.float32(0.0), jnp.int32(0), jnp.float32(1.0),
+            temperature, top_k, top_p,
             repetition_penalty, repetition_context, token_bucket,
-            "greedy", rep_window, 1024,
+            mode, rep_window, k_subset,
         )
         body, _ = self._spec_machinery(
             params, first_logits.shape[0], kv_seq_len(kv[0]), prompt_len,
-            max_new, repetition_penalty, repetition_context, token_bucket,
-            rep_window, gamma, ngram_n,
+            max_new, temperature, top_k, top_p, repetition_penalty,
+            repetition_context, token_bucket, mode, rep_window, k_subset,
+            gamma, ngram_n,
         )
         state, _ = jax.lax.scan(
             lambda c, _: (body(c), None), state, None, length=bridge_steps
@@ -532,15 +599,17 @@ class Generator:
 
     def _spec_resume_impl(
         self, params, kv, tokens, counts, done, cur, rng, step,
-        prompt_len, max_new, repetition_penalty, repetition_context,
-        token_bucket, rep_window=REP_WINDOW, gamma=3, ngram_n=2,
-        bridge_steps=16,
+        prompt_len, max_new, temperature, top_k, top_p,
+        repetition_penalty, repetition_context,
+        token_bucket, mode="greedy", rep_window=REP_WINDOW, k_subset=1024,
+        gamma=3, ngram_n=2, bridge_steps=16,
     ):
         """``bridge_steps`` more speculative iterations from a state."""
         body, _ = self._spec_machinery(
             params, tokens.shape[0], kv_seq_len(kv[0]), prompt_len,
-            max_new, repetition_penalty, repetition_context, token_bucket,
-            rep_window, gamma, ngram_n,
+            max_new, temperature, top_k, top_p, repetition_penalty,
+            repetition_context, token_bucket, mode, rep_window, k_subset,
+            gamma, ngram_n,
         )
         state = (kv, tokens, counts, done, cur, rng, step)
         state, _ = jax.lax.scan(
@@ -627,8 +696,14 @@ class Generator:
         greedy requests at batch <= spec_auto_max_batch — measured
         near-free at B=1 (-5.4% at the zero-acceptance floor, +3.6x at
         the ceiling, tools/spec_bench.py) while large batches are
-        attention/FLOP-bound and keep the single-token loop."""
-        if mode != "greedy":
+        attention/FLOP-bound and keep the single-token loop.  Sampled
+        requests additionally require the opt-in
+        ``RuntimeConfig.spec_sampling`` (rejection-sampling verification
+        preserves the sampling distribution but consumes the RNG stream
+        differently from the plain sampler — see the config note)."""
+        if mode == "sample" and not self.runtime.spec_sampling:
+            return None
+        if mode not in ("greedy", "sample"):
             return None
         spec = self.runtime.speculative
         if spec == "ngram" or (
@@ -668,8 +743,9 @@ class Generator:
                         jnp.zeros((B, vocab), jnp.float32),
                         jnp.zeros((B,), jnp.int32),
                         jnp.ones((B,), jnp.int32),  # max_new=1: 0 trips
-                        jnp.uint32(0), jnp.float32(1.0), jnp.int32(0),
-                        statics[0], statics[2], spec[0], spec[1],
+                        jnp.uint32(0), jnp.float32(0.0), jnp.int32(0),
+                        jnp.float32(1.0), jnp.float32(1.0), jnp.int32(0),
+                        *statics, spec[0], spec[1],
                     )
                 else:
                     out = self._decode(
@@ -784,10 +860,10 @@ class Generator:
         leaves, treedef = jax.tree_util.tree_flatten(kv)
         kv_specs = ([(a.shape, a.dtype) for a in leaves], treedef)
         K = max(1, min(self.runtime.bridge_steps, token_bucket))
-        spec_statics = (token_bucket, statics[2], gamma, ngram_n)
+        spec_statics = (*statics, gamma, ngram_n)
         state = self._spec_start(
-            self.params, kv, first_logits, dyn[0], dyn[1], dyn[2],
-            dyn[6], dyn[7], *spec_statics, bridge_steps=K,
+            self.params, kv, first_logits, *dyn,
+            *spec_statics, bridge_steps=K,
         )
         done_host = np.asarray(state[3])       # sync: start compiled & ran
         chunks = 1
@@ -802,7 +878,8 @@ class Generator:
         max_chunks = -(-token_bucket // K)
         while chunks < max_chunks and not bool(done_host.all()):
             state = self._spec_resume(
-                self.params, *state, dyn[0], dyn[1], dyn[6], dyn[7],
+                self.params, *state, dyn[0], dyn[1], dyn[3], dyn[4],
+                dyn[5], dyn[6], dyn[7],
                 *spec_statics, bridge_steps=K,
             )
             chunks += 1
@@ -871,6 +948,14 @@ class Generator:
         # construction) but key — and background-warm — the SPEC while
         # program, so the steady-state handoff lands on the fast path.
         spec = self._plan_spec(mode, B)
+        if spec is not None and mode != "greedy":
+            # Sampled spec requests skip the fused cold pipeline: the
+            # plain-scan cold program consumes the RNG stream differently
+            # from the rejection-sampling verifier, so serving the first
+            # call on it would make a request's token stream depend on
+            # warm-up state.  They ride the spec scan bridge instead
+            # (same progressive-compile guarantees).
+            return None
         if spec is not None:
             key = (*key, "spec", *spec)
         with self._compile_lock:
@@ -1165,8 +1250,9 @@ class Generator:
             jnp.int32(repetition_context_size),
         )
         statics = (token_bucket, mode, rep_window, k_subset)
-        # Speculative greedy decode (opt-in): greedy requests only, and
-        # not composable with the int8 CACHE (the verify forward is a
+        # Speculative decode: greedy requests by default ("auto"), sampled
+        # requests too when RuntimeConfig.spec_sampling is on.  Not
+        # composable with the int8 CACHE (the verify forward is a
         # multi-token pass; the q8 kernel is single-token).  int8
         # WEIGHTS compose fine — the verify forward dispatches through
         # qlinear like every other path (tools/spec_bench.py --quant
@@ -1185,8 +1271,8 @@ class Generator:
                     token_bucket,
                 )
             tokens, counts, iters, _ = self._spec_decode(
-                self.params, kv, first_logits, dyn[0], dyn[1], dyn[2],
-                dyn[6], dyn[7], token_bucket, rep_window,
+                self.params, kv, first_logits, *dyn,
+                token_bucket, mode, rep_window, k_subset,
                 spec[0], spec[1],
             )
             counts_host = np.asarray(counts)

@@ -152,3 +152,36 @@ def test_live_mode_long_audio_falls_back_to_streaming(
     # Finalized segments were printed for the whole clip.
     lines = [ln for ln in err.out.strip().splitlines() if "long.wav" in ln]
     assert lines
+
+
+def test_w8a8_and_spec_sampling_flags(monkeypatch):
+    from qwen3_asr_tpu import cli
+    from qwen3_asr_tpu.api import Qwen3ASR
+
+    seen = {}
+
+    class Boom(Exception):
+        pass
+
+    def fake(cls, path, runtime=None, **kw):
+        seen["runtime"] = runtime
+        raise Boom
+
+    monkeypatch.setattr(Qwen3ASR, "from_pretrained", classmethod(fake))
+    with pytest.raises(Boom):
+        cli.main(
+            ["a.wav", "--model", "/m", "--int8-weights", "--int8-act",
+             "--spec-sampling"]
+        )
+    rt = seen["runtime"]
+    assert rt.quantization == "int8"
+    assert rt.act_quant == "int8"
+    assert rt.spec_sampling is True
+
+
+def test_int8_act_requires_int8_weights(capsys):
+    from qwen3_asr_tpu import cli
+
+    rc = cli.main(["a.wav", "--model", "/m", "--int8-act"])
+    assert rc == 2
+    assert "--int8-weights" in capsys.readouterr().err

@@ -100,3 +100,91 @@ def test_quantized_end_to_end_transcribe():
     res = model.transcribe(sine(1.0), max_tokens=4)
     assert isinstance(res.text, str)
     assert res.duration == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# W8A8: dynamic activation quantization for prefill-row matmuls
+# ---------------------------------------------------------------------------
+
+
+def test_act_quant_context_gates_by_rows():
+    """Inside act_quant_rows(min_rows), only matmuls with >= min_rows
+    flattened rows take the int8-dot path; below it the graph is the
+    weight-only one (bitwise-identical output to no context)."""
+    from qwen3_asr_tpu.ops.quant import act_quant_rows
+
+    rng = jax.random.PRNGKey(4)
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (64, 128)) * 0.2
+    wq = quantize_weight(w)
+    x_small = jax.random.normal(jax.random.fold_in(rng, 2), (4, 64))
+    x_big = jax.random.normal(jax.random.fold_in(rng, 3), (16, 64))
+
+    base_small = np.asarray(qlinear(x_small, wq))
+    base_big = np.asarray(qlinear(x_big, wq))
+    with act_quant_rows(8):
+        got_small = np.asarray(qlinear(x_small, wq))
+        got_big = np.asarray(qlinear(x_big, wq))
+    # Below the gate: identical graph, identical bits.
+    np.testing.assert_array_equal(got_small, base_small)
+    # At/above the gate: the int8 dot differs in the rounding tail but
+    # stays numerically close.
+    assert not np.array_equal(got_big, base_big)
+    np.testing.assert_allclose(got_big, base_big, atol=0.05, rtol=0.05)
+
+
+def test_act_quant_exact_on_grid_inputs():
+    """Activations already on the int8 grid survive W8A8 exactly:
+    x rows = (ints in [-127, 127]) * row_scale and weights on their own
+    grid make the quantize a bit-exact identity, so the int8 dot equals
+    the f32 matmul."""
+    from qwen3_asr_tpu.ops.quant import act_quant_rows
+
+    rng = np.random.default_rng(0)
+    xi = rng.integers(-127, 128, (8, 32)).astype(np.float32)
+    xi[:, 0] = 127.0  # pin each row's absmax so scale = 1/127 * 127 = 1.0
+    x = jnp.asarray(xi)
+    wi = rng.integers(-127, 128, (32, 16)).astype(np.float32)
+    wi[0, :] = 127.0  # per-channel absmax -> scale 1.0
+    wq = {"q": jnp.asarray(wi.astype(np.int8)),
+          "s": jnp.ones((16,), jnp.float32)}
+    with act_quant_rows(1):
+        got = np.asarray(qlinear(x, wq, out_dtype=jnp.float32))
+    want = xi @ wi
+    np.testing.assert_array_equal(got, want)
+
+
+def test_act_quant_prefill_close_to_weight_only():
+    """Tiny decoder: W8A8 prefill logits track the weight-only int8
+    prefill closely (the extra activation rounding is the only delta)."""
+    from qwen3_asr_tpu.ops.quant import act_quant_rows
+
+    params = init_decoder_params(TINY, jax.random.PRNGKey(5), dtype=jnp.float32)
+    qparams = quantize_decoder_params(params)
+    ids = jnp.arange(1, 17)[None]  # (1, 16) rows >= gate below
+    pos = jnp.arange(16)[None]
+    h = embed_tokens(qparams, ids)
+
+    out_w, _ = decoder_forward(qparams, TINY, h, pos)
+    with act_quant_rows(8):
+        out_a, _ = decoder_forward(qparams, TINY, h, pos)
+    logits_w = np.asarray(decoder_logits(qparams, TINY, out_w))
+    logits_a = np.asarray(decoder_logits(qparams, TINY, out_a))
+    assert not np.array_equal(logits_a, logits_w)
+    assert np.corrcoef(logits_w.ravel(), logits_a.ravel())[0, 1] > 0.995
+
+
+def test_act_quant_end_to_end_transcribe():
+    """Full API path with quantization="int8" + act_quant="int8"."""
+    from tests.test_api import TINY_CFG, StubTokenizer, sine
+    from qwen3_asr_tpu.api import Qwen3ASR
+
+    rt = RuntimeConfig(
+        frame_buckets=(800,), token_buckets=(16,), quantization="int8",
+        act_quant="int8", act_quant_min_rows=8,
+    )
+    model = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(), runtime=rt, dtype=jnp.float32
+    )
+    res = model.transcribe(sine(1.0), max_tokens=4)
+    assert isinstance(res.text, str)
+    assert res.duration == pytest.approx(1.0)

@@ -436,3 +436,189 @@ def test_spec_forwards_surfaced_per_request():
     d = stats.as_dict()
     assert d["n_spec_forwards"] == stats.n_spec_forwards
     assert d["spec_tokens_per_forward"] >= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Speculative SAMPLING (rejection-sampling verification, opt-in)
+# ---------------------------------------------------------------------------
+
+
+def _plain_sample_dist(logits, recent, penalty, temperature, top_k, top_p):
+    """Numpy reference: the exact distribution sample_logits draws from."""
+    logits = np.asarray(logits, np.float64).copy()
+    hit = np.zeros(logits.shape, bool)
+    for t in np.asarray(recent).ravel():
+        if 0 <= t < logits.shape[0]:
+            hit[t] = True
+    if penalty != 1.0:
+        pen = np.where(logits > 0, logits / penalty, logits * penalty)
+        logits = np.where(hit, pen, logits)
+    scaled = logits / max(temperature, 1e-6)
+    keep = np.ones_like(scaled, bool)
+    if top_k > 0:
+        kth = np.sort(scaled)[::-1][min(top_k, len(scaled)) - 1]
+        keep &= scaled >= kth
+    if top_p < 1.0:
+        probs = np.exp(scaled - scaled.max())
+        probs /= probs.sum()
+        order = np.argsort(-probs, kind="stable")
+        exclusive = np.cumsum(probs[order]) - probs[order]
+        keep_sorted = exclusive < top_p
+        keep_p = np.zeros_like(keep)
+        keep_p[order] = keep_sorted
+        keep &= keep_p
+    masked = np.where(keep, scaled, -np.inf)
+    p = np.exp(masked - masked.max())
+    return p / p.sum()
+
+
+@pytest.mark.parametrize(
+    "draft_case", ["in_nucleus", "filtered_out", "no_proposal"]
+)
+def test_spec_verify_sample_distribution(draft_case):
+    """The emitted token of spec_verify_sample is an exact draw from the
+    plain sampler's distribution, for any point-mass draft — including a
+    draft the filters removed (always rejected) and no draft at all."""
+    from qwen3_asr_tpu.ops.sampling import RECENT_PAD_ID, spec_verify_sample
+
+    vocab = 16
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.standard_normal(vocab) * 2.0, jnp.float32)
+    recent = jnp.asarray([1, 2, RECENT_PAD_ID, RECENT_PAD_ID], jnp.int32)
+    penalty, temperature, top_k, top_p = 1.3, 0.8, 6, 0.9
+
+    p = _plain_sample_dist(logits, [1, 2], penalty, temperature, top_k, top_p)
+    if draft_case == "in_nucleus":
+        draft = int(np.argmax(p))          # certainly kept by the filters
+    elif draft_case == "filtered_out":
+        draft = int(np.argmin(p + (p > 0)))  # a zero-mass (filtered) token
+        assert p[draft] == 0.0
+    else:
+        draft = -1
+
+    n = 20000
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    accept, token = jax.jit(
+        jax.vmap(
+            lambda k: spec_verify_sample(
+                k, logits, draft, temperature, top_k, top_p, penalty, recent
+            )
+        )
+    )(keys)
+    accept, token = np.asarray(accept), np.asarray(token)
+
+    emp = np.bincount(token, minlength=vocab) / n
+    np.testing.assert_allclose(emp, p, atol=0.02)
+    if draft_case == "in_nucleus":
+        # Acceptance rate == p(draft).
+        np.testing.assert_allclose(accept.mean(), p[draft], atol=0.02)
+        # Accepted positions emit the draft; rejected ones never do
+        # (residual excludes it).
+        assert (token[accept] == draft).all()
+        assert (token[~accept] != draft).all()
+    else:
+        assert not accept.any()
+
+
+def test_spec_verify_sample_greedy_temperature_zero():
+    """temperature == 0 inside the sampled program reduces to the greedy
+    accept rule (argmax check)."""
+    from qwen3_asr_tpu.ops.sampling import RECENT_PAD_ID, spec_verify_sample
+
+    logits = jnp.asarray([0.1, 3.0, -1.0, 0.5], jnp.float32)
+    recent = jnp.full((4,), RECENT_PAD_ID, jnp.int32)
+    key = jax.random.PRNGKey(0)
+    acc, tok = spec_verify_sample(key, logits, 1, 0.0, 0, 1.0, 1.0, recent)
+    assert bool(acc) and int(tok) == 1
+    acc, tok = spec_verify_sample(key, logits, 2, 0.0, 0, 1.0, 1.0, recent)
+    assert not bool(acc) and int(tok) == 1
+
+
+def test_spec_sampling_topk1_matches_plain_exactly():
+    """top_k=1 makes sampling deterministic, so the spec-sampled stream
+    must equal the plain sampled stream token for token."""
+    params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    feats, ids = _tiny_features(4), _tiny_prompt(4)
+    outs = {}
+    for spec_sampling in (False, True):
+        rt = RuntimeConfig(
+            token_buckets=(32, 64), spec_sampling=spec_sampling
+        )
+        gen = Generator(params, TINY, rt, eos_ids=frozenset({500}))
+        outs[spec_sampling] = gen.generate(
+            feats, 4, ids, max_tokens=20, temperature=0.7, top_k=1, seed=5,
+        )
+    assert outs[False] == outs[True]
+
+
+def test_spec_sampling_uses_spec_program_and_emits_valid_tokens():
+    params = init_decoder_params(TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rt = RuntimeConfig(token_buckets=(32, 64), spec_sampling=True)
+    gen = Generator(params, TINY, rt, eos_ids=frozenset({500}))
+    called = {}
+    orig = gen._spec_decode
+
+    def spy(*a, **k):
+        called["mode"] = k.get("mode") or a[12]
+        return orig(*a, **k)
+
+    gen._spec_decode = spy
+    toks = gen.generate(
+        _tiny_features(4), 4, _tiny_prompt(4), max_tokens=16,
+        temperature=0.8, top_k=8, top_p=0.95, repetition_penalty=1.1,
+        seed=3,
+    )
+    assert called.get("mode") == "sample"
+    assert 0 < len(toks) <= 16
+    assert all(0 <= t < TINY.vocab_size for t in toks)
+
+
+def test_spec_sampling_preserves_marginal_distribution():
+    """Across many seeds and lanes, the spec-sampled second token's
+    empirical distribution matches the plain sampler's (the rejection-
+    sampling guarantee, end to end through the real decode programs).
+
+    Self-calibrating power: the acceptance threshold is set from a NULL
+    comparison (two disjoint halves of the plain sampler's own draws),
+    so the test cannot be fooled by its own sampling noise floor.
+    Deterministic given the fixed seed list."""
+    params = init_decoder_params(TINY, jax.random.PRNGKey(1), dtype=jnp.float32)
+    B, n_audio = 16, 4
+    feats = jnp.concatenate([_tiny_features(n_audio)] * B)
+    ids = [_tiny_prompt(n_audio)] * B
+    gens = {}
+    for spec_sampling in (False, True):
+        rt = RuntimeConfig(
+            token_buckets=(32, 64), spec_sampling=spec_sampling,
+            spec_auto_max_batch=16,
+        )
+        gens[spec_sampling] = Generator(
+            params, TINY, rt, eos_ids=frozenset({500})
+        )
+    n_seeds = 30
+    draws = {False: [], True: []}
+    for spec_sampling, gen in gens.items():
+        for seed in range(n_seeds):
+            outs = gen.generate_batch(
+                feats, [n_audio] * B, ids, max_tokens=2, temperature=0.6,
+                top_k=8, seed=seed,
+            )
+            draws[spec_sampling] += [o[1] for o in outs if len(o) >= 2]
+
+    def tv(a, b):
+        support = set(a) | set(b)
+        na, nb = len(a), len(b)
+        return 0.5 * sum(
+            abs(a.count(t) / na - b.count(t) / nb) for t in support
+        )
+
+    half = len(draws[False]) // 2
+    null_tv = tv(draws[False][:half], draws[False][half:])
+    got_tv = tv(draws[False], draws[True])
+    # The null halves have N/2 samples each, so their TV overestimates
+    # the full-N noise floor by ~sqrt(2); 2x the null is generous
+    # headroom for a correct sampler and far below what a biased
+    # residual/accept rule produces.
+    assert got_tv < max(0.1, 2.0 * null_tv), (
+        f"spec-vs-plain TV {got_tv:.3f} vs null {null_tv:.3f}"
+    )

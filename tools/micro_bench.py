@@ -191,10 +191,13 @@ def bench_steprate(B=64, plen_val=408, pbucket=512, tbucket=128):
           f"kernel={os.environ.get('QWEN3_ASR_DECODE_KERNEL', 'auto')}")
 
 
-def bench_prefill(B=64, seconds=30.0):
+def bench_prefill(B=64, seconds=30.0, runtime=None):
     """Device-time decomposition of the fused prefill at the bench shape:
     mel, encoder, decoder prompt pass — each via rep-count differencing
-    (a tiny index-dependent perturbation per rep defeats hoisting)."""
+    (a tiny index-dependent perturbation per rep defeats hoisting).
+
+    ``runtime`` A/Bs quantized variants: RuntimeConfig(quantization="int8")
+    for weight-only, + act_quant="int8" for the W8A8 int8-MXU prefill."""
     from qwen3_asr_tpu.api import Qwen3ASR, _mel_core
     from qwen3_asr_tpu.audio.mel import HOP_LENGTH, N_FFT, host_pad_batch
     from qwen3_asr_tpu.config import ModelConfig
@@ -207,7 +210,9 @@ def bench_prefill(B=64, seconds=30.0):
         def decode(self, ids, skip_special_tokens=True):
             return " ".join(map(str, ids))
 
-    model = Qwen3ASR.from_random(ModelConfig(), tokenizer=Tok(), seed=None)
+    model = Qwen3ASR.from_random(
+        ModelConfig(), tokenizer=Tok(), seed=None, runtime=runtime
+    )
     gen = model._generator
     cfg = model._config
     rng = np.random.default_rng(0)
@@ -404,6 +409,14 @@ if __name__ == "__main__":
         bench_steprate(B=1)
     if "prefill64" in sections:
         bench_prefill()
+    if "prefill64-int8" in sections:
+        from qwen3_asr_tpu.config import RuntimeConfig
+        bench_prefill(runtime=RuntimeConfig(quantization="int8"))
+    if "prefill64-w8a8" in sections:
+        from qwen3_asr_tpu.config import RuntimeConfig
+        bench_prefill(
+            runtime=RuntimeConfig(quantization="int8", act_quant="int8")
+        )
     if "step" in sections:
         bench_step()
     if "step64" in sections:
