@@ -195,6 +195,16 @@ class Qwen3ASR:
 
             if not is_quantized(decoder_params["embedding"]):
                 decoder_params = quantize_decoder_params(decoder_params)
+            if self._runtime.act_quant == "int8" and not is_quantized(
+                encoder_params["layers"]["wq"]
+            ):
+                # W8A8 prefill mode: the encoder is MXU-bound, so its
+                # weights are quantized ONLY when the int8-dot
+                # activation path will use them (weight-only int8 is
+                # prefill-neutral — measured, docs/PERFORMANCE.md).
+                from .ops.quant import quantize_encoder_params
+
+                encoder_params = quantize_encoder_params(encoder_params)
         if self._mesh is not None:
             # SPMD inference: shard parameters over the (dp, tp) mesh;
             # GSPMD propagates shardings through every jitted program and

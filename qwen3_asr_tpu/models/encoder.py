@@ -36,6 +36,7 @@ import numpy as np
 from ..config import AudioEncoderConfig
 from ..ops.attention import windowed_self_attention
 from ..ops.norms import layer_norm
+from ..ops.quant import act_quant_rows, is_quantized, qlinear
 
 EncoderParams = dict[str, Any]
 
@@ -289,7 +290,7 @@ def _conv_stem_merged(
         x = x[..., :keep_ch]
     Bf, f, _, tpc, ch = x.shape
     x = x.transpose(0, 2, 3, 4, 1).reshape(B * M, tpc, ch * f)
-    return x @ params["conv_out"]
+    return qlinear(x, params["conv_out"])
 
 
 def _conv_stem(
@@ -327,7 +328,13 @@ def _conv_stem(
         x = x[..., :keep_ch]
     n, freq, time, ch = x.shape
     x = x.transpose(0, 2, 3, 1).reshape(n, time, ch * freq)
-    return x @ params["conv_out"]
+    return qlinear(x, params["conv_out"])
+
+
+#: Row gate for the encoder's W8A8 matmuls (see ops/quant.py).  Real
+#: encoder shapes flatten to thousands of rows (B * tokens); only tiny
+#: test configs fall below this and keep the weight-only lowering.
+_ACT_QUANT_ENC_MIN_ROWS = 256
 
 
 def encoder_forward(
@@ -351,7 +358,25 @@ def encoder_forward(
     (features, n_valid_tokens):
         ``(B, T // 100 * 13, output_dim)`` audio tokens (invalid tail
         zeroed) and ``(B,)`` valid-token counts.
+
+    Quantized (``{"q", "s"}``) layer weights — produced only by the
+    W8A8 prefill mode (RuntimeConfig.act_quant="int8",
+    ops/quant.py:quantize_encoder_params) — enable the int8-MXU
+    activation-quant context for the whole forward; plain bf16 weights
+    trace the exact unquantized graph.
     """
+    if is_quantized(params["layers"]["wq"]):
+        with act_quant_rows(_ACT_QUANT_ENC_MIN_ROWS):
+            return _encoder_forward_impl(params, cfg, mel, n_valid_frames)
+    return _encoder_forward_impl(params, cfg, mel, n_valid_frames)
+
+
+def _encoder_forward_impl(
+    params: EncoderParams,
+    cfg: AudioEncoderConfig,
+    mel: jax.Array,
+    n_valid_frames: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
     B, n_mels, T = mel.shape
     chunk = cfg.chunk_frames
     if T % cfg.n_window_infer:
@@ -361,7 +386,7 @@ def encoder_forward(
     n_chunks = T // chunk
     tpc = cfg.tokens_per_chunk
 
-    compute_dtype = params["conv_out"].dtype
+    compute_dtype = params["ln_post_w"].dtype
     n_valid_frames = jnp.asarray(n_valid_frames, jnp.int32).reshape(B)
 
     # (B, n_mels, T) -> (B * n_chunks, n_mels, chunk, 1)
@@ -388,25 +413,25 @@ def encoder_forward(
 
     def layer_fn(h, lp):
         x = layer_norm(h, lp["ln1_w"], lp["ln1_b"], _LN_EPS)
-        q = (x @ lp["wq"] + lp["bq"]).reshape(B, total, nq, hd).transpose(0, 2, 1, 3)
-        k = (x @ lp["wk"] + lp["bk"]).reshape(B, total, nq, hd).transpose(0, 2, 1, 3)
-        v = (x @ lp["wv"] + lp["bv"]).reshape(B, total, nq, hd).transpose(0, 2, 1, 3)
+        q = (qlinear(x, lp["wq"]) + lp["bq"]).reshape(B, total, nq, hd).transpose(0, 2, 1, 3)
+        k = (qlinear(x, lp["wk"]) + lp["bk"]).reshape(B, total, nq, hd).transpose(0, 2, 1, 3)
+        v = (qlinear(x, lp["wv"]) + lp["bv"]).reshape(B, total, nq, hd).transpose(0, 2, 1, 3)
         attn = windowed_self_attention(
             q, k, v, window=window, valid_mask=token_valid, scale=scale
         )
         attn = attn.transpose(0, 2, 1, 3).reshape(B, total, d)
-        h = h + attn @ lp["wo"] + lp["bo"]
+        h = h + qlinear(attn, lp["wo"]) + lp["bo"]
 
         x = layer_norm(h, lp["ln2_w"], lp["ln2_b"], _LN_EPS)
-        x = jax.nn.gelu(x @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
-        h = h + x @ lp["fc2_w"] + lp["fc2_b"]
+        x = jax.nn.gelu(qlinear(x, lp["fc1_w"]) + lp["fc1_b"], approximate=False)
+        h = h + qlinear(x, lp["fc2_w"]) + lp["fc2_b"]
         return h, None
 
     hidden, _ = jax.lax.scan(layer_fn, tokens, params["layers"])
 
     hidden = layer_norm(hidden, params["ln_post_w"], params["ln_post_b"], _LN_EPS)
-    hidden = jax.nn.gelu(hidden @ params["proj1_w"] + params["proj1_b"], approximate=False)
-    features = hidden @ params["proj2_w"] + params["proj2_b"]
+    hidden = jax.nn.gelu(qlinear(hidden, params["proj1_w"]) + params["proj1_b"], approximate=False)
+    features = qlinear(hidden, params["proj2_w"]) + params["proj2_b"]
 
     features = jnp.where(token_valid[:, :, None], features, 0.0)
     return features, n_tokens

@@ -211,6 +211,37 @@ def qlinear(x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
 DECODER_QUANT_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd", "wqkv", "wgu")
 
 
+#: Encoder matmul weights quantized in the W8A8 prefill mode
+#: (RuntimeConfig.act_quant="int8"): the transformer projections + MLP
+#: (stacked (L, in, out)) and the top-level conv-flatten/projection-head
+#: linears.  Weight-only int8 buys the encoder nothing — it is MXU-bound
+#: (~54% MXU in the layers, docs/PERFORMANCE.md), which is exactly why
+#: these are only quantized when the int8-dot activation path will use
+#: them.  Conv kernels, biases, and norms stay full precision.
+ENCODER_QUANT_KEYS = ("wq", "wk", "wv", "wo", "fc1_w", "fc2_w")
+ENCODER_QUANT_TOP_KEYS = ("conv_out", "proj1_w", "proj2_w")
+
+
+def quantize_encoder_params(params: dict) -> dict:
+    """Quantize the encoder's matmul weights to int8 (W8A8 prefill mode).
+
+    Only called when ``act_quant="int8"`` — encoder matmuls then run the
+    int8 x int8 MXU dot via :func:`qlinear`'s activation-quant path
+    (encoder_forward enters the context whenever its weights are
+    quantized).  Biases/norms/PE/conv kernels stay full precision.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for key in ENCODER_QUANT_KEYS:
+        if key in layers:
+            layers[key] = jax.vmap(quantize_weight)(layers[key])
+    out["layers"] = layers
+    for key in ENCODER_QUANT_TOP_KEYS:
+        if key in out:
+            out[key] = quantize_weight(out[key])
+    return out
+
+
 def quantize_decoder_params(params: dict) -> dict:
     """Quantize the decoder's big matmuls + embedding to int8.
 

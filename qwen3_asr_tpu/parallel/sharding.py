@@ -75,6 +75,10 @@ def _quant_specs(path: str, spec: P) -> dict[str, P]:
     """
     if path == "embedding":
         return {"q": P(spec[1], spec[0]), "s": P(spec[0])}
+    if len(spec) == 2:
+        # Top-level (in, out) linear (encoder conv_out / proj head):
+        # per-out-channel scales follow the output axis.
+        return {"q": spec, "s": P(spec[1])}
     return {"q": spec, "s": P(spec[0], spec[2])}
 
 

@@ -188,3 +188,55 @@ def test_act_quant_end_to_end_transcribe():
     res = model.transcribe(sine(1.0), max_tokens=4)
     assert isinstance(res.text, str)
     assert res.duration == pytest.approx(1.0)
+
+
+def test_quantized_encoder_forward_close_to_fp():
+    """W8A8-quantized encoder (weights int8, act-quant context enabled by
+    the quantized weights themselves) tracks the fp forward closely."""
+    from tests.test_encoder import TINY as ENC_TINY
+    from qwen3_asr_tpu.models.encoder import (
+        encoder_forward,
+        init_encoder_params,
+    )
+    from qwen3_asr_tpu.ops.quant import quantize_encoder_params
+
+    params = init_encoder_params(ENC_TINY, jax.random.PRNGKey(7), dtype=jnp.float32)
+    qparams = quantize_encoder_params(params)
+    assert {"q", "s"} == set(qparams["layers"]["wq"].keys())
+    assert {"q", "s"} == set(qparams["conv_out"].keys())
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 128, 800)).astype(np.float32) * 0.1)
+    nvf = jnp.asarray([800], jnp.int32)
+    feats_fp, n_fp = encoder_forward(params, ENC_TINY, mel, nvf)
+    feats_q, n_q = encoder_forward(qparams, ENC_TINY, mel, nvf)
+    assert int(n_fp[0]) == int(n_q[0])
+    a, b = np.asarray(feats_fp).ravel(), np.asarray(feats_q).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99
+
+
+def test_quantized_encoder_sharding_rules():
+    """Quantized encoder leaves (incl. 2-D top-level linears) get valid
+    NamedShardings under a (dp, tp) mesh."""
+    from tests.test_encoder import TINY as ENC_TINY
+    from qwen3_asr_tpu.models.encoder import init_encoder_params
+    from qwen3_asr_tpu.ops.quant import quantize_encoder_params
+    from qwen3_asr_tpu.parallel.mesh import make_mesh
+    from qwen3_asr_tpu.parallel.sharding import (
+        encoder_param_sharding,
+        shard_params,
+    )
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    params = quantize_encoder_params(
+        init_encoder_params(ENC_TINY, jax.random.PRNGKey(0), dtype=jnp.float32)
+    )
+    mesh = make_mesh(dp=1, tp=2)
+    shardings = encoder_param_sharding(params, mesh)
+    placed = shard_params(params, shardings)
+    # Column-parallel stacked weight shards its output axis; the 2-D
+    # conv_out scale follows the sharded output axis.
+    assert placed["layers"]["fc1_w"]["q"].sharding.spec == (None, None, "tp")
+    assert placed["conv_out"]["q"].sharding.spec == (None, "tp")
+    assert placed["conv_out"]["s"].sharding.spec == ("tp",)

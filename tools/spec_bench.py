@@ -35,13 +35,14 @@ from qwen3_asr_tpu.models.decoder import (  # noqa: E402
 from qwen3_asr_tpu.runtime.generate import Generator  # noqa: E402
 
 
-def run_one(gen, B, n, audio_tokens=416):
+def run_one(gen, B, n, audio_tokens=416, temperature=0.0):
     feats = jnp.zeros((B, audio_tokens, gen.cfg.hidden_size), jnp.bfloat16)
     prompts = [list(range(10)) + [151676] * audio_tokens + [7] * 5] * B
     t0 = time.time()
     out = gen.generate_batch(
         feats, [audio_tokens] * B, prompts,
-        max_tokens=[n] * B, temperature=0.0, repetition_penalty=1.0,
+        max_tokens=[n] * B, temperature=temperature,
+        repetition_penalty=1.0, top_k=0, top_p=1.0,
     )
     return time.time() - t0, sum(len(t) for t in out)
 
@@ -61,6 +62,13 @@ def main():
         help="zero-init makes every argmax identical, so every draft "
         "accepts — the full-acceptance UPPER BOUND; random-init barely "
         "repeats — near the no-acceptance floor",
+    )
+    ap.add_argument(
+        "--temperature", type=float, default=0.0,
+        help="temperature > 0 A/Bs the SAMPLED loop: plain stochastic "
+        "decode vs speculative sampling (rejection-sampling "
+        "verification, RuntimeConfig.spec_sampling) — same floor/"
+        "ceiling logic via --init",
     )
     ap.add_argument(
         "--quant", choices=("none", "int8"), default="none",
@@ -87,6 +95,8 @@ def main():
 
     for spec in ("off", "ngram"):
         rt_kw = {} if args.ngram is None else {"spec_ngram": args.ngram}
+        if args.temperature > 0:
+            rt_kw["spec_sampling"] = spec == "ngram"
         rt = RuntimeConfig(
             speculative=spec, spec_gamma=args.gamma, quantization=args.quant,
             **rt_kw,
@@ -102,18 +112,22 @@ def main():
                 return out
 
             gen._spec_decode = spy
-        run_one(gen, B, steps)          # compile + warm
+        T = args.temperature
+        run_one(gen, B, steps, temperature=T)          # compile + warm
         gen.wait_background_compiles()
-        run_one(gen, B, steps), run_one(gen, B, lo)
+        run_one(gen, B, steps, temperature=T)
+        run_one(gen, B, lo, temperature=T)
         per_tok = min(
-            (run_one(gen, B, steps)[0] - run_one(gen, B, lo)[0])
+            (run_one(gen, B, steps, temperature=T)[0]
+             - run_one(gen, B, lo, temperature=T)[0])
             / (steps - lo)
             for _ in range(4)
         )
-        _, n_tok = run_one(gen, B, steps)
+        _, n_tok = run_one(gen, B, steps, temperature=T)
         fwd = iters["n"] if spec == "ngram" else steps
         print(json.dumps({
             "mode": spec,
+            "temperature": args.temperature,
             "quant": args.quant,
             "batch": B,
             "gamma": args.gamma if spec == "ngram" else 0,
