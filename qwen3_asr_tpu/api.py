@@ -431,6 +431,7 @@ class Qwen3ASR:
         repetition_penalty: float = 1.2,
         max_tokens: Optional[int] = None,
         repetition_context_size: int = 100,
+        chunk_duration: float = 1200.0,
         seed: int = 0,
     ) -> list[TranscriptionResult]:
         """Transcribe several clips in ONE batched device program.
@@ -439,16 +440,23 @@ class Qwen3ASR:
         multi-sequence decode loop (per-clip EOS + token budgets).  No
         reference counterpart — the reference serializes batch work behind
         a lock (model.py:145, 239).
+
+        Clips longer than ``chunk_duration`` seconds take the same
+        long-form path as :meth:`transcribe` (low-energy splits, chunk
+        groups, stitched text — model.py:382-447 parity); the rest of the
+        batch still runs as one device program.
         """
         with self._lock:
             return self._transcribe_batch_impl(
                 audios, language, temperature, top_p, top_k,
-                repetition_penalty, max_tokens, repetition_context_size, seed,
+                repetition_penalty, max_tokens, repetition_context_size,
+                chunk_duration, seed,
             )
 
     def _transcribe_batch_impl(
         self, audios, language, temperature, top_p, top_k,
-        repetition_penalty, max_tokens, repetition_context_size, seed,
+        repetition_penalty, max_tokens, repetition_context_size,
+        chunk_duration, seed,
     ) -> list[TranscriptionResult]:
         lang_name = self._resolve_language(language)
 
@@ -467,33 +475,53 @@ class Qwen3ASR:
         if not live:
             return results
 
-        batch = [samples_list[i] for i in live]
-        durations = [len(s) / SAMPLE_RATE for s in batch]
-        # Long-form guard: the batch path has no chunked fallback, so a clip
-        # beyond the largest frame bucket would otherwise surface as an
-        # opaque "prompt length exceeds bucket" from the planner.
-        max_frames = self._runtime.frame_buckets[-1]
-        max_seconds = max_frames * HOP_LENGTH / SAMPLE_RATE
-        too_long = [d for d in durations if d * SAMPLE_RATE // HOP_LENGTH > max_frames]
-        if too_long:
-            raise ValueError(
-                f"clip of {max(too_long):.0f}s exceeds the largest frame "
-                f"bucket ({max_seconds:.0f}s); use transcribe() for "
-                "long-form audio (it chunks at low-energy boundaries)"
-            )
-        budgets = [
-            max_tokens if max_tokens is not None else max(256, int(d * 50))
-            for d in durations
-        ]
+        # Long-form parity with transcribe(): clips beyond chunk_duration
+        # split at low-energy boundaries and run through the shared
+        # grouped-chunk path; everything else stays in ONE batched
+        # program (the throughput path is untouched when no long clip is
+        # present).
+        chunk_duration = self._clamp_chunk_duration(chunk_duration)
+        chunk_samples = int(chunk_duration * SAMPLE_RATE)
+        short_live = [i for i in live if len(samples_list[i]) <= chunk_samples]
+        long_live = [i for i in live if len(samples_list[i]) > chunk_samples]
 
-        token_lists, self.last_stats = self._run_pipeline_batch(
-            batch, lang_name, temperature, top_p, top_k,
-            repetition_penalty, budgets, repetition_context_size, seed,
-        )
-        for i, toks, dur in zip(live, token_lists, durations):
-            text, out_lang = self._finalize_output(toks, lang_name)
+        if short_live:
+            batch = [samples_list[i] for i in short_live]
+            durations = [len(s) / SAMPLE_RATE for s in batch]
+            budgets = [
+                max_tokens if max_tokens is not None else max(256, int(d * 50))
+                for d in durations
+            ]
+            token_lists, self.last_stats = self._run_pipeline_batch(
+                batch, lang_name, temperature, top_p, top_k,
+                repetition_penalty, budgets, repetition_context_size, seed,
+            )
+            for i, toks, dur in zip(short_live, token_lists, durations):
+                text, out_lang = self._finalize_output(toks, lang_name)
+                results[i] = TranscriptionResult(
+                    text=text, language=out_lang, duration=dur
+                )
+
+        for i in long_live:
+            samples = samples_list[i]
+            split_points = find_split_points(
+                samples, chunk_samples, 5 * SAMPLE_RATE
+            )
+            chunks, prev = [], 0
+            for sp in split_points + [len(samples)]:
+                if sp > prev:
+                    chunks.append(samples[prev:sp])
+                prev = sp
+            texts, detected = self._run_chunks_grouped(
+                chunks, lang_name, temperature, top_p, top_k,
+                repetition_penalty, repetition_context_size, seed,
+            )
+            language_out = lang_name if lang_name is not None else (
+                detected[0] if detected else "Unknown"
+            )
             results[i] = TranscriptionResult(
-                text=text, language=out_lang, duration=dur
+                text=" ".join(texts), language=language_out,
+                duration=len(samples) / SAMPLE_RATE,
             )
         return results
 
@@ -601,14 +629,7 @@ class Qwen3ASR:
         if max_tokens is None:
             max_tokens = max(256, int(duration * 50))
 
-        # A clip must fit a compiled frame bucket; the effective single-pass
-        # ceiling is min(chunk_duration, largest bucket).  With the default
-        # buckets these coincide (20 min); a RuntimeConfig with a smaller
-        # bucket table would otherwise silently overflow the largest shape.
-        max_bucket_s = (
-            self._runtime.frame_buckets[-1] * HOP_LENGTH / SAMPLE_RATE
-        )
-        chunk_duration = min(chunk_duration, max_bucket_s)
+        chunk_duration = self._clamp_chunk_duration(chunk_duration)
         if duration > chunk_duration:
             return self._transcribe_chunked(
                 samples, duration, language, temperature, top_p, top_k,
@@ -1042,6 +1063,20 @@ class Qwen3ASR:
         raw = self._tokenizer.decode(tokens, skip_special_tokens=False)
         return parse_output(raw), parse_language(raw) or "Unknown"
 
+    def _clamp_chunk_duration(self, chunk_duration: float) -> float:
+        """Cap chunk_duration so every long-form chunk fits a compiled
+        frame bucket.  A chunk may end up to 5 s past a chunk_duration
+        multiple (the low-energy search window in
+        audio/io.py:find_split_points), so the effective ceiling is the
+        largest bucket MINUS that slack; with the default table
+        (121,600 frames = 1216 s) the default 1200 s passes through
+        unchanged.  A RuntimeConfig with a smaller bucket table would
+        otherwise silently overflow the largest compiled shape."""
+        max_bucket_s = (
+            self._runtime.frame_buckets[-1] * HOP_LENGTH / SAMPLE_RATE
+        )
+        return max(min(chunk_duration, max_bucket_s - 5.0), 1.0)
+
     def _transcribe_chunked(
         self, samples, duration, language, temperature, top_p, top_k,
         repetition_penalty, repetition_context_size, chunk_duration, seed,
@@ -1060,12 +1095,33 @@ class Qwen3ASR:
                 chunks.append(samples[prev:sp])
             prev = sp
 
-        texts: list[str] = []
-        detected: list[str] = []
-        # Chunks are transcribed in BATCHES of max_batch_size — the
-        # reference runs them strictly sequentially (model.py:409-441).
-        # Group size is additionally bounded by the KV-cache HBM budget
-        # (a 20-min chunk needs a ~24k-slot cache ≈ 2.8 GB per sequence).
+        texts, detected = self._run_chunks_grouped(
+            chunks, lang_name, temperature, top_p, top_k,
+            repetition_penalty, repetition_context_size, seed,
+        )
+
+        language_out = lang_name if lang_name is not None else (
+            detected[0] if detected else "Unknown"
+        )
+        return TranscriptionResult(
+            text=" ".join(texts), language=language_out, duration=duration
+        )
+
+    def _run_chunks_grouped(
+        self, chunks, lang_name, temperature, top_p, top_k,
+        repetition_penalty, repetition_context_size, seed,
+    ) -> tuple[list[str], list[str]]:
+        """Transcribe one clip's long-form chunks; returns the in-order
+        non-empty texts and their detected languages.
+
+        Chunks are transcribed in BATCHES of max_batch_size — the
+        reference runs them strictly sequentially (model.py:409-441).
+        Group size is additionally bounded by the KV-cache HBM budget
+        (a 20-min chunk needs a ~24k-slot cache ≈ 2.8 GB per sequence).
+        Shared by :meth:`transcribe` and :meth:`transcribe_batch`'s
+        long-clip path.  Per-chunk token budgets always come from the
+        duration formula (reference parity: the chunked path ignores the
+        caller's max_tokens, model.py:409-441)."""
         group_size = max(1, self._runtime.max_batch_size)
         if chunks:
             tc = self._config.text_decoder
@@ -1083,6 +1139,8 @@ class Qwen3ASR:
             )
             budget = int(self._runtime.kv_cache_budget_gb * 2**30)
             group_size = max(1, min(group_size, budget // max(per_seq_bytes, 1)))
+        texts: list[str] = []
+        detected: list[str] = []
         for start in range(0, len(chunks), group_size):
             group = chunks[start : start + group_size]
             budgets = [max(256, int(len(c) / SAMPLE_RATE * 50)) for c in group]
@@ -1095,10 +1153,4 @@ class Qwen3ASR:
                 if text:
                     texts.append(text)
                     detected.append(out_lang)
-
-        language_out = lang_name if lang_name is not None else (
-            detected[0] if detected else "Unknown"
-        )
-        return TranscriptionResult(
-            text=" ".join(texts), language=language_out, duration=duration
-        )
+        return texts, detected

@@ -196,7 +196,11 @@ DEFAULT_FRAME_BUCKETS: tuple[int, ...] = (
     48_000,    # 8 min
     72_000,    # 12 min
     96_000,    # 16 min
-    120_000,   # 20 min (chunk_duration default)
+    121_600,   # 20 min (chunk_duration default) + slack: long-form split
+               # points snap to low-energy frames within +/-5 s of each
+               # chunk_duration multiple (audio/io.py:find_split_points),
+               # so a worst-case chunk is ~1210 s = 121,000 frames; the
+               # bucket rounds up to a whole 800-frame window.
 )
 
 # Decode-step buckets for the autoregressive token budget.

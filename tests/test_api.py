@@ -220,12 +220,34 @@ def test_grouped_prefill_matches_single_program():
     assert [r.text for r in r1] == [r.text for r in r2]
 
 
-def test_transcribe_batch_rejects_long_form_clearly(model):
-    """A clip beyond the largest frame bucket gets a clear error pointing
-    at transcribe() instead of an opaque planner failure."""
+def test_transcribe_batch_chunks_long_form(model):
+    """Batch long-form parity (reference model.py:382-447 semantics,
+    VERDICT r4 item 5): a clip beyond chunk_duration inside a batch takes
+    the SAME split-and-stitch path as transcribe(), while the short clips
+    in the batch still run as one device program with unchanged output."""
+    long_clip = sine(5.0)
+    long_clip[2 * 16000 : 2 * 16000 + 2000] = 0.0  # silence pocket
+    shorts = [sine(1.0, 220.0), sine(1.0, 330.0)]
+
+    got = model.transcribe_batch(
+        [shorts[0], long_clip, shorts[1]], chunk_duration=2.0, max_tokens=4
+    )
+    ref_long = model.transcribe(long_clip, chunk_duration=2.0, max_tokens=4)
+    ref_shorts = model.transcribe_batch(shorts, max_tokens=4)
+
+    assert got[1].text == ref_long.text
+    assert got[1].duration == pytest.approx(5.0)
+    assert [got[0].text, got[2].text] == [r.text for r in ref_shorts]
+
+
+def test_transcribe_batch_over_bucket_clip_chunks(model):
+    """A clip within chunk_duration but beyond the largest frame bucket
+    must chunk (with the bucket-slack clamp) instead of overflowing the
+    planner — the pre-round-5 behavior was an opaque ValueError."""
     clip = sine(33.0)  # > RT's largest bucket (3200 frames = 32 s)
-    with pytest.raises(ValueError, match="transcribe\\(\\) for\\s+long-form|long-form"):
-        model.transcribe_batch([clip], max_tokens=4)
+    res = model.transcribe_batch([clip], max_tokens=4)
+    assert res[0].duration == pytest.approx(33.0)
+    assert isinstance(res[0].text, str)
 
 
 def test_warm_up_deployment_grid(model, caplog):
