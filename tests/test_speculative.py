@@ -520,6 +520,51 @@ def test_spec_verify_sample_distribution(draft_case):
         assert not accept.any()
 
 
+def test_spec_verify_sample_chi_square():
+    """Formal goodness-of-fit: chi-squared test of the spec-verify
+    emitted-token counts against the EXACT plain-sampler distribution
+    (the per-token distribution-identity claim of
+    ops/sampling.py:spec_verify_sample, pinned by CI with a p-value
+    rather than a tolerance).  20k draws, alpha = 1e-3 — a correct
+    sampler fails with probability 0.1%; a biased accept/residual rule
+    (e.g. forgetting to remove the draft's mass from the residual)
+    shifts the statistic by orders of magnitude."""
+    from scipy.stats import chi2
+
+    from qwen3_asr_tpu.ops.sampling import RECENT_PAD_ID, spec_verify_sample
+
+    vocab = 16
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.standard_normal(vocab) * 2.0, jnp.float32)
+    recent = jnp.asarray([3, 5, RECENT_PAD_ID, RECENT_PAD_ID], jnp.int32)
+    penalty, temperature, top_k, top_p = 1.2, 0.9, 8, 0.92
+    p = _plain_sample_dist(logits, [3, 5], penalty, temperature, top_k, top_p)
+
+    # Draft = the second-most-likely surviving token: accepted often but
+    # not always, so both the accept and the residual branch contribute.
+    draft = int(np.argsort(-p)[1])
+    assert 0 < p[draft] < 1
+
+    n = 20000
+    keys = jax.random.split(jax.random.PRNGKey(11), n)
+    _, token = jax.jit(
+        jax.vmap(
+            lambda k: spec_verify_sample(
+                k, logits, draft, temperature, top_k, top_p, penalty, recent
+            )
+        )
+    )(keys)
+    counts = np.bincount(np.asarray(token), minlength=vocab).astype(np.float64)
+
+    support = p > 0
+    assert counts[~support].sum() == 0, "token with zero plain-sampler mass emitted"
+    expected = n * p[support]
+    stat = ((counts[support] - expected) ** 2 / expected).sum()
+    dof = int(support.sum()) - 1
+    threshold = chi2.ppf(1 - 1e-3, dof)
+    assert stat < threshold, f"chi2 {stat:.1f} >= {threshold:.1f} (dof {dof})"
+
+
 def test_spec_verify_sample_greedy_temperature_zero():
     """temperature == 0 inside the sampled program reduces to the greedy
     accept rule (argmax check)."""
