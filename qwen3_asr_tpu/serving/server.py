@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from dataclasses import dataclass
 
@@ -30,6 +31,9 @@ class _Request:
     audio: object
     options: dict
     future: Future
+    #: Client-side enqueue timestamp (time.time()); used to stamp
+    #: ``future.ttft_s`` when the request's prefill completes.
+    submit_ts: float = 0.0
 
     def batch_key(self, frame_buckets=None) -> tuple:
         """Requests batch together only with the same sampling options AND
@@ -169,7 +173,7 @@ class TranscriptionServer:
         if self._closed:
             raise RuntimeError("server is closed")
         fut: Future = Future()
-        self._queue.put(_Request(audio, options, fut))
+        self._queue.put(_Request(audio, options, fut, time.time()))
         self.stats.bump("requests")
         return fut
 
@@ -328,7 +332,7 @@ class ContinuousTranscriptionServer:
         if self._closed:
             raise RuntimeError("server is closed")
         fut: Future = Future()
-        self._queue.put(_Request(audio, options, fut))
+        self._queue.put(_Request(audio, options, fut, time.time()))
         self.stats.bump("requests")
         return fut
 
@@ -442,6 +446,16 @@ class ContinuousTranscriptionServer:
             admitted = len(slot_reqs) - len(rejected or [])
             if admitted:
                 self.stats.record_batch(admitted)
+                # TTFT stamp: an admitted request's prefill is done and
+                # its first logits are on device — the first token exists
+                # as of now.  Exposed as ``future.ttft_s`` for load
+                # studies (tools/serving_bench.py --arrival poisson).
+                now = time.time()
+                rejected_ids = {id(sr) for sr in (rejected or [])}
+                for sr in slot_reqs:
+                    if id(sr) not in rejected_ids:
+                        req = by_slotreq[id(sr)]
+                        req.future.ttft_s = now - req.submit_ts
             return [
                 by_slotreq[id(sr)] for sr in (rejected or [])
             ] + overflow
@@ -594,7 +608,7 @@ class ReplicatedTranscriptionServer:
         if self._closed:
             raise RuntimeError("server is closed")
         fut: Future = Future()
-        self._queue.put(_Request(audio, options, fut))
+        self._queue.put(_Request(audio, options, fut, time.time()))
         self.stats.bump("requests")
         return fut
 

@@ -132,6 +132,48 @@ def test_continuous_first_token_done_resolves_promptly(model):
     assert isinstance(res.text, str)
 
 
+def test_continuous_future_carries_ttft(model):
+    """Admitted requests get ``future.ttft_s`` stamped at prefill
+    completion (the load-study hook, tools/serving_bench.py --arrival
+    poisson): positive and no larger than total completion latency."""
+    import time as _time
+
+    from qwen3_asr_tpu.serving.server import ContinuousTranscriptionServer
+    from tests.test_api import sine
+
+    with ContinuousTranscriptionServer(
+        model, n_slots=2, max_duration=4.0, max_new_tokens=16,
+        chunk_steps=4,
+    ) as srv:
+        t0 = _time.time()
+        fut = srv.submit(sine(0.5, 440.0), max_tokens=4)
+        fut.result(timeout=120)
+        total = _time.time() - t0
+    assert 0.0 < fut.ttft_s <= total + 0.05
+
+
+def test_poisson_workload_smoke(model):
+    """The open-loop Poisson load harness (tools/serving_bench.py) runs
+    against the tiny continuous engine: all requests complete, TTFT is
+    stamped for every one, and TTFT never exceeds completion latency."""
+    import numpy as np
+
+    from qwen3_asr_tpu.serving.server import ContinuousTranscriptionServer
+    from tools.serving_bench import run_poisson
+
+    with ContinuousTranscriptionServer(
+        model, n_slots=2, max_duration=4.0, max_new_tokens=16,
+        chunk_steps=4, warm=(0.5,),
+    ) as srv:
+        wall, ttft, lat = run_poisson(
+            srv, clip_sec=0.5, n_requests=5, rate=20.0, budget=4, seed=3
+        )
+    assert len(ttft) == len(lat) == 5
+    assert np.isfinite(ttft).all() and (ttft > 0).all()
+    assert (ttft <= lat + 0.05).all()
+    assert wall > 0
+
+
 def test_cancelled_future_does_not_kill_worker(model):
     """A client cancelling its Future must not crash the worker thread."""
     from qwen3_asr_tpu.serving.server import TranscriptionServer

@@ -78,6 +78,111 @@ def run_workload(
     return wall, short_lat
 
 
+def run_poisson(server, clip_sec, n_requests, rate, budget, seed=0):
+    """Open-loop Poisson arrivals at ``rate`` req/s against ``server``.
+
+    Returns (wall_s, ttfts, latencies) over the completed requests.
+    Open-loop means submission timing ignores server backpressure — the
+    realistic production regime (VERDICT r4 item 6) where queueing shows
+    up as TTFT growth rather than throttled offered load.
+    """
+    import threading
+
+    rng = np.random.default_rng(seed)
+    gaps = rng.exponential(1.0 / rate, n_requests)
+    c = clip(clip_sec, 260.0)
+    recs = []
+    lock = threading.Lock()
+    futs = []
+    t_start = time.time()
+    for i in range(n_requests):
+        time.sleep(gaps[i])
+        t0 = time.time()
+        fut = server.submit(c, max_tokens=budget)
+
+        def _done(f, t0=t0):
+            tdone = time.time()
+            with lock:
+                recs.append((t0, tdone, getattr(f, "ttft_s", float("nan"))))
+
+        fut.add_done_callback(_done)
+        futs.append(fut)
+    for f in futs:
+        f.result()
+    wall = time.time() - t_start
+    lat = np.array([td - t0 for t0, td, _ in recs])
+    ttft = np.array([t for *_, t in recs])
+    return wall, ttft, lat
+
+
+def poisson_study(args) -> int:
+    """Sustained-load study on the continuous paged engine: p50/p99 TTFT
+    and completion latency at each offered load (audio-seconds submitted
+    per wall second = rate x clip_sec; offered < achieved-capacity keeps
+    queues bounded, beyond it TTFT diverges)."""
+    print("[serving-bench] loading 1.7B zero-init", file=sys.stderr, flush=True)
+    model = Qwen3ASR.from_random(
+        ModelConfig(), tokenizer=StubTok(),
+        runtime=RuntimeConfig(
+            kv_cache_dtype=args.kv_dtype, spec_engine=args.spec
+        ),
+        seed=None,
+    )
+    rows = []
+    srv = ContinuousTranscriptionServer(
+        model,
+        n_slots=args.n_slots,
+        max_duration=args.short_sec + 1,
+        max_new_tokens=args.short_budget,
+        chunk_steps=args.chunk_steps,
+        paged=args.paged,
+        warm=(args.short_sec,),
+    )
+    with srv:
+        # Warm every power-of-two admission width (prefill_group pads the
+        # group batch to 2^k) plus the steady decode widths with one
+        # saturating burst, so the measured passes hit compiled programs
+        # only.
+        warm_futs = [
+            srv.submit(clip(args.short_sec, 300.0), max_tokens=args.short_budget)
+            for _ in range(max(8, args.n_slots))
+        ]
+        for f in warm_futs:
+            f.result()
+        for rate in args.rates:
+            wall, ttft, lat = run_poisson(
+                srv, args.short_sec, args.n_requests, rate,
+                args.short_budget, seed=1,
+            )
+            row = {
+                "rate_rps": rate,
+                "offered_rtfx": round(rate * args.short_sec, 1),
+                "achieved_rtfx": round(args.n_requests * args.short_sec / wall, 1),
+                "n_requests": args.n_requests,
+                "ttft_p50_s": round(float(np.nanpercentile(ttft, 50)), 3),
+                "ttft_p99_s": round(float(np.nanpercentile(ttft, 99)), 3),
+                "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
+                "latency_p99_s": round(float(np.percentile(lat, 99)), 3),
+            }
+            st = srv._engine.stats
+            if st.spec_chunks:
+                row["spec_tokens_per_forward"] = round(
+                    st.spec_tokens_per_forward, 2
+                )
+            rows.append(row)
+            print(f"[serving-bench] poisson {row}", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "serving_poisson_load",
+        "paged": args.paged,
+        "spec": args.spec,
+        "n_slots": args.n_slots,
+        "clip_sec": args.short_sec,
+        "budget": args.short_budget,
+        "points": rows,
+    }))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -108,7 +213,22 @@ def main() -> int:
         "zero-init weights emit a constant stream, so acceptance — and "
         "the win — reads at its UPPER bound here)",
     )
+    ap.add_argument(
+        "--arrival", choices=("burst", "poisson"), default="burst",
+        help="burst = the long+waves A/B workload (default); poisson = "
+        "open-loop sustained-load study on the continuous engine "
+        "(p50/p99 TTFT + latency at each --rates point)",
+    )
+    ap.add_argument(
+        "--rates", type=float, nargs="+", default=[2.0, 5.0, 10.0],
+        help="poisson offered loads in requests/s (x clip_sec = offered "
+        "RTFx)",
+    )
+    ap.add_argument("--n-requests", type=int, default=48)
     args = ap.parse_args()
+
+    if args.arrival == "poisson":
+        return poisson_study(args)
 
     print("[serving-bench] loading 1.7B zero-init", file=sys.stderr, flush=True)
     model = Qwen3ASR.from_random(
