@@ -300,3 +300,32 @@ def test_int8_tp_end_to_end_transcribe():
     )
     r2 = m2.transcribe(clip, max_tokens=6)
     assert r1.text == r2.text
+
+
+def test_w8a8_tp_end_to_end_transcribe():
+    """Qwen3ASR(W8A8, tp=2) == Qwen3ASR(W8A8, single device) — pins the
+    quant x parallel matrix end to end (VERDICT r4 item 7): dynamic int8
+    activation quantization happens per shard AFTER the column split, so
+    the sharded int8-MXU dots must still reduce to the single-device
+    tokens.  act_quant_min_rows=1 forces the int8-dot lowering even at
+    these tiny prefill shapes."""
+    from qwen3_asr_tpu.api import Qwen3ASR
+    from qwen3_asr_tpu.config import RuntimeConfig
+    from tests.test_api import TINY_CFG, StubTokenizer, sine
+
+    kw = dict(
+        frame_buckets=(800,), token_buckets=(16,), quantization="int8",
+        act_quant="int8", act_quant_min_rows=1,
+    )
+    m1 = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(),
+        runtime=RuntimeConfig(**kw), dtype=jnp.float32,
+    )
+    clip = sine(1.0, 350.0)
+    r1 = m1.transcribe(clip, max_tokens=6)
+    m2 = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(),
+        runtime=RuntimeConfig(dp=1, tp=2, **kw), dtype=jnp.float32,
+    )
+    r2 = m2.transcribe(clip, max_tokens=6)
+    assert r1.text == r2.text
