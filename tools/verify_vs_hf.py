@@ -20,10 +20,40 @@ Run on CPU (the axon plugin must not capture the platform):
 
 Takes a few minutes on one core (1.7B f32 matmuls).  Exit code 0 = all
 comparisons within tolerance and token-identical greedy.
+
+``--quant int8|w8a8`` measures the QUANTIZATION fidelity bound instead:
+our params are int8-quantized (w8a8 additionally runs the int8-MXU
+activation-quant prefill path, forced on at these small shapes) and
+compared against the same full-precision HF oracle.
+
+Random-init weights change what is measurable (round-5 finding): a
+random 1.7B model's greedy logit margins are NOISE-LEVEL (p50 ~0.1 over
+the 151936 vocab), so a flat argmax-agreement bar is unmeetable by ANY
+lossy numeric change and token-identity is not a meaningful criterion
+here.  What DOES transfer to trained weights is the size of the logit
+perturbation: quant mode therefore reports and gates on
+
+  * prefill logit rms relative error (< 25% — noise accumulation over
+    28 residual layers on random weights measures 14% for W8A8 and the
+    gate exists to catch SYSTEMATIC errors like a wrong scale axis,
+    which land at ~100%), and
+  * the flip-margin bound: every argmax flip must sit at an oracle
+    margin below 10 x rms|delta-logit| — i.e. flips are confined to
+    near-ties at the quantization noise scale, never at real margins.
+
+Greedy token-identity is NOT required in quant mode: a single near-tie
+flip anywhere in the rollout diverges the sequence, which on random
+weights (p50 margin ~0.14, measured) is certain.  The rollout is still
+run and the divergence point reported.
+
+On a trained checkpoint, positions with margin above the reported
+perturbation bound provably cannot flip; token-level validation on real
+weights stays on the checkpoint watch (BASELINE.md fidelity row).
 """
 
 from __future__ import annotations
 
+import contextlib
 import sys
 import tempfile
 import time
@@ -39,6 +69,16 @@ def log(msg: str) -> None:
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--quant", choices=["none", "int8", "w8a8"], default="none",
+        help="quantize our params before comparing (fidelity bound mode)",
+    )
+    ap.add_argument("--max-new", type=int, default=8)
+    args = ap.parse_args()
+
     t0 = time.time()
     import torch
 
@@ -122,6 +162,29 @@ def main() -> int:
     enc_params, dec_params = load_checkpoint(tmp, cfg, dtype=jnp.float32)
     log(f"loaded via qwen3_asr_tpu loader at {time.time() - t0:.1f}s")
 
+    act_ctx = contextlib.nullcontext
+    if args.quant != "none":
+        from qwen3_asr_tpu.ops.quant import (
+            act_quant_rows,
+            quantize_decoder_params,
+            quantize_encoder_params,
+        )
+
+        dec_params = quantize_decoder_params(dec_params)
+        if args.quant == "w8a8":
+            # Force the int8-dot path at these tiny verification shapes
+            # (production prefill has thousands of rows; the default
+            # row gates would silently keep everything weight-only
+            # here and the test would prove nothing).  min_rows=2
+            # keeps the 1-token greedy steps on the weight-only
+            # lowering, matching the production decode path.
+            import qwen3_asr_tpu.models.encoder as enc_mod
+
+            enc_mod._ACT_QUANT_ENC_MIN_ROWS = 8
+            enc_params = quantize_encoder_params(enc_params)
+            act_ctx = lambda: act_quant_rows(2)  # noqa: E731
+        log(f"params quantized ({args.quant}) at {time.time() - t0:.1f}s")
+
     failures = []
 
     # ---- encoder: 10 s of audio -> 1000 frames -> 130 tokens (2 windows)
@@ -165,8 +228,14 @@ def main() -> int:
     got_enc = np.asarray(feats[0, : int(n_tok[0])])
     d = np.abs(got_enc - ref_enc).max()
     log(f"encoder max|diff| = {d:.3e} over {ref_enc.shape} at {time.time() - t0:.1f}s")
-    if not (got_enc.shape == ref_enc.shape and d < 5e-4):
-        failures.append(f"encoder mismatch: {d:.3e}")
+    if args.quant == "none":
+        if not (got_enc.shape == ref_enc.shape and d < 5e-4):
+            failures.append(f"encoder mismatch: {d:.3e}")
+    else:
+        rel = d / (np.abs(ref_enc).max() + 1e-9)
+        log(f"encoder rel err vs f32 oracle = {rel:.3e} ({args.quant})")
+        if not (got_enc.shape == ref_enc.shape and rel < 0.05):
+            failures.append(f"encoder quant rel err too large: {rel:.3e}")
 
     # ---- decoder prefill logits with injected audio features
     n_prompt = 96
@@ -182,26 +251,59 @@ def main() -> int:
 
     h = embed_tokens(dec_params, jnp.asarray(ids, jnp.int32))
     h = h.at[0, jnp.asarray(audio_pos)].set(jnp.asarray(inj))
-    out, kv0 = decoder_forward(
-        dec_params,
-        dec_c,
-        h,
-        jnp.arange(n_prompt)[None],
-        init_kv_cache(dec_c, 1, n_prompt + 16, jnp.float32),
-        write_slots=jnp.zeros((1,), jnp.int32),
-    )
-    got_logits = np.asarray(decoder_logits(dec_params, dec_c, out))
+    with act_ctx():
+        out, kv0 = decoder_forward(
+            dec_params,
+            dec_c,
+            h,
+            jnp.arange(n_prompt)[None],
+            init_kv_cache(dec_c, 1, n_prompt + 16, jnp.float32),
+            write_slots=jnp.zeros((1,), jnp.int32),
+        )
+        got_logits = np.asarray(decoder_logits(dec_params, dec_c, out))
     d = np.abs(got_logits - ref_logits).max()
     agree = (got_logits.argmax(-1) == ref_logits.argmax(-1)).mean()
     log(
         f"decoder prefill max|diff| = {d:.3e}, per-position argmax agreement "
         f"= {agree:.4f} at {time.time() - t0:.1f}s"
     )
-    if not (d < 2e-3 and agree == 1.0):
-        failures.append(f"decoder prefill mismatch: {d:.3e}, agree {agree}")
+    if args.quant == "none":
+        if not (d < 2e-3 and agree == 1.0):
+            failures.append(f"decoder prefill mismatch: {d:.3e}, agree {agree}")
+    else:
+        # Quant fidelity bound (see module docstring): gate on the logit
+        # perturbation scale and on flips being confined to near-tie
+        # margins; report the full picture.
+        delta = got_logits - ref_logits
+        rms = float(np.sqrt((delta.astype(np.float64) ** 2).mean()))
+        rms_rel = rms / float(ref_logits.astype(np.float64).std())
+        top2 = np.partition(ref_logits, -2, axis=-1)
+        margins = top2[..., -1] - top2[..., -2]        # oracle top-2 gaps
+        flips = np.nonzero(got_logits.argmax(-1) != ref_logits.argmax(-1))
+        flip_margins = [
+            float(
+                ref_logits[b, p].max()
+                - ref_logits[b, p, got_logits[b, p].argmax()]
+            )
+            for b, p in zip(*flips)
+        ]
+        max_flip_margin = max(flip_margins, default=0.0)
+        log(
+            f"quant perturbation: rms|dlogit| {rms:.4f} (rel {rms_rel:.4f}), "
+            f"oracle margin p50 {np.median(margins):.4f}, "
+            f"agreement {agree:.4f}, flips {len(flip_margins)} "
+            f"(max margin {max_flip_margin:.4f})"
+        )
+        if rms_rel > 0.25:
+            failures.append(f"quant logit rms rel err {rms_rel:.4f} > 0.25")
+        if max_flip_margin > 10 * rms:
+            failures.append(
+                f"argmax flip at margin {max_flip_margin:.4f} > 10 x "
+                f"rms|dlogit| {rms:.4f} — systematic, not noise-scale"
+            )
 
     # ---- greedy token identity (cached incremental path)
-    max_new = 8
+    max_new = args.max_new
     with torch.no_grad():
         hf_tokens = []
         cur = emb
@@ -221,20 +323,31 @@ def main() -> int:
         if t == max_new - 1:
             break
         nh = embed_tokens(dec_params, jnp.asarray([[last]], jnp.int32))
-        out, kv = decoder_forward(
-            dec_params, dec_c, nh, jnp.asarray([[n_prompt + t]]), kv,
-            write_slots=jnp.asarray([n_prompt + t]),
-        )
-        last = int(jnp.argmax(decoder_logits(dec_params, dec_c, out)[0, 0]))
+        with act_ctx():
+            out, kv = decoder_forward(
+                dec_params, dec_c, nh, jnp.asarray([[n_prompt + t]]), kv,
+                write_slots=jnp.asarray([n_prompt + t]),
+            )
+            last = int(jnp.argmax(decoder_logits(dec_params, dec_c, out)[0, 0]))
     log(f"our greedy loop done at {time.time() - t0:.1f}s: {my_tokens}")
     if my_tokens != hf_tokens:
-        failures.append(f"greedy tokens differ: {my_tokens} vs {hf_tokens}")
+        if args.quant == "none":
+            failures.append(f"greedy tokens differ: {my_tokens} vs {hf_tokens}")
+        else:
+            # Expected in quant mode on random weights (see docstring):
+            # report where the rollout first left the oracle's path.
+            div = next(
+                (i for i, (a, b) in enumerate(zip(my_tokens, hf_tokens)) if a != b),
+                len(my_tokens),
+            )
+            log(f"quant greedy rollout diverges at step {div}/{max_new} (expected)")
 
     if failures:
         for f in failures:
             log(f"FAIL: {f}")
         return 1
-    log(f"ALL REAL-DIM COMPARISONS PASSED in {time.time() - t0:.1f}s")
+    mode = "" if args.quant == "none" else f" [{args.quant}]"
+    log(f"ALL REAL-DIM COMPARISONS PASSED{mode} in {time.time() - t0:.1f}s")
     return 0
 
 
