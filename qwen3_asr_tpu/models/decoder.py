@@ -73,6 +73,11 @@ def set_spmd(on: bool, mesh=None) -> None:
     global _SPMD, _SPMD_MESH
     _SPMD = bool(on)
     _SPMD_MESH = mesh if on else None
+    # Keep ops/quant.py's kernel gate in sync (the fused W8A8 matmul is
+    # GSPMD-incompatible; see quant.set_spmd).
+    from ..ops import quant as _quant
+
+    _quant.set_spmd(on)
 
 
 def _use_pallas() -> bool:

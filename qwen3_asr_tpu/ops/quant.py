@@ -40,6 +40,18 @@ _ACT_QUANT_MIN_ROWS: ContextVar[int | None] = ContextVar(
 )
 
 
+#: Mirrors models/decoder.py's SPMD flag (set by decoder.set_spmd): under
+#: a GSPMD mesh the fused W8A8 Pallas kernel is skipped — pallas_call
+#: cannot be auto-partitioned by GSPMD, and the jnp int8-dot form shards
+#: with the same Megatron rules as every other dot.
+_SPMD_ACTIVE = False
+
+
+def set_spmd(on: bool) -> None:
+    global _SPMD_ACTIVE
+    _SPMD_ACTIVE = bool(on)
+
+
 @contextmanager
 def act_quant_rows(min_rows: int | None):
     """Enable dynamic int8 activation quantization for qlinear calls
@@ -57,11 +69,20 @@ def act_quant_rows(min_rows: int | None):
 
 
 def quantize_activations(x2: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Symmetric per-row int8: (M, K) -> (int8 (M, K), f32 scales (M,))."""
-    xf = x2.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=1)
+    """Symmetric per-row int8: (M, K) -> (int8 (M, K), f32 scales (M,)).
+
+    The abs-max reduction runs over x2 IN ITS OWN DTYPE and the f32
+    convert lives only inside the quantize expression: a shared
+    ``x2.astype(f32)`` temp consumed by both would be materialized by
+    XLA as a full f32 activation copy in HBM — measured 108 ms/prefill
+    at B=64, the single largest W8A8 overhead (round-5 xprof,
+    docs/PERFORMANCE.md).  abs/max are exact in bf16, so the scales are
+    bit-identical either way."""
+    amax = jnp.max(jnp.abs(x2), axis=1).astype(jnp.float32)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(xf / scale[:, None]), -127, 127).astype(jnp.int8)
+    q = jnp.clip(
+        jnp.round(x2.astype(jnp.float32) / scale[:, None]), -127, 127
+    ).astype(jnp.int8)
     return q, scale
 
 
@@ -153,6 +174,16 @@ def quantized_matmul(
 #: ZERO extra kernel launches inside the decode loop).
 QLINEAR_IMPL = __import__("os").environ.get("QWEN3_ASR_QLINEAR", "xla")
 
+#: Fused W8A8 Pallas kernel (ops/pallas/w8a8_matmul.py): "1" opts in,
+#: default OFF — measured NEGATIVE end-to-end (round 5, B=96 prefill:
+#: 1918 ms vs 1373 ms for the XLA lowering).  Fusing the quantize into
+#: the matmul re-reads the bf16 activations once per N-tile (2 bytes),
+#: while XLA's form quantizes once and re-reads the int8 copy (1 byte);
+#: at the decoder's N/BN of 8-24 the doubled re-read stream swamps the
+#: saved elementwise passes.  The kernel stays for its tests and as the
+#: base for a future persistent-activation variant.
+W8A8_KERNEL = __import__("os").environ.get("QWEN3_ASR_W8A8_KERNEL", "0")
+
 
 def qlinear(x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
     """``x @ w`` for plain or quantized weights, any leading batch dims.
@@ -172,10 +203,29 @@ def qlinear(x: jax.Array, w: Any, out_dtype=None) -> jax.Array:
     N = w["q"].shape[1]
     min_rows = _ACT_QUANT_MIN_ROWS.get()
     if min_rows is not None and x2.shape[0] >= min_rows:
-        # W8A8: dynamic per-row activation quant + int8 MXU dot.  The
-        # quantize itself is one bandwidth pass over x (bf16 read, int8
-        # write) — negligible next to the 2x dot-rate win at prefill
-        # row counts.
+        # W8A8: dynamic per-row activation quant + int8 MXU dot.  On TPU
+        # the quantize/dot/scale pipeline is ONE fused Pallas kernel —
+        # XLA lowers the jnp form with standalone HBM passes for the f32
+        # activation copy, the int8 copy, and the int32 accumulator
+        # downcast, which hands back half the 2x dot-rate win (round-5
+        # xprof, ops/pallas/w8a8_matmul.py docstring).  The jnp path
+        # remains for CPU (tests) and non-tileable shapes.
+        if (
+            jax.default_backend() == "tpu"
+            and not _SPMD_ACTIVE
+            and W8A8_KERNEL != "0"
+            and K % 128 == 0
+            and N % 128 == 0
+        ):
+            from .pallas.w8a8_matmul import w8a8_matmul
+
+            y = w8a8_matmul(
+                x2, w["q"], w["s"],
+                block_n=512 if N % 512 == 0 else 128,
+                block_k=512 if K % 512 == 0 else 128,
+                out_dtype=out_dtype,
+            )
+            return y.reshape(*lead, N)
         xq, sx = quantize_activations(x2)
         acc = jax.lax.dot_general(
             xq, w["q"], (((1,), (0,)), ((), ())),

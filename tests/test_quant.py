@@ -68,6 +68,53 @@ def test_quantized_matmul_kernel_interpret():
     )
 
 
+def test_w8a8_matmul_kernel_interpret_matches_jnp():
+    """Fused W8A8 Pallas kernel (interpret mode) == the jnp int8-dot path
+    bit-for-bit: same per-row quantize rule, same int32 accumulation,
+    same f32 (row x col) scale epilogue."""
+    from qwen3_asr_tpu.ops.pallas.w8a8_matmul import w8a8_matmul
+    from qwen3_asr_tpu.ops.quant import quantize_activations
+
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(jax.random.fold_in(rng, 0), (37, 256), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (256, 384)) * 0.1
+    wq = quantize_weight(w)
+
+    got = w8a8_matmul(
+        x, wq["q"], wq["s"],
+        block_m=16, block_n=128, block_k=128,
+        out_dtype=jnp.float32, interpret=True,
+    )
+    xq, sx = quantize_activations(x)
+    acc = jax.lax.dot_general(
+        xq, wq["q"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    want = acc.astype(jnp.float32) * sx[:, None] * wq["s"][None, :]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_w8a8_matmul_kernel_zero_row():
+    """An all-zero activation row must produce zeros (scale guard), and
+    the M-padding tail must not leak into real rows."""
+    from qwen3_asr_tpu.ops.pallas.w8a8_matmul import w8a8_matmul
+
+    x = jnp.zeros((5, 128), jnp.float32).at[1].set(1.0)
+    w = jnp.ones((128, 128), jnp.int8)
+    s = jnp.full((128,), 0.01, jnp.float32)
+    got = np.asarray(
+        w8a8_matmul(
+            x, w, s, block_m=8, block_n=128, block_k=128,
+            out_dtype=jnp.float32, interpret=True,
+        )
+    )
+    assert got.shape == (5, 128)
+    np.testing.assert_array_equal(got[0], 0.0)
+    np.testing.assert_allclose(got[1], 127 * (1 / 127) * 0.01 * 128, rtol=1e-6)
+
+
 def test_quantized_decoder_forward_close_to_fp():
     params = init_decoder_params(TINY, jax.random.PRNGKey(3), dtype=jnp.float32)
     qparams = quantize_decoder_params(params)

@@ -365,3 +365,29 @@ def test_conv_stem_kernel_on_tpu():
     out = conv_s2_gelu(x, w, b)
     d = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
     assert d < 3e-2, d
+
+
+def test_w8a8_matmul_kernel_on_tpu():
+    """Fused W8A8 kernel vs the jnp int8-dot lowering on the real MXU:
+    integer accumulation is exact, so the two must agree to f32 epilogue
+    rounding."""
+    from qwen3_asr_tpu.ops.pallas.w8a8_matmul import w8a8_matmul
+    from qwen3_asr_tpu.ops.quant import quantize_activations, quantize_weight
+
+    rng = jax.random.PRNGKey(11)
+    x = jax.random.normal(jax.random.fold_in(rng, 0), (300, 512), jnp.bfloat16)
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (512, 1024)) * 0.1
+    wq = quantize_weight(w)
+
+    got = np.asarray(
+        w8a8_matmul(x, wq["q"], wq["s"], out_dtype=jnp.float32)
+    )
+    xq, sx = quantize_activations(x)
+    acc = jax.lax.dot_general(
+        xq, wq["q"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    want = np.asarray(
+        acc.astype(jnp.float32) * sx[:, None] * wq["s"][None, :]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

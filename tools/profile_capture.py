@@ -44,6 +44,11 @@ def main() -> int:
         "--no-decode", action="store_true",
         help="profile only the prefill program (smaller footprint)",
     )
+    ap.add_argument(
+        "--quant", choices=("none", "int8", "w8a8"), default="none",
+        help="profile the quantized configs (w8a8 = int8 weights + "
+        "dynamic int8 prefill activations)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -52,13 +57,19 @@ def main() -> int:
     import bench
     from qwen3_asr_tpu.api import Qwen3ASR
     from qwen3_asr_tpu.audio.mel import HOP_LENGTH, N_FFT, host_pad_batch
-    from qwen3_asr_tpu.config import ModelConfig
+    from qwen3_asr_tpu.config import ModelConfig, RuntimeConfig
     from qwen3_asr_tpu.models.decoder import init_kv_cache
 
     t0 = time.time()
     print(f"[profile] backend={jax.default_backend()}", flush=True)
+    quant_kw = {
+        "none": {},
+        "int8": {"quantization": "int8"},
+        "w8a8": {"quantization": "int8", "act_quant": "int8"},
+    }[args.quant]
     model = Qwen3ASR.from_random(
-        ModelConfig(), tokenizer=bench._BenchTokenizer(), dtype=jnp.bfloat16
+        ModelConfig(), tokenizer=bench._BenchTokenizer(),
+        runtime=RuntimeConfig(**quant_kw), dtype=jnp.bfloat16,
     )
     rng = np.random.default_rng(0)
     clips = [

@@ -161,6 +161,11 @@ def main() -> int:
 
     enc_params, dec_params = load_checkpoint(tmp, cfg, dtype=jnp.float32)
     log(f"loaded via qwen3_asr_tpu loader at {time.time() - t0:.1f}s")
+    # 7.6 GB per run; stale copies also false-positive the standing
+    # `find / -name "*.safetensors"` checkpoint watch.
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
 
     act_ctx = contextlib.nullcontext
     if args.quant != "none":
