@@ -5,7 +5,7 @@ Public surface parity with the reference package
 extensions (RuntimeConfig, mesh/sharding helpers, batched runtime).
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from .api import LANGUAGE_MAP, Qwen3ASR, TranscriptionResult
 from .audio.io import find_split_points, load_audio
