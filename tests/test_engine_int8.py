@@ -142,3 +142,28 @@ def test_engine_int8_mid_decode_admission(model_int8):
             break
     assert model_int8._finalize_output(results["a"], "English")[0] == direct_a.text
     assert model_int8._finalize_output(results["b"], "English")[0] == direct_b.text
+
+
+def test_engine_w8a8_matches_direct():
+    """W8A8 model (int8 weights + act-quant prefill, forced on at tiny
+    shapes) serving through the continuous engine == its own direct
+    transcribe path: the engine's admission prefill (prefill_group ->
+    fused prefill) stages the SAME int8-dot graph as the monolithic
+    path, so tokens must be identical between the two."""
+    rt = RuntimeConfig(
+        frame_buckets=(800, 1600, 3200), token_buckets=(128, 256),
+        quantization="int8", act_quant="int8", act_quant_min_rows=1,
+    )
+    m = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(), runtime=rt, dtype=jnp.float32
+    )
+    clips = [sine(1.0, 440.0), sine(0.5, 550.0)]
+    direct = [m.transcribe(c, max_tokens=6) for c in clips]
+
+    engine = m.make_engine(
+        n_slots=2, max_duration=8.0, max_new_tokens=128, paged=True
+    )
+    results = _run_engine(m, engine, clips, max_new=6)
+    for i, r in enumerate(direct):
+        text = m._finalize_output(results[i], "English")[0]
+        assert text == r.text, f"clip {i}: w8a8 engine != direct"
