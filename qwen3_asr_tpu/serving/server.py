@@ -284,21 +284,26 @@ class ContinuousTranscriptionServer:
     def _warm_up(self, durations: tuple[float, ...]) -> None:
         """Pre-pay every compile the serving path can hit, BEFORE the
         worker starts: one prefill + admit + chunk + retire cycle at each
-        power-of-two admission-group size up to ``n_slots``.  Group sizes
-        depend on request arrival timing, so without this a production
-        server hits never-seen shapes mid-traffic and stalls the whole
-        batch for the duration of an XLA compile (~tens of seconds)."""
+        power-of-two admission-group size up to the admission cap.  Group
+        sizes depend on request arrival timing, so without this a
+        production server hits never-seen shapes mid-traffic and stalls
+        the whole batch for the duration of an XLA compile (~tens of
+        seconds)."""
         import numpy as np
 
         from ..audio.io import SAMPLE_RATE
         from ..runtime.engine import SlotRequest
         from ..utils.telemetry import logger
 
-        # Every group size 1..n_slots: the expensive fused-prefill program
-        # only compiles at power-of-two sizes (prefill_group buckets its
-        # batch dim), the cheap per-size admit/first-sample programs cover
-        # the rest.
-        sizes = list(range(1, self._engine.n_slots + 1))
+        # Every group size 1..min(n_slots, admit_batch): ``_run`` caps
+        # real admission groups at ``admit_batch``, so wider warm cells
+        # would compile (and transiently allocate — the fused prefill
+        # pads its batch dim to a power of two) programs that can never
+        # run.  At 48 slots on a 16 GiB v5e the phantom padded-64 warm
+        # prefill alone OOMs next to the resident page pool; capping
+        # admission at 32 keeps the same steady-state width the engine
+        # was measured at and fits.
+        sizes = list(range(1, min(self._engine.n_slots, self._admit_batch) + 1))
         cells = [(d, bg) for d in durations for bg in sizes]
         for i, (dur, bg) in enumerate(cells):
             logger.info(
@@ -306,9 +311,24 @@ class ContinuousTranscriptionServer:
                 i + 1, len(cells), dur, bg,
             )
             clip = np.zeros(int(dur * SAMPLE_RATE), np.float32)
-            kv, first_logits, prompts = self._model.prefill_group(
-                [clip] * bg, ["English"] * bg
-            )
+            try:
+                kv, first_logits, prompts = self._model.prefill_group(
+                    [clip] * bg, ["English"] * bg
+                )
+            except Exception as exc:
+                if "RESOURCE_EXHAUSTED" not in str(exc):
+                    raise
+                raise RuntimeError(
+                    f"continuous-server warm_up ran out of device memory at "
+                    f"admission-group size {bg} (padded prefill width "
+                    f"{1 << (bg - 1).bit_length() if bg > 1 else 1}) with "
+                    f"n_slots={self._engine.n_slots}.  The KV page pool plus "
+                    f"the widest admission prefill must fit HBM together; "
+                    f"options: lower admit_batch= (caps prefill width without "
+                    f"reducing slots), RuntimeConfig(kv_cache_dtype='int8') "
+                    f"(halves the pool), kv_pool_gb= (bounds the pool and "
+                    f"oversubscribes), or fewer n_slots."
+                ) from exc
             reqs = [
                 SlotRequest(
                     samples=clip, prompt=p, max_new=2, temperature=0.0,
@@ -320,6 +340,43 @@ class ContinuousTranscriptionServer:
             self._engine.admit(kv, first_logits, self._engine.free_slots(), reqs)
             self._engine.step()
             self._engine.retire()
+        if self._admit_batch < self._engine.n_slots:
+            # Chunk programs are width-bucketed up to n_slots, so a full
+            # engine still decodes at widths the capped admission loop
+            # above never stepped.  Fill every slot through repeated
+            # capped admissions (each prefill shape is already compiled),
+            # then run ONE chunk at full width — compiling the widest
+            # chunk program without ever materializing a wide prefill.
+            logger.info(
+                "continuous-server warm_up: full-width chunk (%d slots, "
+                "admissions capped at %d)",
+                self._engine.n_slots, self._admit_batch,
+            )
+            for dur in durations:
+                clip = np.zeros(int(dur * SAMPLE_RATE), np.float32)
+                while True:
+                    free = self._engine.free_slots()
+                    if len(free) == 0:
+                        break
+                    bg = min(len(free), self._admit_batch)
+                    kv, first_logits, prompts = self._model.prefill_group(
+                        [clip] * bg, ["English"] * bg
+                    )
+                    reqs = [
+                        SlotRequest(
+                            samples=clip, prompt=p, max_new=2,
+                            temperature=0.0, top_k=0, top_p=1.0,
+                            repetition_penalty=1.2,
+                            repetition_context_size=100, seed=0, meta=None,
+                        )
+                        for p in prompts
+                    ]
+                    self._engine.admit(kv, first_logits, free[:bg], reqs)
+                self._engine.step()
+                while self._engine.n_live() > 0:
+                    self._engine.retire()
+                    if self._engine.n_live() > 0:
+                        self._engine.step()
         logger.info("continuous-server warm_up done (%d cells)", len(cells))
 
     @property

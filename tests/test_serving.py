@@ -206,3 +206,46 @@ def test_engine_page_size_validated():
             n_slots=2, max_duration=4.0, max_new_tokens=128, paged=True,
             page_size=384,
         )
+
+
+def test_warm_up_respects_admit_batch(model, monkeypatch):
+    """A server with admit_batch < n_slots must never warm (or run) a
+    prefill group wider than the cap — the padded full-width warm prefill
+    is what OOMs a 48-slot bf16 server on 16 GiB HBM — while STILL
+    compiling the full-width decode chunk via accumulated admissions."""
+    from qwen3_asr_tpu.serving.server import ContinuousTranscriptionServer
+
+    widths = []
+    real = model.prefill_group
+
+    def recording(samples_list, lang_names):
+        widths.append(len(samples_list))
+        return real(samples_list, lang_names)
+
+    monkeypatch.setattr(model, "prefill_group", recording)
+    with ContinuousTranscriptionServer(
+        model, n_slots=4, admit_batch=2, max_duration=2.0,
+        max_new_tokens=8, chunk_steps=4, warm=(0.5,),
+    ) as srv:
+        warm_widths = list(widths)
+        futs = [srv.submit(sine(0.5, 300.0 + 40 * i), max_tokens=4)
+                for i in range(4)]
+        results = [f.result(timeout=120) for f in futs]
+    assert max(warm_widths) == 2, warm_widths
+    # Full-width chunk warm pass filled all 4 slots through capped groups.
+    assert sum(warm_widths) >= 4 + 2  # 1+2 size cells, then 2+2 fill
+    assert max(widths) <= 2, widths
+    assert all(isinstance(r, TranscriptionResult) for r in results)
+
+
+def test_warm_up_full_width_pass_skipped_when_uncapped(model):
+    """admit_batch defaulting to n_slots keeps the original warm shape:
+    one cell per group size, no extra fill pass."""
+    from qwen3_asr_tpu.serving.server import ContinuousTranscriptionServer
+
+    with ContinuousTranscriptionServer(
+        model, n_slots=2, max_duration=2.0, max_new_tokens=8,
+        chunk_steps=4, warm=(0.5,),
+    ) as srv:
+        fut = srv.submit(sine(0.5, 310.0), max_tokens=4)
+        assert isinstance(fut.result(timeout=120), TranscriptionResult)

@@ -135,6 +135,7 @@ def poisson_study(args) -> int:
         max_duration=args.short_sec + 1,
         max_new_tokens=args.short_budget,
         chunk_steps=args.chunk_steps,
+        admit_batch=args.admit_batch,
         paged=args.paged,
         warm=(args.short_sec,),
     )
@@ -199,6 +200,12 @@ def main() -> int:
     ap.add_argument("--long-budget", type=int, default=512)
     ap.add_argument("--short-budget", type=int, default=64)
     ap.add_argument("--n-slots", type=int, default=16)
+    ap.add_argument(
+        "--admit-batch", type=int, default=0,
+        help="cap admission-group width (0 = n_slots); at 48 slots on a "
+        "16 GiB v5e the full-width padded prefill OOMs next to the page "
+        "pool — cap at 32 to fit",
+    )
     ap.add_argument("--chunk-steps", type=int, default=32)
     ap.add_argument("--wave-size", type=int, default=4)
     ap.add_argument("--wave-interval", type=float, default=0.5)
@@ -253,6 +260,7 @@ def main() -> int:
                 max_duration=max(args.long_sec, args.short_sec) + 1,
                 max_new_tokens=args.long_budget,
                 chunk_steps=args.chunk_steps,
+                admit_batch=args.admit_batch,
                 paged=args.paged,
                 warm=(args.long_sec, args.short_sec)
                 if args.long_sec != args.short_sec
