@@ -502,27 +502,35 @@ class Qwen3ASR:
                     text=text, language=out_lang, duration=dur
                 )
 
-        for i in long_live:
-            samples = samples_list[i]
-            split_points = find_split_points(
-                samples, chunk_samples, 5 * SAMPLE_RATE
-            )
-            chunks, prev = [], 0
-            for sp in split_points + [len(samples)]:
-                if sp > prev:
-                    chunks.append(samples[prev:sp])
-                prev = sp
+        if long_live:
+            # Pool every long clip's chunks into SHARED groups: two long
+            # clips with 3 chunks each on a group-size-8 engine run one
+            # device program of 6 sequences, not two of 3.  Per-chunk
+            # outputs are order-preserved, so ownership is positional.
+            all_chunks: list = []
+            owners: list[int] = []
+            for i in long_live:
+                cs = self._split_long_chunks(samples_list[i], chunk_duration)
+                all_chunks.extend(cs)
+                owners.extend([i] * len(cs))
             texts, detected = self._run_chunks_grouped(
-                chunks, lang_name, temperature, top_p, top_k,
+                all_chunks, lang_name, temperature, top_p, top_k,
                 repetition_penalty, repetition_context_size, seed,
             )
-            language_out = lang_name if lang_name is not None else (
-                detected[0] if detected else "Unknown"
-            )
-            results[i] = TranscriptionResult(
-                text=" ".join(texts), language=language_out,
-                duration=len(samples) / SAMPLE_RATE,
-            )
+            per: dict[int, list[tuple[str, str]]] = {i: [] for i in long_live}
+            for own, text, lang in zip(owners, texts, detected):
+                if text:
+                    per[own].append((text, lang))
+            for i in long_live:
+                keep = per[i]
+                language_out = lang_name if lang_name is not None else (
+                    keep[0][1] if keep else "Unknown"
+                )
+                results[i] = TranscriptionResult(
+                    text=" ".join(t for t, _ in keep),
+                    language=language_out,
+                    duration=len(samples_list[i]) / SAMPLE_RATE,
+                )
         return results
 
     def warm_up(
@@ -1065,54 +1073,72 @@ class Qwen3ASR:
 
     def _clamp_chunk_duration(self, chunk_duration: float) -> float:
         """Cap chunk_duration so every long-form chunk fits a compiled
-        frame bucket.  A chunk may end up to 5 s past a chunk_duration
-        multiple (the low-energy search window in
-        audio/io.py:find_split_points), so the effective ceiling is the
-        largest bucket MINUS that slack; with the default table
-        (121,600 frames = 1216 s) the default 1200 s passes through
-        unchanged.  A RuntimeConfig with a smaller bucket table would
-        otherwise silently overflow the largest compiled shape."""
+        frame bucket.  BOTH boundaries of an interior chunk snap
+        independently within the low-energy search window
+        (audio/io.py:find_split_points), so a chunk can exceed a
+        chunk_duration multiple by up to 2x the 5 s window — the
+        effective ceiling is the largest bucket MINUS 10 s of slack;
+        with the default table (121,600 frames = 1216 s) the default
+        1200 s passes through unchanged.  Bucket tables too small to
+        afford the full slack reserve half the bucket instead, and
+        ``_split_long_chunks`` shrinks the search window to whatever
+        slack the clamped duration actually leaves."""
         max_bucket_s = (
             self._runtime.frame_buckets[-1] * HOP_LENGTH / SAMPLE_RATE
         )
-        return max(min(chunk_duration, max_bucket_s - 5.0), 1.0)
+        slack = min(10.0, max_bucket_s / 2)
+        return max(min(chunk_duration, max_bucket_s - slack), 1.0)
+
+    def _split_long_chunks(self, samples, chunk_duration: float) -> list:
+        """Slice a long clip at low-energy boundaries (shared by
+        ``_transcribe_chunked`` and the batch long-clip path).  The
+        search window is 5 s when the bucket table affords it, else
+        half the remaining slack — keeping every chunk
+        (<= chunk_duration + 2x window) within the largest compiled
+        frame bucket."""
+        max_bucket_s = (
+            self._runtime.frame_buckets[-1] * HOP_LENGTH / SAMPLE_RATE
+        )
+        search_s = max(0.0, min(5.0, (max_bucket_s - chunk_duration) / 2))
+        chunk_samples = int(chunk_duration * SAMPLE_RATE)
+        split_points = find_split_points(
+            samples, chunk_samples, int(search_s * SAMPLE_RATE)
+        )
+        chunks, prev = [], 0
+        for sp in split_points + [len(samples)]:
+            if sp > prev:
+                chunks.append(samples[prev:sp])
+            prev = sp
+        return chunks
 
     def _transcribe_chunked(
         self, samples, duration, language, temperature, top_p, top_k,
         repetition_penalty, repetition_context_size, chunk_duration, seed,
     ) -> TranscriptionResult:
         """Long-form path: split at low-energy boundaries, stitch texts."""
-        chunk_samples = int(chunk_duration * SAMPLE_RATE)
-        search_samples = 5 * SAMPLE_RATE
-        split_points = find_split_points(samples, chunk_samples, search_samples)
-
         lang_name = self._resolve_language(language)
-
-        chunks: list[np.ndarray] = []
-        prev = 0
-        for sp in split_points + [len(samples)]:
-            if sp > prev:
-                chunks.append(samples[prev:sp])
-            prev = sp
-
+        chunks = self._split_long_chunks(samples, chunk_duration)
         texts, detected = self._run_chunks_grouped(
             chunks, lang_name, temperature, top_p, top_k,
             repetition_penalty, repetition_context_size, seed,
         )
-
+        keep = [(t, lg) for t, lg in zip(texts, detected) if t]
         language_out = lang_name if lang_name is not None else (
-            detected[0] if detected else "Unknown"
+            keep[0][1] if keep else "Unknown"
         )
         return TranscriptionResult(
-            text=" ".join(texts), language=language_out, duration=duration
+            text=" ".join(t for t, _ in keep),
+            language=language_out, duration=duration,
         )
 
     def _run_chunks_grouped(
         self, chunks, lang_name, temperature, top_p, top_k,
         repetition_penalty, repetition_context_size, seed,
     ) -> tuple[list[str], list[str]]:
-        """Transcribe one clip's long-form chunks; returns the in-order
-        non-empty texts and their detected languages.
+        """Transcribe long-form chunks; returns PER-CHUNK texts and
+        detected languages, in order, one entry per input chunk (empty
+        texts included — callers filter, so the batch path can regroup
+        pooled chunks back to their owning clips positionally).
 
         Chunks are transcribed in BATCHES of max_batch_size — the
         reference runs them strictly sequentially (model.py:409-441).
@@ -1150,7 +1176,6 @@ class Qwen3ASR:
             )
             for toks in token_lists:
                 text, out_lang = self._finalize_output(toks, lang_name)
-                if text:
-                    texts.append(text)
-                    detected.append(out_lang)
+                texts.append(text)
+                detected.append(out_lang)
         return texts, detected

@@ -371,7 +371,22 @@ class ContinuousTranscriptionServer:
                         )
                         for p in prompts
                     ]
-                    self._engine.admit(kv, first_logits, free[:bg], reqs)
+                    rejected = self._engine.admit(
+                        kv, first_logits, free[:bg], reqs
+                    )
+                    if rejected:
+                        # Page pool can't hold every slot at this clip
+                        # length (oversubscribed kv_pool_gb) — the widest
+                        # reachable width is whatever fit; warm that and
+                        # move on rather than spin on a pool that will
+                        # never free (nothing retires during this fill).
+                        logger.info(
+                            "continuous-server warm_up: page pool holds "
+                            "only %d slots at %.0fs — full-width pass "
+                            "warms the reachable width",
+                            self._engine.n_live(), dur,
+                        )
+                        break
                 self._engine.step()
                 while self._engine.n_live() > 0:
                     self._engine.retire()
@@ -439,8 +454,13 @@ class ContinuousTranscriptionServer:
         # engine.admit truncates its slot list to the group size, so an
         # oversized group would index past the free slots and crash —
         # failing every batched future with a spurious internal error.
-        free = len(self._engine.free_slots())
-        reqs, overflow = reqs[:free], reqs[free:]
+        # Also honor admit_batch here, not just in _drain_new: the
+        # deferred-retry path concatenates deferred + fresh requests, and
+        # an uncapped group would prefill at a width warm-up never
+        # compiled (mid-traffic XLA stall, or the very padded-width OOM
+        # the cap exists to prevent).
+        cap = min(len(self._engine.free_slots()), self._admit_batch)
+        reqs, overflow = reqs[:cap], reqs[cap:]
         ready: list[tuple[_Request, "object", str, float]] = []
         for req in reqs:
             try:

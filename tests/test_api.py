@@ -321,3 +321,49 @@ def test_from_pretrained_background_warm(tmp_path, monkeypatch):
         Qwen3ASR.from_pretrained(
             tmp_path, runtime=rt(), dtype=jnp.float32, warm="nonsense"
         )
+
+
+def test_chunk_slack_covers_both_snapped_boundaries(model):
+    """BOTH ends of an interior chunk snap independently within the 5 s
+    low-energy window, so a chunk can run chunk_duration + 10 s — the
+    clamp must reserve 10 s (not 5) or adversarial silence placement
+    overflows the largest compiled frame bucket."""
+    cd = model._clamp_chunk_duration(1200.0)
+    max_bucket_s = RT.frame_buckets[-1] * 160 / 16000  # 32 s
+    assert cd == pytest.approx(max_bucket_s - 10.0)  # 22 s
+
+    # 70 s clip, loud everywhere except deep pockets near 17 s (= 22-5)
+    # and 48.9 s (just inside the 44+5 window): the middle chunk spans
+    # ~31.9 s — within the 32 s bucket only because the clamp reserves
+    # the full 10 s.  With the old 5 s slack (cd 27) this overflowed.
+    audio = sine(70.0)
+    for pocket_s in (17.0, 48.9):
+        i = int(pocket_s * 16000)
+        audio[i : i + 3200] = 0.0
+    chunks = model._split_long_chunks(audio, cd)
+    max_bucket_samples = RT.frame_buckets[-1] * 160
+    assert all(len(c) <= max_bucket_samples for c in chunks)
+    # Both boundaries snapped outward: the chunk exceeds cd + one window,
+    # i.e. the old single-window slack was insufficient.
+    assert max(len(c) for c in chunks) > int((cd + 5.0) * 16000)
+    res = model.transcribe(audio, max_tokens=2)
+    assert res.duration == pytest.approx(70.0)
+
+
+def test_chunk_search_window_shrinks_for_small_bucket_tables():
+    """A bucket table too small for the full 10 s slack halves the
+    bucket instead, and the split search window shrinks to the slack
+    the clamped duration leaves — chunks always fit the bucket."""
+    m = Qwen3ASR.from_random(
+        TINY_CFG, tokenizer=StubTokenizer(),
+        runtime=RuntimeConfig(frame_buckets=(800,), token_buckets=(16,)),
+        dtype=jnp.float32,
+    )
+    cd = m._clamp_chunk_duration(20.0)  # bucket 8 s -> slack 4 -> cd 4
+    assert cd == pytest.approx(4.0)
+    audio = sine(12.0)
+    audio[int(3.0 * 16000) : int(3.0 * 16000) + 3200] = 0.0
+    chunks = m._split_long_chunks(audio, cd)
+    assert all(len(c) <= 800 * 160 for c in chunks)
+    res = m.transcribe(audio, chunk_duration=20.0, max_tokens=2)
+    assert res.duration == pytest.approx(12.0)

@@ -249,3 +249,66 @@ def test_warm_up_full_width_pass_skipped_when_uncapped(model):
     ) as srv:
         fut = srv.submit(sine(0.5, 310.0), max_tokens=4)
         assert isinstance(fut.result(timeout=120), TranscriptionResult)
+
+
+def test_admit_caps_group_at_admit_batch(model, monkeypatch):
+    """The deferred-retry path hands _admit deferred + fresh requests in
+    one list; _admit must cap the prefill group at admit_batch (not just
+    at the free-slot count) or it compiles widths warm-up never saw."""
+    import time
+    from concurrent.futures import Future
+
+    from qwen3_asr_tpu.serving.server import (
+        ContinuousTranscriptionServer,
+        _Request,
+    )
+
+    widths = []
+    real = model.prefill_group
+
+    def recording(samples_list, lang_names):
+        widths.append(len(samples_list))
+        return real(samples_list, lang_names)
+
+    monkeypatch.setattr(model, "prefill_group", recording)
+    with ContinuousTranscriptionServer(
+        model, n_slots=4, admit_batch=2, max_duration=2.0,
+        max_new_tokens=8, chunk_steps=4,
+    ) as srv:
+        reqs = [
+            _Request(sine(0.5, 300.0 + 10 * i), {"max_tokens": 4},
+                     Future(), time.time())
+            for i in range(4)
+        ]
+        overflow = srv._admit(reqs)
+        assert len(overflow) == 2           # capped at admit_batch=2
+        assert widths and max(widths) <= 2  # prefill never wider
+        # close() drains the two admitted slots via the shutdown path.
+    for r in reqs[:2]:
+        assert r.future.result(timeout=120).text is not None
+
+
+def test_batch_long_clips_share_groups(model, monkeypatch):
+    """Two long clips' chunks pool into SHARED device groups (one
+    _run_pipeline_batch walk over all 4 chunks) with output identical to
+    transcribing each long clip alone."""
+    calls = []
+    real = model._run_pipeline_batch
+
+    def recording(batch, *a, **k):
+        calls.append(len(batch))
+        return real(batch, *a, **k)
+
+    long1 = sine(5.0, 250.0)
+    long2 = sine(5.0, 350.0)
+    for c in (long1, long2):
+        c[2 * 16000 : 2 * 16000 + 2000] = 0.0  # silence pocket
+    refs = [model.transcribe(c, chunk_duration=2.0, max_tokens=4) for c in (long1, long2)]
+
+    monkeypatch.setattr(model, "_run_pipeline_batch", recording)
+    got = model.transcribe_batch([long1, long2], chunk_duration=2.0, max_tokens=4)
+    assert [r.text for r in got] == [r.text for r in refs]
+    assert [r.duration for r in got] == [5.0, 5.0]
+    # All chunks from both clips ran as pooled groups: no group narrower
+    # than the pool allows (6 chunks -> ceil(6/group_size) calls).
+    assert len(calls) < 6 and max(calls) > 3, calls

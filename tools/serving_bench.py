@@ -93,6 +93,7 @@ def run_poisson(server, clip_sec, n_requests, rate, budget, seed=0):
     c = clip(clip_sec, 260.0)
     recs = []
     lock = threading.Lock()
+    all_done = threading.Event()
     futs = []
     t_start = time.time()
     for i in range(n_requests):
@@ -104,11 +105,16 @@ def run_poisson(server, clip_sec, n_requests, rate, budget, seed=0):
             tdone = time.time()
             with lock:
                 recs.append((t0, tdone, getattr(f, "ttft_s", float("nan"))))
+                if len(recs) == n_requests:
+                    all_done.set()
 
         fut.add_done_callback(_done)
         futs.append(fut)
     for f in futs:
         f.result()
+    # Future.result() returns once the waiter is notified, which happens
+    # BEFORE done-callbacks run — wait for the last callback's record.
+    all_done.wait(timeout=60)
     wall = time.time() - t_start
     lat = np.array([td - t0 for t0, td, _ in recs])
     ttft = np.array([t for *_, t in recs])
