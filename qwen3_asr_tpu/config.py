@@ -309,16 +309,18 @@ class RuntimeConfig:
     #     compute-bound).  Measured on v5e: flat B=8 wins even near the
     #     zero-acceptance floor (4.36 vs 5.28 ms/token,
     #     tools/spec_bench.py --batch 8); paged n_slots=16 wins 1.90x,
-    #     n_slots=32 wins 1.43x, and n_slots=48 (the ceiling itself,
-    #     admission capped at 32 — the 48-wide padded prefill would OOM
-    #     16 GiB HBM) still wins 1.28x at 2.85 tok/forward on the mixed
+    #     n_slots=32 wins 1.43x, n_slots=48 wins 1.28x at 2.85
+    #     tok/forward (bf16 pool, admission capped at 32 — the 48-wide
+    #     padded prefill would OOM 16 GiB HBM), and n_slots=64 (the
+    #     ceiling itself; int8 pool, which is what fits 64 slots on
+    #     16 GiB) still wins 1.18x at 2.93 tok/forward on the mixed
     #     serving workload (docs/PERFORMANCE.md A/B table) — the
     #     multiplier shrinks with width as the 4x dense rows per verify
-    #     approach compute-bound; beyond 48 is unmeasured.
+    #     approach compute-bound; beyond 64 is unmeasured.
     #   "on" — every all-greedy chunk.  "off" — never.
     spec_engine: str = "auto"
     spec_engine_max_slots: int = 8
-    spec_engine_max_slots_paged: int = 48
+    spec_engine_max_slots_paged: int = 64
     # Fuse Q|K|V and gate|up projections into single matmuls (pure
     # re-layout, identical math).  Auto-disabled under tensor parallelism
     # (fused column order misaligns with head sharding).
